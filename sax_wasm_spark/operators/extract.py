@@ -1,0 +1,220 @@
+"""Main-content extractor: the DOM-heuristic boilerplate classifier the
+north_star layers on top of the SAX event stream.
+
+The reference supplies the event stream and the element stack
+(parser.rs:618-622 text_nodes accumulation, :1144-1194 stack unwind);
+this module is the second pass that reduces them to main-content text.
+
+Documented reduction (deterministic; goldens in tests/goldens are frozen
+from exactly this spec — FIXTURES.md §6):
+
+1. Subscribe OpenTag | CloseTag | Text | Cdata; replay events in order,
+   maintaining a stack of open element names. Self-closing tags never
+   push (kernel emits their OpenTag+CloseTag back-to-back); orphan
+   closes arrive as Text events, so the stack replay mirrors the
+   kernel's own stack exactly.
+2. A Text/Cdata event is *candidate content* iff no open ancestor's
+   lowercased name is in DROP_TAGS.
+3. Each candidate is labeled with (a) whether an ``<a>`` ancestor is
+   open (link text) and (b) its *block*: the innermost open ancestor
+   whose name is in BLOCK_TAGS (stack-frame identity, so two sibling
+   <p>s are different blocks; document root is block 0).
+4. Per block: text_bytes = Σ len(value), link_bytes over link-labeled
+   candidates. A block is kept iff
+       text_bytes >= MIN_BLOCK_BYTES (10) and
+       link_bytes / text_bytes <= MAX_LINK_DENSITY (0.5)
+   Whitespace-only candidates never contribute (the kernel already
+   suppresses whitespace-only inter-element text, parser.rs:411-425).
+5. Output text = b"\\n".join(values of candidates in kept blocks, in
+   document order); spans = their absolute (byte_start, byte_end)
+   ranges in the original html stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.saxkernel import (
+    EVT_CDATA,
+    EVT_CLOSE_TAG,
+    EVT_OPEN_TAG,
+    EVT_TEXT,
+    SaxParser,
+    Tag,
+    TextNode,
+)
+
+EXTRACT_MASK = (1 << EVT_OPEN_TAG) | (1 << EVT_CLOSE_TAG) | (1 << EVT_TEXT) | (1 << EVT_CDATA)
+
+DROP_TAGS = frozenset(
+    b.lower()
+    for b in (
+        "script", "style", "noscript", "template", "head", "nav", "header",
+        "footer", "aside", "form", "iframe", "svg", "select", "option",
+        "button", "datalist", "meta", "link", "title",
+    )
+)
+
+BLOCK_TAGS = frozenset(
+    (
+        "p", "div", "article", "section", "main", "li", "td", "th",
+        "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6", "body",
+    )
+)
+
+MIN_BLOCK_BYTES = 10
+MAX_LINK_DENSITY = 0.5
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("text_bytes", BinaryType(), True),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("byte_start", LongType(), False),
+                        StructField("byte_end", LongType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("n_events", IntegerType(), False),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+class _Replay:
+    """Stack replay + block scoring over the live event stream."""
+
+    __slots__ = ("stack", "frame_ids", "next_frame", "drop_depth", "link_depth",
+                 "block_frames", "candidates", "n_events")
+
+    def __init__(self):
+        self.stack = []        # open element names (str, lowercased)
+        self.frame_ids = []    # parallel: block frame id or -1
+        self.next_frame = 1
+        self.drop_depth = 0
+        self.link_depth = 0
+        self.block_frames = [0]  # innermost open block frame (root=0)
+        self.candidates = []   # (order, block_frame, is_link, value, b0, b1)
+        self.n_events = 0
+
+    def __call__(self, code, entity):
+        self.n_events += 1
+        if code == EVT_OPEN_TAG:
+            if entity.self_closing:
+                return
+            name = entity.name.decode("utf-8", "replace").lower()
+            self.stack.append(name)
+            if name in DROP_TAGS:
+                self.drop_depth += 1
+            if name == "a":
+                self.link_depth += 1
+            if name in BLOCK_TAGS:
+                fid = self.next_frame
+                self.next_frame += 1
+                self.frame_ids.append(fid)
+                self.block_frames.append(fid)
+            else:
+                self.frame_ids.append(-1)
+        elif code == EVT_CLOSE_TAG:
+            if entity.self_closing or not self.stack:
+                return
+            name = self.stack.pop()
+            fid = self.frame_ids.pop()
+            if name in DROP_TAGS:
+                self.drop_depth -= 1
+            if name == "a":
+                self.link_depth -= 1
+            if fid >= 0:
+                self.block_frames.pop()
+        else:  # Text or Cdata payload
+            if self.drop_depth:
+                return
+            value = bytes(entity.value)
+            if not value:
+                return
+            self.candidates.append(
+                (
+                    len(self.candidates),
+                    self.block_frames[-1],
+                    self.link_depth > 0,
+                    value,
+                    entity.b0,
+                    entity.b1,
+                )
+            )
+
+    def finish(self):
+        totals: dict[int, int] = {}
+        links: dict[int, int] = {}
+        for _, blk, is_link, value, _, _ in self.candidates:
+            n = len(value)
+            totals[blk] = totals.get(blk, 0) + n
+            if is_link:
+                links[blk] = links.get(blk, 0) + n
+        kept = {
+            blk
+            for blk, total in totals.items()
+            if total >= MIN_BLOCK_BYTES and links.get(blk, 0) / total <= MAX_LINK_DENSITY
+        }
+        pieces = []
+        spans = []
+        for _, blk, _, value, b0, b1 in self.candidates:
+            if blk in kept:
+                pieces.append(value)
+                spans.append((b0, b1))
+        return b"\n".join(pieces), spans
+
+
+def extract_bytes(html: bytes) -> tuple[bytes, list[tuple[int, int]], int, str]:
+    """Single-document extraction: -> (text_bytes, spans, n_events, status)."""
+    replay = _Replay()
+    try:
+        parser = SaxParser(events=EXTRACT_MASK, handler=replay)
+        parser.write(html)
+        parser.end()
+        text, spans = replay.finish()
+        return text, spans, replay.n_events, "ok"
+    except Exception as e:  # defensive: a poison document must not kill the task
+        return b"", [], replay.n_events, f"error:{type(e).__name__}"
+
+
+def extract_main_content(df: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
+    """DataFrame operator: pages(url, html, …) → extracted per FIXTURES.md §3."""
+    src = df.select(url_col, html_col)
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"url": [], "text": [], "text_bytes": [], "spans": [], "n_events": [], "status": []}
+            for url, data in zip(pdf[url_col], pdf[html_col]):
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                text, spans, n_events, status = extract_bytes(data)
+                out["url"].append(url)
+                out["text"].append(text.decode("utf-8", "replace"))
+                out["text_bytes"].append(text)
+                out["spans"].append([{"byte_start": a, "byte_end": b} for a, b in spans])
+                out["n_events"].append(n_events)
+                out["status"].append(status)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=EXTRACT_SCHEMA)

@@ -1,0 +1,116 @@
+"""Spark tokenizer operator: html bytes → SAX event rows.
+
+Design (SURVEY.md §1.6/§3.4): the corpus is a DataFrame; each row's
+``html`` binary cell is one reference byte-stream. The kernel runs
+inside ``mapInPandas`` (Arrow-batched, iterator API — the fast Python
+lane per the input_hint's "no per-row Python UDFs"), emitting the flat
+event schema of FIXTURES.md §2 one row per event.
+
+Why exploded-flat rather than array<struct>: the downstream relational
+operators (explode/filter/agg/window in SURVEY.md §2.4) all want events
+as rows, and flat columns keep the Arrow transfer columnar and cheap.
+Per-document event order is carried by an explicit ``event_idx`` column
+because shuffles do not preserve row order.
+
+The per-task memory is bounded: one document's parser state + one Arrow
+batch (``spark.sql.execution.arrow.maxRecordsPerBatch``) — the analogue
+of the reference's fixed WASM linear memory (saxWasm.ts:794).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.collect import ALL_EVENTS, EventCollector
+from ..kernel.saxkernel import SaxParser
+
+_EVENT_FIELDS = [
+    StructField("event", IntegerType(), False),
+    StructField("event_idx", IntegerType(), False),
+    StructField("name", StringType(), True),
+    StructField("value", BinaryType(), True),
+    StructField("attr_name", BinaryType(), True),
+    StructField("attr_value", BinaryType(), True),
+    StructField("attr_type", IntegerType(), True),
+    StructField("self_closing", BooleanType(), True),
+    StructField("target", BinaryType(), True),
+    StructField("content", BinaryType(), True),
+    StructField("line_start", LongType(), True),
+    StructField("char_start", LongType(), True),
+    StructField("line_end", LongType(), True),
+    StructField("char_end", LongType(), True),
+    StructField("open_end_line", LongType(), True),
+    StructField("open_end_char", LongType(), True),
+    StructField("close_start_line", LongType(), True),
+    StructField("close_start_char", LongType(), True),
+    StructField("byte_start", LongType(), True),
+    StructField("byte_end", LongType(), True),
+]
+
+_COLS = [f.name for f in _EVENT_FIELDS]
+
+
+def event_schema(id_fields: list[StructField]) -> StructType:
+    return StructType(list(id_fields) + _EVENT_FIELDS)
+
+
+def tokenize_events(
+    df: DataFrame,
+    html_col: str = "html",
+    id_cols: tuple[str, ...] = ("url",),
+    events: int = ALL_EVENTS,
+    chunk_size: int = 0,
+) -> DataFrame:
+    """One output row per SAX event, flat columns (FIXTURES.md §2).
+
+    ``chunk_size`` > 0 streams each document through the parser in
+    fixed-size writes (event values are identical; used for streaming-
+    parity tests). The id columns are repeated per event row.
+    """
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = event_schema(id_fields)
+    src = df.select(*id_cols, html_col)
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        collector = EventCollector()
+        for pdf in batches:
+            out_ids: dict[str, list] = {c: [] for c in id_cols}
+            out_rows: list[tuple] = []
+            htmls = pdf[html_col]
+            ids = [pdf[c] for c in id_cols]
+            for i in range(len(pdf)):
+                data = htmls.iloc[i]
+                if data is None:
+                    continue
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                collector.reset()
+                parser = SaxParser(events=events, handler=collector)
+                if chunk_size and chunk_size < len(data):
+                    for o in range(0, len(data), chunk_size):
+                        parser.write(data[o : o + chunk_size])
+                else:
+                    parser.write(data)
+                parser.end()
+                rows = collector.rows
+                if rows:
+                    for c, col in zip(id_cols, ids):
+                        out_ids[c].extend([col.iloc[i]] * len(rows))
+                    out_rows.extend(rows)
+            res = pd.DataFrame(out_rows, columns=_COLS)
+            for c in reversed(id_cols):
+                res.insert(0, c, out_ids[c])
+            yield res
+
+    return src.mapInPandas(run, schema=out_schema)
