@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (SAX-tokenize the corpus
+documents and histogram the event stream); ``queries()`` /
+``oracle_sql()`` expose the full operator battery defined in
+``sax_wasm_spark.plans.queries`` — relational operators, training-data
+operators (dedup / minhash / simhash / kNN / quality), and parser-backed
+queries whose oracles are closed-form SQL over the fixed HTML wrapper.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sax_wasm_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenize the sf0.001 corpus documents (wrapped as pages)
+    and return the per-event-type histogram."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from sax_wasm_spark.plans.queries import _wrapped_docs  # noqa: PLC0415
+    from sax_wasm_spark.operators.tokenize import tokenize_events  # noqa: PLC0415
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF", "/root/testdata/sf0.001")
+    pages = _wrapped_docs(spark, sf_dir)
+    ev = tokenize_events(pages, id_cols=("doc_id",))
+    return (
+        ev.groupBy("event")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy("event")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

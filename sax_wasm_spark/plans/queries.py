@@ -1,0 +1,814 @@
+"""The engine's query battery: every entry is (Spark impl, DuckDB oracle).
+
+Three families:
+
+1. **Relational operators** (SURVEY.md §2.4) over the TPC-H-ish testdata
+   tables — scans, filters, joins (inner/semi/anti/broadcast), hash
+   aggregation, rollup, windows, set ops, sort/limit, scalar functions.
+   These are the Spark built-ins the pipeline composes around the
+   tokenizer; each has an exact ANSI-SQL oracle.
+
+2. **Training-data operators** — exact dedup, minhash-lite shingle
+   signatures, simhash, token/quality/language stats, brute-force cosine
+   kNN over embeddings. SQL-expressible formulations are chosen so the
+   DuckDB oracle can verify them value-for-value.
+
+3. **Parser-backed queries** — documents are wrapped in a *fixed* HTML
+   template (the corpus text is single-line ASCII without '<'), which
+   makes the SAX event stream statically predictable: Text values, byte
+   offsets, attribute payloads, and the extractor's output all have
+   closed-form SQL oracles. This cross-checks the kernel itself against
+   SQL-computable ground truth — not just against its own goldens.
+
+All float aggregates are rounded identically on both sides (the driver
+hash-compares values). Every computed column is aliased identically in
+the DataFrame plan and the SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_main_content
+from ..operators.tokenize import tokenize_events
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The fixed wrapper that turns a corpus document into a parseable page.
+# Kept deliberately simple so the event stream has a closed SQL form.
+_DOC_PREFIX = '<doc id="'
+_DOC_MID = '"><body>'
+_DOC_SUFFIX = "</body></doc>"
+
+
+def _wrapped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit(_DOC_PREFIX),
+            F.col("doc_id").cast("string"),
+            F.lit(_DOC_MID),
+            F.col("text"),
+            F.lit(_DOC_SUFFIX),
+        )
+        .cast("binary")
+        .alias("html"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. relational operators
+
+def q01_pricing_summary(spark, sf_dir):
+    """Partial+final hash aggregation with multiple measures (TPC-H Q1
+    shape). Catalyst plans a map-side partial agg before the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q01_sql():
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q02_revenue_by_nation(spark, sf_dir):
+    """Three-way join + broadcast dims: nation/region are broadcast; the
+    orders⋈lineitem join shuffles on the key both sides already share."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q02_sql():
+    return """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """
+
+
+def q03_latest_order_per_customer(spark, sf_dir):
+    """Window dedup — the same latest-capture-per-url pattern the pages
+    pipeline uses (Window.partitionBy(url).orderBy(warc_ts desc))."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.round("o_totalprice", 2).alias("latest_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q03_sql():
+    return """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           round(o_totalprice, 2) AS latest_totalprice
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY o_custkey
+    """
+
+
+def q04_orders_with_late_items(spark, sf_dir):
+    """Left-semi join (EXISTS) — the resume anti/semi-join pattern."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q04_sql():
+    return """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+def q05_customers_without_orders(spark, sf_dir):
+    """Left-anti join — idempotent-resume building block (completed
+    partitions are anti-joined away on restart)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q05_sql():
+    return """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """
+
+
+def q06_rollup_revenue(spark, sf_dir):
+    """ROLLUP grouping sets."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def q06_sql():
+    return """
+    SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """
+
+
+def q07_top_parts(spark, sf_dir):
+    """Top-k: total order + limit, deterministic tiebreak."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_brand", F.round("p_retailprice", 2).alias("price"))
+        .orderBy(F.col("price").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+def q07_sql():
+    return """
+    SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS price
+    FROM part
+    ORDER BY price DESC, p_partkey
+    LIMIT 10
+    """
+
+
+def q08_scalar_functions(spark, sf_dir):
+    """Scalar string/date/math functions stay in whole-stage codegen."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+            F.length("o_orderstatus").alias("status_len"),
+            # floor, not round: round() half-way ties differ between
+            # engines (HALF_UP vs HALF_EVEN); floor over identical IEEE
+            # doubles is deterministic
+            F.floor(F.col("o_totalprice") * 0.1).cast("long").alias("tithe"),
+            F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 4).alias("sqrt_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q08_sql():
+    return """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           upper(substring(o_orderpriority, 1, 3)) AS prio3,
+           length(o_orderstatus) AS status_len,
+           CAST(floor(o_totalprice * 0.1) AS BIGINT) AS tithe,
+           round(sqrt(abs(o_totalprice)), 4) AS sqrt_price
+    FROM orders
+    ORDER BY o_orderkey
+    """
+
+
+def q09_nation_set_ops(spark, sf_dir):
+    """Set operators: UNION / EXCEPT (distinct semantics)."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    cust_nations = c.select(F.col("c_nationkey").alias("nationkey"))
+    supp_nations = s.select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        cust_nations.union(supp_nations)
+        .distinct()
+        .exceptAll(supp_nations.distinct())
+        .orderBy("nationkey")
+    )
+
+
+def q09_sql():
+    return """
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    EXCEPT ALL
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """
+
+
+def q10_events_window(spark, sf_dir):
+    """Event-stream windowing: per-user ordered lag deltas."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_steps"),
+            F.round(F.avg(F.col("value") - F.col("prev_value")), 4).alias("avg_delta"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q10_sql():
+    return """
+    SELECT user_id, count(*) AS n_steps, round(avg(value - prev_value), 4) AS avg_delta
+    FROM (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events
+    ) WHERE prev_value IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+def q11_events_agg(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q11_sql():
+    return """
+    SELECT event_type, count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# 2. training-data operators
+
+def q12_token_explode(spark, sf_dir):
+    """Tokenize + explode + count: top-20 corpus vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+def q12_sql():
+    return """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """
+
+
+def q13_doc_quality(spark, sf_dir):
+    """Quality scoring: length, token stats, stopword ratio."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    stop = (
+        F.size(F.filter(F.split("text", " "), lambda t: t.isin("the", "a", "of", "and")))
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("n_chars_computed"),
+            toks.alias("n_tokens"),
+            F.round(F.length("text") / toks, 4).alias("avg_token_len"),
+            F.round(stop / toks, 4).alias("stopword_ratio"),
+            (F.length("text") >= 100).cast("int").alias("len_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q13_sql():
+    return """
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(length(text) / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and'))) / len(string_split(text, ' ')), 4)
+             AS stopword_ratio,
+           CAST(length(text) >= 100 AS INT) AS len_ok
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+def q14_lang_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+            F.round(F.sum(F.length("text")), 2).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q14_sql():
+    return """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(length(text)), 4) AS avg_chars,
+           round(sum(length(text)), 2) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+def q15_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: representative id + duplicate count."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("rep_doc_id")
+    )
+
+
+def q15_sql():
+    return """
+    SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY rep_doc_id
+    """
+
+
+def q16_minhash_signature(spark, sf_dir):
+    """Minhash-lite over 3-word shingles: signature = min(md5(shingle)).
+    Docs sharing a signature are near-dup candidates (one-band LSH)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .withColumn("w2", F.lead("w", 1).over(w))
+        .withColumn("w3", F.lead("w", 2).over(w))
+        .where(F.col("w3").isNotNull())
+        .select("doc_id", F.md5(F.concat_ws(" ", "w", "w2", "w3")).alias("sh"))
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.min("sh").alias("minhash"), F.count("*").alias("n_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+def q16_sql():
+    return """
+    WITH words AS (
+      SELECT doc_id, u.w AS w, u.pos AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) u
+    ), shingles AS (
+      SELECT doc_id,
+             md5(w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                   || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS sh,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      FROM words
+    )
+    SELECT doc_id, min(sh) AS minhash, count(*) AS n_shingles
+    FROM shingles WHERE w3 IS NOT NULL
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+def q17_simhash16(spark, sf_dir):
+    """16-bit simhash from the md5 nibbles of each token: per nibble
+    position, the majority bit across tokens. Identical closed form on
+    both engines (md5 is the shared hash)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    toks = toks.withColumn("h", F.md5("w"))
+    cols = []
+    for i in range(16):
+        # nibble >= 8 ⟺ its lowercase hex char >= '8' (digits sort below
+        # a-f in ASCII) — portable across both engines
+        bit = (F.substring("h", i + 1, 1) >= "8").cast("int")
+        cols.append(F.sum(bit * 2 - 1).alias(f"s{i}"))
+    agg = toks.groupBy("doc_id").agg(*cols)
+    sim = F.concat(*[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(16)])
+    return agg.select("doc_id", sim.alias("simhash16")).orderBy("doc_id")
+
+
+def q17_sql():
+    sums = ", ".join(
+        f"sum(CASE WHEN substring(md5(w), {i + 1}, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(16)
+    )
+    bits = " || ".join(f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), agg AS (
+      SELECT doc_id, {sums}
+      FROM toks WHERE w <> ''
+      GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash16 FROM agg ORDER BY doc_id
+    """
+
+
+def q18_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 query vector —
+    the exact-baseline for ANN. The query vector is broadcast (crossJoin
+    of a 1-row frame) and the similarity is computed in whole-stage
+    codegen via zip_with/aggregate, not a UDF."""
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    q = ed.where(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    dot = F.aggregate(
+        F.zip_with("emb", "qemb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        ed.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot / (norm(F.col("emb")) * norm(F.col("qemb"))), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def q18_sql():
+    return """
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qemb
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           round(
+             list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qemb)
+             / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(qemb, qemb))), 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+def q19_embedding_stats(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("label", F.sqrt(norm2).alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+def q19_sql():
+    return """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(embedding, x -> CAST(x AS DOUBLE))))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# 3. parser-backed queries (closed-form SQL oracles via the fixed wrapper)
+
+def sax_text_events(spark, sf_dir):
+    """Parse wrapped docs; emit each Text event's value and byte span.
+    Oracle: the wrapper is fixed, the text single-line ASCII → exactly
+    one Text event per doc, value = text, byte span computable from
+    string lengths."""
+    pages = _wrapped_docs(spark, sf_dir)
+    ev = tokenize_events(pages, id_cols=("doc_id",), events=1 << 0)
+    return (
+        ev.where(F.col("event") == 0)
+        .select(
+            "doc_id",
+            F.col("value").cast("string").alias("text_value"),
+            "byte_start",
+            "byte_end",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sax_text_events_sql():
+    p = len(_DOC_PREFIX)
+    m = len(_DOC_MID)
+    return f"""
+    SELECT doc_id, text AS text_value,
+           {p} + length(CAST(doc_id AS VARCHAR)) + {m} AS byte_start,
+           {p} + length(CAST(doc_id AS VARCHAR)) + {m} + strlen(text) AS byte_end
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+def sax_event_counts(spark, sf_dir):
+    """Event-type histogram per document vs the statically known stream:
+    2 OpenTagStart, 1 Attribute, 2 OpenTag, 2 CloseTag, 1 Text."""
+    pages = _wrapped_docs(spark, sf_dir)
+    ev = tokenize_events(pages, id_cols=("doc_id",))
+    return (
+        ev.groupBy("doc_id", "event")
+        .agg(F.count("*").alias("n"))
+        .orderBy("doc_id", "event")
+    )
+
+
+def sax_event_counts_sql():
+    return """
+    SELECT doc_id, event, n FROM (
+      SELECT doc_id, 0 AS event, 1 AS n FROM documents
+      UNION ALL SELECT doc_id, 5, 2 FROM documents
+      UNION ALL SELECT doc_id, 6, 1 FROM documents
+      UNION ALL SELECT doc_id, 7, 2 FROM documents
+      UNION ALL SELECT doc_id, 8, 2 FROM documents
+    )
+    ORDER BY doc_id, event
+    """
+
+
+def sax_attributes(spark, sf_dir):
+    """Attribute decode: the wrapper's id attribute must round-trip."""
+    pages = _wrapped_docs(spark, sf_dir)
+    ev = tokenize_events(pages, id_cols=("doc_id",), events=1 << 6)
+    return (
+        ev.where(F.col("event") == 6)
+        .select(
+            "doc_id",
+            F.col("attr_name").cast("string").alias("attr_name_s"),
+            F.col("attr_value").cast("string").alias("attr_value_s"),
+            "attr_type",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sax_attributes_sql():
+    return """
+    SELECT doc_id, 'id' AS attr_name_s, CAST(doc_id AS VARCHAR) AS attr_value_s,
+           8 AS attr_type
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+_BP_PREFIX = (
+    '<html><head><script src="app.js">var q = 1 < 2;</script><title>t</title></head>'
+    '<body><nav><a href="/a">one link</a><a href="/b">two link</a></nav><p>'
+)
+_BP_SUFFIX = '</p><footer><a href="/about">about</a> copyright</footer></body></html>'
+
+
+def sax_extract_roundtrip(spark, sf_dir):
+    """Full extractor over boilerplate-wrapped docs. The classifier must
+    drop head/script/nav/footer and keep the single <p> block, so the
+    extracted text equals the document text exactly — a closed-form SQL
+    oracle for the entire tokenize→classify pipeline."""
+    d = load(spark, sf_dir, "documents")
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(F.lit(_BP_PREFIX), F.col("text"), F.lit(_BP_SUFFIX)).cast("binary").alias("html"),
+    )
+    ex = extract_main_content(pages)
+    return (
+        ex.select(F.col("url").cast("long").alias("doc_id"), F.col("text").alias("extracted"))
+        .orderBy("doc_id")
+    )
+
+
+def sax_extract_roundtrip_sql():
+    return """
+    SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_latest_order_per_customer": q03_latest_order_per_customer,
+    "q04_orders_with_late_items": q04_orders_with_late_items,
+    "q05_customers_without_orders": q05_customers_without_orders,
+    "q06_rollup_revenue": q06_rollup_revenue,
+    "q07_top_parts": q07_top_parts,
+    "q08_scalar_functions": q08_scalar_functions,
+    "q09_nation_set_ops": q09_nation_set_ops,
+    "q10_events_window": q10_events_window,
+    "q11_events_agg": q11_events_agg,
+    "q12_token_explode": q12_token_explode,
+    "q13_doc_quality": q13_doc_quality,
+    "q14_lang_stats": q14_lang_stats,
+    "q15_dedup_exact": q15_dedup_exact,
+    "q16_minhash_signature": q16_minhash_signature,
+    "q17_simhash16": q17_simhash16,
+    "q18_knn_cosine": q18_knn_cosine,
+    "q19_embedding_stats": q19_embedding_stats,
+    "sax_text_events": sax_text_events,
+    "sax_event_counts": sax_event_counts,
+    "sax_attributes": sax_attributes,
+    "sax_extract_roundtrip": sax_extract_roundtrip,
+}
+
+ORACLES = {
+    "q01_pricing_summary": q01_sql(),
+    "q02_revenue_by_nation": q02_sql(),
+    "q03_latest_order_per_customer": q03_sql(),
+    "q04_orders_with_late_items": q04_sql(),
+    "q05_customers_without_orders": q05_sql(),
+    "q06_rollup_revenue": q06_sql(),
+    "q07_top_parts": q07_sql(),
+    "q08_scalar_functions": q08_sql(),
+    "q09_nation_set_ops": q09_sql(),
+    "q10_events_window": q10_sql(),
+    "q11_events_agg": q11_sql(),
+    "q12_token_explode": q12_sql(),
+    "q13_doc_quality": q13_sql(),
+    "q14_lang_stats": q14_sql(),
+    "q15_dedup_exact": q15_sql(),
+    "q16_minhash_signature": q16_sql(),
+    "q17_simhash16": q17_sql(),
+    "q18_knn_cosine": q18_sql(),
+    "q19_embedding_stats": q19_sql(),
+    "sax_text_events": sax_text_events_sql(),
+    "sax_event_counts": sax_event_counts_sql(),
+    "sax_attributes": sax_attributes_sql(),
+    "sax_extract_roundtrip": sax_extract_roundtrip_sql(),
+}

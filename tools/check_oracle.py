@@ -1,0 +1,100 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir;
+compare row count, column names, and order-insensitive values.
+
+Run: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    out.sort()
+    return sorted(cols), out
+
+
+def main():
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from sax_wasm_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = queries()
+    oracles = oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(spark_rows)} rows)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            print(f"{name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        sc, sr = norm_rows(spark_cols, spark_rows)
+        dc, dr = norm_rows(duck_cols, duck_rows)
+        if sc != dc:
+            print(f"{name}: SCHEMA MISMATCH spark={sc} duck={dc}")
+            failures += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(sr)} duck={len(dr)}")
+            failures += 1
+            continue
+        if sr != dr:
+            bad = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            print(f"{name}: VALUE MISMATCH ({sum(1 for a, b in zip(sr, dr) if a != b)} rows) e.g. {bad}")
+            failures += 1
+            continue
+        print(f"{name}: OK ({len(sr)} rows)")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
