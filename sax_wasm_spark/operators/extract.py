@@ -43,14 +43,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..kernel.fastsax import parse_doc_flat
 from ..kernel.saxkernel import (
     EVT_CDATA,
     EVT_CLOSE_TAG,
     EVT_OPEN_TAG,
     EVT_TEXT,
     SaxParser,
-    Tag,
-    TextNode,
 )
 
 EXTRACT_MASK = (1 << EVT_OPEN_TAG) | (1 << EVT_CLOSE_TAG) | (1 << EVT_TEXT) | (1 << EVT_CDATA)
@@ -181,17 +180,82 @@ class _Replay:
         return b"\n".join(pieces), spans
 
 
+def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
+    """Replay flat event rows (collect.FIELD_NAMES layout) through the
+    documented reduction. Identical semantics to _Replay over entities."""
+    stack: list[str] = []
+    frame_ids: list[int] = []
+    next_frame = 1
+    drop_depth = 0
+    link_depth = 0
+    block_frames = [0]
+    candidates: list[tuple[int, bool, bytes, int, int]] = []
+    for row in rows:
+        code = row[0]
+        if code == 7:  # OpenTag
+            if row[7]:  # self_closing
+                continue
+            name = row[2].lower()
+            stack.append(name)
+            if name in DROP_TAGS:
+                drop_depth += 1
+            if name == "a":
+                link_depth += 1
+            if name in BLOCK_TAGS:
+                fid = next_frame
+                next_frame += 1
+                frame_ids.append(fid)
+                block_frames.append(fid)
+            else:
+                frame_ids.append(-1)
+        elif code == 8:  # CloseTag
+            if row[7] or not stack:
+                continue
+            name = stack.pop()
+            fid = frame_ids.pop()
+            if name in DROP_TAGS:
+                drop_depth -= 1
+            if name == "a":
+                link_depth -= 1
+            if fid >= 0:
+                block_frames.pop()
+        else:  # Text / Cdata
+            if drop_depth:
+                continue
+            value = row[3]
+            if not value:
+                continue
+            candidates.append((block_frames[-1], link_depth > 0, value, row[18], row[19]))
+
+    totals: dict[int, int] = {}
+    links: dict[int, int] = {}
+    for blk, is_link, value, _, _ in candidates:
+        m = len(value)
+        totals[blk] = totals.get(blk, 0) + m
+        if is_link:
+            links[blk] = links.get(blk, 0) + m
+    kept = {
+        blk
+        for blk, total in totals.items()
+        if total >= MIN_BLOCK_BYTES and links.get(blk, 0) / total <= MAX_LINK_DENSITY
+    }
+    pieces = []
+    spans = []
+    for blk, _, value, b0, b1 in candidates:
+        if blk in kept:
+            pieces.append(value)
+            spans.append((b0, b1))
+    return b"\n".join(pieces), spans
+
+
 def extract_bytes(html: bytes) -> tuple[bytes, list[tuple[int, int]], int, str]:
     """Single-document extraction: -> (text_bytes, spans, n_events, status)."""
-    replay = _Replay()
     try:
-        parser = SaxParser(events=EXTRACT_MASK, handler=replay)
-        parser.write(html)
-        parser.end()
-        text, spans = replay.finish()
-        return text, spans, replay.n_events, "ok"
+        rows = parse_doc_flat(html, EXTRACT_MASK)
+        text, spans = _extract_rows(rows)
+        return text, spans, len(rows), "ok"
     except Exception as e:  # defensive: a poison document must not kill the task
-        return b"", [], replay.n_events, f"error:{type(e).__name__}"
+        return b"", [], 0, f"error:{type(e).__name__}"
 
 
 def extract_main_content(df: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from ..kernel.collect import ALL_EVENTS, EventCollector
+from ..kernel.fastsax import parse_doc_flat
 from ..kernel.saxkernel import SaxParser
 
 _EVENT_FIELDS = [
@@ -95,15 +96,17 @@ def tokenize_events(
                     continue
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
-                collector.reset()
-                parser = SaxParser(events=events, handler=collector)
                 if chunk_size and chunk_size < len(data):
+                    # streaming-parity mode: feed the FSM in fixed chunks
+                    collector.reset()
+                    parser = SaxParser(events=events, handler=collector)
                     for o in range(0, len(data), chunk_size):
                         parser.write(data[o : o + chunk_size])
+                    parser.end()
+                    rows = collector.rows
                 else:
-                    parser.write(data)
-                parser.end()
-                rows = collector.rows
+                    # hot path: single-shot kernel w/ automatic FSM fallback
+                    rows = parse_doc_flat(data, events)
                 if rows:
                     for c, col in zip(id_cols, ids):
                         out_ids[c].extend([col.iloc[i]] * len(rows))
