@@ -1,0 +1,121 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata, with the Spark-side plumbing (schemas, Arrow batching,
+mapInPandas decode stage) fully real and tested.
+
+The actual codecs (Pillow/ffmpeg/torchaudio) are NOT in this container,
+so the decode step is a stub boundary: ``decoder="fake"`` (default in
+tests) computes deterministic features from the raw bytes so the whole
+pipeline — batch shapes, schema, partitioning — is exercised end to end;
+``decoder="real"`` raises NotImplementedError at the exact line where a
+production codec plugs in.
+
+At scale the same plumbing holds: media bytes stay in executor-side
+Arrow buffers, one batch per ``maxRecordsPerBatch``, and feature
+extraction is a per-partition vectorized pass with no driver involvement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("media", StringType(), False),  # placeholder for binary in docs
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("content_hash", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), False),
+        StructField("status", StringType(), False),
+    ]
+)
+
+_FEATURE_DIM = 8
+
+
+def _fake_decode(kind: str, data: bytes):
+    """Deterministic stand-in for a real codec: derives pseudo
+    dimensions/duration and a small feature vector from the bytes."""
+    h = hashlib.blake2b(data, digest_size=32).digest()
+    width = height = duration = None
+    if kind == "image":
+        width = 16 + h[0] % 64
+        height = 16 + h[1] % 64
+    elif kind in ("audio", "video"):
+        duration = 100 + int.from_bytes(h[2:4], "little") % 10000
+        if kind == "video":
+            width = 16 + h[0] % 64
+            height = 16 + h[1] % 64
+    feature = [((h[i] / 255.0) - 0.5) for i in range(_FEATURE_DIM)]
+    return width, height, duration, feature
+
+
+def extract_media_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode/feature-extract stage over binary media columns."""
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {k.name: [] for k in FEATURE_SCHEMA.fields}
+            for mid, kind, data in zip(pdf[id_col], pdf[kind_col], pdf[media_col]):
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                if decoder == "real":
+                    # production codec integration point (Pillow / ffmpeg /
+                    # torchaudio are not available in this environment)
+                    raise NotImplementedError(
+                        "real media decoding requires image/audio libraries"
+                    )
+                width, height, duration, feature = _fake_decode(str(kind), data)
+                out["media_id"].append(int(mid))
+                out["kind"].append(str(kind))
+                out["n_bytes"].append(len(data))
+                out["content_hash"].append(hashlib.sha256(data).hexdigest())
+                out["width"].append(width)
+                out["height"].append(height)
+                out["duration_ms"].append(duration)
+                out["feature"].append(feature)
+                out["status"].append("ok")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_dedup_exact(features: DataFrame) -> DataFrame:
+    """Exact media dedup on content hash (same shape as text dedup)."""
+    return (
+        features.groupBy("content_hash")
+        .agg(F.min("media_id").alias("rep_media_id"), F.count("*").alias("n_copies"))
+        .orderBy("rep_media_id")
+    )

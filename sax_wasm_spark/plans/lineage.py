@@ -1,0 +1,157 @@
+"""Per-partition lineage + idempotent resume for the extraction job.
+
+North-rule requirement: "resumable per-partition checkpoint/lineage".
+Design (SURVEY.md §2.4 checkpoint row):
+
+- The corpus is split into ``num_shards`` deterministic url-hash shards:
+  shard = pmod(xxhash(sha2(url,256)), num_shards). The shard id is the
+  unit of work, retry, and lineage — stable across runs and cluster
+  sizes because it depends only on the url.
+- Extracted output is written parquet-partitioned by ``shard`` with
+  dynamic partition overwrite, so re-processing a shard atomically
+  replaces exactly its own directory (idempotent under retry).
+- After a successful write, one lineage row per completed shard
+  (shard, status, n_docs, n_chars, n_events, run_id, finished_at) is
+  appended to ``<out>/lineage``. On resume, completed shards are
+  anti-joined away (broadcast — the lineage table is tiny) and only the
+  remainder is processed.
+
+At 10^12 documents the same layout holds: shards are the retry ledger
+(thousands of rows), not the data; the anti-join is a broadcast hash
+join against the pages scan, and the extract stage is embarrassingly
+parallel within each shard.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.extract import extract_main_content
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("status", StringType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("n_chars", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("run_id", StringType(), False),
+        StructField("finished_at", LongType(), False),
+    ]
+)
+
+
+def with_shard(df: DataFrame, num_shards: int, url_col: str = "url") -> DataFrame:
+    """Deterministic url-hash shard (the partition/lineage key)."""
+    return df.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.sha2(F.col(url_col), 256)), F.lit(num_shards)).cast("int"),
+    )
+
+
+def completed_shards(spark: SparkSession, out_path: str) -> DataFrame:
+    """Shards already marked ok in the lineage table (empty if none)."""
+    try:
+        lin = spark.read.parquet(f"{out_path}/lineage")
+    except Exception:
+        return spark.createDataFrame([], "shard int")
+    return lin.where(F.col("status") == "ok").select("shard").distinct()
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_path: str,
+    num_shards: int = 64,
+    run_id: str = "run",
+    fail_shards: set[int] | None = None,
+) -> dict:
+    """One resumable pass: process every shard not yet marked ok.
+
+    ``fail_shards`` is a test hook: those shards are skipped (simulating
+    task failure) and get no lineage row, so the next run picks them up.
+    Returns counters {processed_shards, skipped_shards, n_docs}.
+    """
+    sharded = with_shard(pages, num_shards)
+    done = completed_shards(spark, out_path)
+    n_done = done.count()
+    todo = sharded.join(F.broadcast(done), "shard", "left_anti")
+    if fail_shards:
+        todo = todo.where(~F.col("shard").isin(*fail_shards))
+
+    # repartition by shard so each output partition is written together
+    # (and the shuffle key matches the lineage unit)
+    todo = todo.repartition(max(num_shards // 4, 1), "shard")
+
+    extracted = extract_main_content(todo.select("shard", "url", "html"), "html", "url")
+    # re-attach shard (extract keeps url only) via deterministic recompute
+    extracted = with_shard(extracted, num_shards)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        extracted.write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{out_path}/extracted")
+    )
+
+    # lineage rows from the data just written (counts per shard)
+    stats = (
+        extracted.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .withColumn("status", F.lit("ok"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("finished_at", F.lit(int(time.time() * 1000)))
+        .select("shard", "status", "n_docs", "n_chars", "n_events", "run_id", "finished_at")
+    )
+    rows = stats.collect()  # lineage is tiny (one row per shard)
+    if rows:
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(
+            f"{out_path}/lineage"
+        )
+    return {
+        "processed_shards": len(rows),
+        "skipped_shards": n_done,
+        "n_docs": sum(r.n_docs for r in rows),
+    }
+
+
+def salt_skewed_key(df: DataFrame, key_col: str, buckets: int, id_col: str = "url") -> DataFrame:
+    """Skew salting: spread a hot key over ``buckets`` shuffle keys while
+    keeping determinism (salt derives from the row id, never random).
+    Aggregate per (key, salt) first, then re-aggregate per key — the
+    classic two-phase combine for skewed groupBy."""
+    return df.withColumn(
+        "salted_key",
+        F.concat_ws("#", F.col(key_col), F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).cast("string")),
+    )
+
+
+def host_stats_salted(pages: DataFrame, buckets: int = 16) -> DataFrame:
+    """Per-host page/byte counts via two-phase salted aggregation —
+    robust to mega-hosts that would otherwise hot-spot one reducer."""
+    hosted = pages.withColumn(
+        "host", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    )
+    salted = salt_skewed_key(hosted, "host", buckets)
+    partial = salted.groupBy("salted_key", "host").agg(
+        F.count("*").alias("c"), F.sum(F.length("html")).alias("b")
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("c").alias("n_pages"), F.sum("b").alias("n_bytes"))
+        .orderBy(F.col("n_pages").desc(), "host")
+    )

@@ -759,6 +759,101 @@ def sax_extract_roundtrip_sql():
     """
 
 
+
+def q20_lang_guess(spark, sf_dir):
+    """Heuristic language ID: argmax of stopword-marker hit ratios
+    (functions/text.py lang_guess) — closed-form SQL twin below."""
+    from ..functions.text import lang_guess  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+def q20_sql():
+    from ..functions.text import LANG_MARKERS  # noqa: PLC0415
+
+    def ratio(lang):
+        words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return (
+            f"(len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+            f" / CAST(len(string_split(text, ' ')) AS DOUBLE))"
+        )
+
+    langs = list(LANG_MARKERS)
+    # replicate the insertion-order argmax with strict > updates
+    expr = f"'{langs[0]}'"
+    score = ratio(langs[0])
+    for lang in langs[1:]:
+        r = ratio(lang)
+        expr = f"CASE WHEN {r} > {score} THEN '{lang}' ELSE {expr} END"
+        score = f"CASE WHEN {r} > {score} THEN {r} ELSE {score} END"
+    return f"""
+    SELECT lang_guess, count(*) AS n_docs FROM (
+      SELECT CASE WHEN {score} > 0 THEN {expr} ELSE 'und' END AS lang_guess
+      FROM documents
+    )
+    GROUP BY lang_guess
+    ORDER BY lang_guess
+    """
+
+
+def q21_fingerprint(spark, sf_dir):
+    """Order-invariant content fingerprint: md5 of the sorted distinct
+    token set; grouped to find same-content docs."""
+    from ..functions.text import fingerprint  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_docs"))
+        .orderBy("rep_doc_id")
+    )
+
+
+def q21_sql():
+    return """
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+           min(doc_id) AS rep_doc_id, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    ORDER BY rep_doc_id
+    """
+
+
+def q22_salted_source_stats(spark, sf_dir):
+    """Two-phase salted aggregation over the skewed `source` key — must
+    equal the plain GROUP BY (the oracle), proving salting preserves
+    results while spreading hot keys over many shuffle partitions."""
+    d = load(spark, sf_dir, "documents")
+    salted = d.withColumn(
+        "salted_key",
+        F.concat_ws("#", F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("string")),
+    )
+    partial = salted.groupBy("salted_key", "source").agg(
+        F.count("*").alias("c"), F.sum(F.length("text")).alias("b")
+    )
+    return (
+        partial.groupBy("source")
+        .agg(F.sum("c").alias("n_docs"), F.sum("b").alias("n_chars"))
+        .orderBy("source")
+    )
+
+
+def q22_sql():
+    return """
+    SELECT source, count(*) AS n_docs, sum(length(text)) AS n_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -781,6 +876,9 @@ QUERIES = {
     "q17_simhash16": q17_simhash16,
     "q18_knn_cosine": q18_knn_cosine,
     "q19_embedding_stats": q19_embedding_stats,
+    "q20_lang_guess": q20_lang_guess,
+    "q21_fingerprint": q21_fingerprint,
+    "q22_salted_source_stats": q22_salted_source_stats,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -807,6 +905,9 @@ ORACLES = {
     "q17_simhash16": q17_sql(),
     "q18_knn_cosine": q18_sql(),
     "q19_embedding_stats": q19_sql(),
+    "q20_lang_guess": q20_sql(),
+    "q21_fingerprint": q21_sql(),
+    "q22_salted_source_stats": q22_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),

@@ -1,0 +1,57 @@
+"""Structured Streaming ingestion for the extraction pipeline.
+
+The batch operators are stateless per document, so they lift directly
+into streaming (mapInPandas is a stateless streaming transform):
+
+    pages stream → dedup latest-capture per url (watermark) → extract →
+    sink (parquet + checkpoint)
+
+The per-document parser state lives entirely inside the UDF — Spark's
+state store is only used for the url dedup, bounded by the watermark
+(SURVEY.md §2.4 streaming row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import extract_main_content
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def dedup_latest_capture(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Keep one event per url within the watermark window. Streaming
+    dropDuplicates keeps the first-seen row per key; late rows beyond
+    the watermark are dropped."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
+def extract_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Streaming extraction query. ``available_now=True`` drains the
+    current input and stops (used by tests and backfills); otherwise the
+    query runs continuously."""
+    pages = read_pages_stream(spark, input_path)
+    extracted = extract_main_content(pages, "html", "url")
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
