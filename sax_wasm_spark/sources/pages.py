@@ -86,8 +86,12 @@ def _sentence(doc_id: int, salt: int, n: int) -> str:
     return " ".join(ws)
 
 
-def build_page(doc_id: int) -> tuple[str, datetime.datetime, bytes, str, str]:
-    """Pure function id -> row (url, warc_ts, html, text, lang)."""
+def build_page(doc_id: int, scale: int = 1) -> tuple[str, datetime.datetime, bytes, str, str]:
+    """Pure function (id, scale) -> row (url, warc_ts, html, text, lang).
+
+    ``scale`` multiplies the body size (more/longer paragraphs) without
+    touching determinism — the bench uses scale>1 for realistic ~5-15 KB
+    pages while unit tests keep scale=1."""
     r = _rng_u64(doc_id, 0)
     host = _host_for(doc_id)
     url = f"https://{host}/p/{doc_id}"
@@ -103,7 +107,7 @@ def build_page(doc_id: int) -> tuple[str, datetime.datetime, bytes, str, str]:
     else:
         # boilerplate-rich page: nav/header/footer/script wrappers around
         # known content paragraphs (classifier-facing structure)
-        n_paras = 2 + (r >> 16) % 6
+        n_paras = (2 + (r >> 16) % 6) * scale
         paras = []
         for p in range(n_paras):
             paras.append(f"<p>{_sentence(doc_id, 100 + p, 12 + (r >> 24) % 20)}</p>")
@@ -127,7 +131,9 @@ def build_page(doc_id: int) -> tuple[str, datetime.datetime, bytes, str, str]:
     return url, ts, html, body_text, lang
 
 
-def synthesize_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+def synthesize_pages(
+    spark: SparkSession, n_pages: int, partitions: int | None = None, scale: int = 1
+) -> DataFrame:
     """Distributed deterministic corpus of ``n_pages`` rows."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
@@ -136,7 +142,7 @@ def synthesize_pages(spark: SparkSession, n_pages: int, partitions: int | None =
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            rows = [build_page(int(i)) for i in pdf["id"]]
+            rows = [build_page(int(i), scale) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return (
