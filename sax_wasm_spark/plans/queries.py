@@ -854,6 +854,124 @@ def q22_sql():
     """
 
 
+
+def q23_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 8 hashes, 4 bands of 2 —
+    shingle → minhash → band → bucket-join (operators/dedup.py)."""
+    from ..operators.dedup import minhash_lsh_pairs  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, n_hashes=8, band_size=2).orderBy("doc_a", "doc_b")
+
+
+def q23_sql():
+    mh = ", ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, u.w AS w, u.pos AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) u
+    ), shingles AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      FROM words
+    ), sigs AS (
+      SELECT doc_id, {mh} FROM shingles WHERE w3 IS NOT NULL GROUP BY doc_id
+    ), buckets AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+def q24_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for the LSH candidate pairs."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, n_hashes=8, band_size=2)
+    return ngram_jaccard(d, pairs).orderBy("doc_a", "doc_b")
+
+
+def q24_sql():
+    mh = ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, u.w AS w, u.pos AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) u
+    ), shingles AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      FROM words
+    ), shset AS (
+      SELECT DISTINCT doc_id, sh FROM shingles WHERE w3 IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM shset GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {mh} FROM shingles WHERE w3 IS NOT NULL GROUP BY doc_id
+    ), buckets AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN shset sa ON sa.doc_id = p.doc_a
+      JOIN shset sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+def q25_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact, cosine >= 0.42)."""
+    from ..operators.dedup import embedding_neardup_pairs  # noqa: PLC0415
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.42).orderBy("id_a", "id_b")
+
+
+def q25_sql():
+    return """
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM d
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.42
+    ORDER BY id_a, id_b
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -879,6 +997,9 @@ QUERIES = {
     "q20_lang_guess": q20_lang_guess,
     "q21_fingerprint": q21_fingerprint,
     "q22_salted_source_stats": q22_salted_source_stats,
+    "q23_minhash_lsh_pairs": q23_minhash_lsh_pairs,
+    "q24_ngram_jaccard": q24_ngram_jaccard,
+    "q25_embedding_neardup": q25_embedding_neardup,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -908,6 +1029,9 @@ ORACLES = {
     "q20_lang_guess": q20_sql(),
     "q21_fingerprint": q21_sql(),
     "q22_salted_source_stats": q22_sql(),
+    "q23_minhash_lsh_pairs": q23_sql(),
+    "q24_ngram_jaccard": q24_sql(),
+    "q25_embedding_neardup": q25_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),
