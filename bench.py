@@ -113,7 +113,31 @@ def extraction_throughput(cores: int, path: str):
         spark.stop()
 
 
+def _measure_level_subprocess(cores: int, path: str) -> dict:
+    """Run one parallelism level in a fresh OS process: JVMs and Python
+    worker daemons from other levels cannot interfere (observed: stale
+    daemons from prior in-process sessions depress later measurements)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--level", str(cores), path],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"level {cores} failed: {r.stdout[-500:]} {r.stderr[-500:]}")
+
+
 def main():
+    if len(sys.argv) >= 4 and sys.argv[1] == "--level":
+        cores = int(sys.argv[2])
+        tput, wall, mbs = extraction_throughput(cores, sys.argv[3])
+        print(json.dumps({"tput": tput, "wall": wall, "mbs": mbs}))
+        return
+
     t_all = time.perf_counter()
 
     spark = _fresh_spark(CPUS, "bench-queries")
@@ -140,11 +164,11 @@ def main():
         levels = sorted({c for p in pairs for c in p})
         measured = {}
         for c in levels:
-            tput, wall, mbs = extraction_throughput(c, corpus_dir)
-            measured[c] = tput
-            result[f"extract_docs_per_sec_{c}c"] = round(tput, 2)
-            result[f"extract_mb_per_sec_{c}c"] = round(mbs, 2)
-            result[f"extract_wall_{c}c_sec"] = round(wall, 3)
+            m = _measure_level_subprocess(c, corpus_dir)
+            measured[c] = m["tput"]
+            result[f"extract_docs_per_sec_{c}c"] = round(m["tput"], 2)
+            result[f"extract_mb_per_sec_{c}c"] = round(m["mbs"], 2)
+            result[f"extract_wall_{c}c_sec"] = round(m["wall"], 3)
         for lo, hi in pairs:
             eff = (measured[hi] / measured[lo]) / (hi / lo)
             result[f"scaling_efficiency_{lo}to{hi}"] = round(eff, 4)
