@@ -972,6 +972,31 @@ def q25_sql():
     """
 
 
+
+def q26_cube_order_stats(spark, sf_dir):
+    """CUBE grouping sets over orders (completes the grouping-sets row
+    of SURVEY.md §2.4 alongside q06's ROLLUP)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q26_sql():
+    return """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1000,6 +1025,7 @@ QUERIES = {
     "q23_minhash_lsh_pairs": q23_minhash_lsh_pairs,
     "q24_ngram_jaccard": q24_ngram_jaccard,
     "q25_embedding_neardup": q25_embedding_neardup,
+    "q26_cube_order_stats": q26_cube_order_stats,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -1032,6 +1058,7 @@ ORACLES = {
     "q23_minhash_lsh_pairs": q23_sql(),
     "q24_ngram_jaccard": q24_sql(),
     "q25_embedding_neardup": q25_sql(),
+    "q26_cube_order_stats": q26_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),

@@ -167,3 +167,61 @@ def test_streaming_extraction(spark, pages, tmp_path):
         spark.read.parquet(in_path)).collect()}
     stream = {r.url: bytes(r.text_bytes) for r in got.collect()}
     assert stream == batch
+
+
+def test_sql_udtf_surface(spark):
+    from sax_wasm_spark.functions.udtf import register
+
+    register(spark, "sax_parse_t")
+    spark.createDataFrame(
+        [(1, b'<div class="x">hello</div>')], "doc_id long, html binary"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT s.event, s.name, CAST(s.value AS STRING) AS value
+        FROM udtf_docs d, LATERAL sax_parse_t(d.html) s
+        ORDER BY s.event_idx
+        """
+    ).collect()
+    assert [(r.event, r.name, r.value) for r in rows] == [
+        (5, "div", None),
+        (6, None, None),
+        (7, "div", None),
+        (0, None, "hello"),
+        (8, "div", None),
+    ]
+
+
+def test_streaming_watermark_dedup(spark, pages, tmp_path):
+    import datetime
+
+    from sax_wasm_spark.streaming.stream import dedup_latest_capture
+
+    in_path = str(tmp_path / "dup_pages")
+    out_path = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    base = pages.limit(20)
+    dup = base.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    base.unionByName(dup).write.mode("overwrite").parquet(in_path)
+
+    from sax_wasm_spark.sources.pages import PAGES_SCHEMA
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(in_path)
+    )
+    q = (
+        dedup_latest_capture(stream, "10 minutes")
+        .select("url")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+    assert got.count() == 20  # one row per url despite duplicates
+    assert got.select("url").distinct().count() == 20
