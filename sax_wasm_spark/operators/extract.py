@@ -20,11 +20,17 @@ from exactly this spec — FIXTURES.md §6):
    whose name is in BLOCK_TAGS (stack-frame identity, so two sibling
    <p>s are different blocks; document root is block 0).
 4. Per block: text_bytes = Σ len(value), link_bytes over link-labeled
-   candidates. A block is kept iff
+   candidates, tag_count = number of OpenTags whose innermost enclosing
+   block is this block (the element-stack tag counting of the
+   north_star's classifier). A block is kept iff
        text_bytes >= MIN_BLOCK_BYTES (10) and
-       link_bytes / text_bytes <= MAX_LINK_DENSITY (0.5)
-   Whitespace-only candidates never contribute (the kernel already
-   suppresses whitespace-only inter-element text, parser.rs:411-425).
+       link_bytes / text_bytes <= MAX_LINK_DENSITY (0.5) and
+       (text_bytes / (1 + tag_count) >= MIN_TEXT_DENSITY (10)
+        or text_bytes >= DENSITY_EXEMPT_BYTES (80))
+   — link density kills menu-like blocks, text density kills
+   tag-fragmented interstitial junk. Whitespace-only candidates never
+   contribute (the kernel suppresses whitespace-only inter-element
+   text, parser.rs:411-425).
 5. Output text = b"\\n".join(values of candidates in kept blocks, in
    document order); spans = their absolute (byte_start, byte_end)
    ranges in the original html stream.
@@ -72,6 +78,8 @@ BLOCK_TAGS = frozenset(
 
 MIN_BLOCK_BYTES = 10
 MAX_LINK_DENSITY = 0.5
+MIN_TEXT_DENSITY = 10  # bytes of text per tag within the block
+DENSITY_EXEMPT_BYTES = 80
 
 EXTRACT_SCHEMA = StructType(
     [
@@ -100,7 +108,7 @@ class _Replay:
     """Stack replay + block scoring over the live event stream."""
 
     __slots__ = ("stack", "frame_ids", "next_frame", "drop_depth", "link_depth",
-                 "block_frames", "candidates", "n_events")
+                 "block_frames", "candidates", "n_events", "tag_counts")
 
     def __init__(self):
         self.stack = []        # open element names (str, lowercased)
@@ -111,10 +119,13 @@ class _Replay:
         self.block_frames = [0]  # innermost open block frame (root=0)
         self.candidates = []   # (order, block_frame, is_link, value, b0, b1)
         self.n_events = 0
+        self.tag_counts = {}   # block frame -> tags opened inside it
 
     def __call__(self, code, entity):
         self.n_events += 1
         if code == EVT_OPEN_TAG:
+            blk = self.block_frames[-1]
+            self.tag_counts[blk] = self.tag_counts.get(blk, 0) + 1
             if entity.self_closing:
                 return
             name = entity.name.decode("utf-8", "replace").lower()
@@ -169,7 +180,12 @@ class _Replay:
         kept = {
             blk
             for blk, total in totals.items()
-            if total >= MIN_BLOCK_BYTES and links.get(blk, 0) / total <= MAX_LINK_DENSITY
+            if total >= MIN_BLOCK_BYTES
+            and links.get(blk, 0) / total <= MAX_LINK_DENSITY
+            and (
+                total / (1 + self.tag_counts.get(blk, 0)) >= MIN_TEXT_DENSITY
+                or total >= DENSITY_EXEMPT_BYTES
+            )
         }
         pieces = []
         spans = []
@@ -189,10 +205,13 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
     drop_depth = 0
     link_depth = 0
     block_frames = [0]
+    tag_counts: dict[int, int] = {}
     candidates: list[tuple[int, bool, bytes, int, int]] = []
     for row in rows:
         code = row[0]
         if code == 7:  # OpenTag
+            blk = block_frames[-1]
+            tag_counts[blk] = tag_counts.get(blk, 0) + 1
             if row[7]:  # self_closing
                 continue
             name = row[2].lower()
@@ -237,7 +256,12 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
     kept = {
         blk
         for blk, total in totals.items()
-        if total >= MIN_BLOCK_BYTES and links.get(blk, 0) / total <= MAX_LINK_DENSITY
+        if total >= MIN_BLOCK_BYTES
+        and links.get(blk, 0) / total <= MAX_LINK_DENSITY
+        and (
+            total / (1 + tag_counts.get(blk, 0)) >= MIN_TEXT_DENSITY
+            or total >= DENSITY_EXEMPT_BYTES
+        )
     }
     pieces = []
     spans = []

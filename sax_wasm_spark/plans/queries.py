@@ -997,6 +997,56 @@ def q26_sql():
     """
 
 
+
+def q27_hourly_event_windows(spark, sf_dir):
+    """Event-time tumbling windows (F.window — the same construct the
+    Structured Streaming ingestion uses with a watermark)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q27_sql():
+    return """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """
+
+
+def q28_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q28_sql():
+    return """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1026,6 +1076,8 @@ QUERIES = {
     "q24_ngram_jaccard": q24_ngram_jaccard,
     "q25_embedding_neardup": q25_embedding_neardup,
     "q26_cube_order_stats": q26_cube_order_stats,
+    "q27_hourly_event_windows": q27_hourly_event_windows,
+    "q28_value_percentiles": q28_value_percentiles,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -1059,6 +1111,8 @@ ORACLES = {
     "q24_ngram_jaccard": q24_sql(),
     "q25_embedding_neardup": q25_sql(),
     "q26_cube_order_stats": q26_sql(),
+    "q27_hourly_event_windows": q27_sql(),
+    "q28_value_percentiles": q28_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),
