@@ -1,0 +1,78 @@
+"""Physical-plan quality gates: the properties the 100 TB design relies
+on must be visible in `explain` output, not just intended.
+
+- column pruning: the extraction scan must read ONLY (url, html);
+- predicate pushdown: filters reach the parquet scan (PushedFilters);
+- broadcast joins: small dims and the lineage anti-join broadcast;
+- partial aggregation: map-side combine before the shuffle;
+- whole-stage codegen spans exist on the relational queries.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sax_wasm_spark.operators.extract import extract_main_content
+from sax_wasm_spark.plans.queries import (
+    q01_pricing_summary,
+    q02_revenue_by_nation,
+    q05_customers_without_orders,
+)
+from sax_wasm_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("planq") / "pages")
+    synthesize_pages(spark, 50, partitions=2).write.parquet(p)
+    return p
+
+
+def test_extract_scan_prunes_columns(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = plan_of(extract_main_content(pages))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"url", "html"}, f"scan reads {cols}, wanted only url+html"
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    df = pages.where(F.col("lang") == "en").select("url")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\).*\]", plan), plan[:2000]
+
+
+def test_broadcast_join_on_small_dim(spark):
+    plan = plan_of(q02_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = plan_of(q05_customers_without_orders(spark, SF))
+    assert "LeftAnti" in plan
+    # orders at sf0.001 is small → AQE/broadcast threshold makes it BHJ
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(q01_pricing_summary(spark, SF))
+    # two HashAggregate operators (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_present(spark):
+    df = q01_pricing_summary(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    assert m and int(m.group(1)) >= 1, plan[:1000]
