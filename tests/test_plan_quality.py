@@ -73,6 +73,7 @@ def test_partial_aggregation_before_shuffle(spark):
 
 def test_whole_stage_codegen_present(spark):
     df = q01_pricing_summary(spark, SF)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
-    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
-    assert m and int(m.group(1)) >= 1, plan[:1000]
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan, plan[:3000]
