@@ -75,5 +75,6 @@ def test_whole_stage_codegen_present(spark):
     df = q01_pricing_summary(spark, SF)
     df.collect()  # AQE finalizes the physical plan only on execution
     plan = plan_of(df)
-    assert "isFinalPlan=true" in plan
-    assert "WholeStageCodegen" in plan, plan[:3000]
+    assert "== Final Plan ==" in plan
+    # '*' marks operators inside WholeStageCodegen subtrees
+    assert "* HashAggregate" in plan and "* Filter" in plan, plan[:3000]
