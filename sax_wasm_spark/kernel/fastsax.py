@@ -386,7 +386,22 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         line, ch = _advr(buf, asc, cursor, pos, line, ch)
                         lcp = pos - 1
                         cursor = pos
-                elif cursor < n:
+                    if tx_on:
+                        tx_h1 = cursor
+                    # fuse the '<' step: the next outer iteration would
+                    # re-enter this handler just to flip to LT
+                    # (parser.rs:586-589); consume the '<' here with
+                    # exact next() bookkeeping and break — the following
+                    # grapheme dispatches straight into LT
+                    if buf[pos] == 0x3C:
+                        ll = line
+                        lc = ch
+                        ch += 1
+                        lcp = cursor
+                        cursor += 1
+                        state = S_LT
+                    break
+                if cursor < n:
                     ll = line
                     lc = ch
                     line, ch = _advr(buf, asc, cursor, n, line, ch)
@@ -404,6 +419,22 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                 if b0 == 0x3C:
                     tg = [0, 0, None, line, lc, 0, 0, 0, 0, 0, 0]
                     state = S_LT
+                    # fuse next(): consume the grapheme after '<' and
+                    # chain straight into the LT handler
+                    if cursor < n:
+                        b0 = buf[cursor]
+                        gl = GL[b0] if b0 >= 0x80 else 1
+                        if cursor + gl <= n:
+                            ll = line
+                            lc = ch
+                            if b0 == 0x0A:
+                                line += 1
+                                ch = 0
+                            else:
+                                ch += 2 if gl == 4 else 1
+                            lcp = cursor
+                            cursor += gl
+                            continue
                     break
                 if not tx_on and want_text:
                     tx_on = True
@@ -538,19 +569,36 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                 tg[9] = cursor - 2 if cursor >= 2 else 0
                 byte = b0
                 if byte not in TAG_NAME_END:
-                    k, cursor2, line2, ch2, lcp2, lastb, found = _tuof(
-                        buf, n, asc, RE_TAG_NAME_END, TAG_NAME_END, cursor, line, ch, True
-                    )
-                    if k == 2:
-                        ll, lc = line, ch
-                        cursor, line, ch, lcp = cursor2, line2, ch2, lcp2
-                        byte = lastb
-                        tg[1] = lcp if found else cursor
-                    elif k == 1:
-                        byte = lastb
+                    m = RE_TAG_NAME_END.search(buf, cursor)
+                    if m is not None:
+                        # common case inlined (the precheck cannot hit:
+                        # the current grapheme is not a terminator)
+                        pos = m.start()
+                        ll = line
+                        lc = ch
+                        if pos != cursor:
+                            line, ch = _advr(buf, asc, cursor, pos, line, ch)
+                        matched = buf[pos]
+                        if matched == 0x0A:
+                            line += 1
+                            ch = 0
+                        else:
+                            ch += 1
+                        lcp = pos
+                        cursor = pos + 1
+                        byte = matched
                         tg[1] = lcp
                     else:
-                        tg[1] = lcp
+                        k, cursor2, line2, ch2, lcp2, lastb, found = _tuof(
+                            buf, n, asc, RE_TAG_NAME_END, TAG_NAME_END, cursor, line, ch, True
+                        )
+                        if k == 2:
+                            ll, lc = line, ch
+                            cursor, line, ch, lcp = cursor2, line2, ch2, lcp2
+                            byte = lastb
+                            tg[1] = lcp if found else cursor
+                        else:
+                            tg[1] = lcp
                 if ev_ots:
                     nm = _name_mat(buf, tg)
                     tg[2] = nm
