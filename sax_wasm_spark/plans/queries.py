@@ -1047,6 +1047,61 @@ def q28_sql():
     """
 
 
+
+def q29_weighted_avg_udaf(spark, sf_dir):
+    """Custom aggregation via a grouped-agg pandas UDAF (Arrow-batched
+    Series → scalar): quantity-weighted mean price per return flag."""
+    from ..functions.udaf import weighted_avg  # noqa: PLC0415
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q29_sql():
+    return """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+def q30_doc_zscore_grouped(spark, sf_dir):
+    """Grouped-map applyInPandas: per-language z-score of document
+    length (each language group processed as one pandas frame)."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", F.length("text").alias("n"))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n"].mean()
+        sd = pdf["n"].std(ddof=1)
+        out = pdf[["doc_id", "lang"]].copy()
+        out["z"] = ((pdf["n"] - mu) / sd).round(4)
+        return out
+
+    return (
+        d.groupBy("lang")
+        .applyInPandas(zscore, "doc_id long, lang string, z double")
+        .orderBy("doc_id")
+    )
+
+
+def q30_sql():
+    return """
+    SELECT doc_id, lang,
+           round((length(text) - avg(length(text)) OVER (PARTITION BY lang))
+                 / stddev_samp(length(text)) OVER (PARTITION BY lang), 4) AS z
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1078,6 +1133,8 @@ QUERIES = {
     "q26_cube_order_stats": q26_cube_order_stats,
     "q27_hourly_event_windows": q27_hourly_event_windows,
     "q28_value_percentiles": q28_value_percentiles,
+    "q29_weighted_avg_udaf": q29_weighted_avg_udaf,
+    "q30_doc_zscore_grouped": q30_doc_zscore_grouped,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -1113,6 +1170,8 @@ ORACLES = {
     "q26_cube_order_stats": q26_sql(),
     "q27_hourly_event_windows": q27_sql(),
     "q28_value_percentiles": q28_sql(),
+    "q29_weighted_avg_udaf": q29_sql(),
+    "q30_doc_zscore_grouped": q30_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),

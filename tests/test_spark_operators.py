@@ -225,3 +225,56 @@ def test_streaming_watermark_dedup(spark, pages, tmp_path):
     got = spark.read.parquet(out_path)
     assert got.count() == 20  # one row per url despite duplicates
     assert got.select("url").distinct().count() == 20
+
+
+def test_stateful_streaming_host_totals(spark, pages, tmp_path):
+    """applyInPandasWithState accumulates per-host counters across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
+    from sax_wasm_spark.sources.pages import PAGES_SCHEMA
+    from sax_wasm_spark.streaming.stateful import running_host_totals
+
+    in_path = str(tmp_path / "stateful_in")
+    ckpt = str(tmp_path / "stateful_ckpt")
+    sub = pages.limit(60).cache()
+    # three separate files → three micro-batches
+    for i in range(3):
+        sub.where(F.pmod(F.xxhash64("url"), F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+    q = (
+        running_host_totals(stream)
+        .writeStream.format("memory")
+        .queryName("host_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last update per host == full batch counts
+    final = {
+        r.host: r.total_pages
+        for r in spark.sql(
+            """
+            SELECT host, total_pages FROM (
+              SELECT host, total_pages,
+                     row_number() OVER (PARTITION BY host ORDER BY total_pages DESC) rn
+              FROM host_totals
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expect = {
+        r.host: r.n
+        for r in sub.groupBy(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == expect
