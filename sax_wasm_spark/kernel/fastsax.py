@@ -506,6 +506,31 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     tg[8] = lc - 1 if lc >= 1 else 0
                     cl_h0 = lcp
                     cl_h1 = 0
+                    # fuse next(): chain straight into the close-tag
+                    # handler for the grapheme after '/'
+                    if tx_on:
+                        tx_on = False
+                        if not (tx_h0 == fl_off and not tx_val):
+                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
+                            if ev_text and ok:
+                                append((0, len(rows), None, val, None, None, None, None,
+                                        None, None, tx_sl, tx_sc, line, fl_ch, None, None,
+                                        None, None, tx_b0, fl_off))
+                    if cursor < n:
+                        b0 = buf[cursor]
+                        gl = GL[b0] if b0 >= 0x80 else 1
+                        if cursor + gl <= n:
+                            ll = line
+                            lc = ch
+                            if b0 == 0x0A:
+                                line += 1
+                                ch = 0
+                            else:
+                                ch += 2 if gl == 4 else 1
+                            lcp = cursor
+                            cursor += gl
+                            continue
+                    break
                 elif b0 == 0x3F:  # '?'
                     state = S_PROC_INST
                     pi_sl = line
