@@ -29,3 +29,65 @@ def test_unsplit_parity():
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "PARITY OK" in r.stdout
+
+
+def test_large_xml_fixture_parity():
+    """The reference's own 3 MB benchmark fixture, 64 KB chunks: all
+    ~138k events (all ten types) must match the compiled WASM parser
+    bit-for-bit, positions and byte offsets included."""
+    import json
+
+    sys.path.insert(0, "/root/repo/tools")
+    from diff_ref import _attr_json, _pi_json, _tag_json, _txt_json  # noqa: PLC0415
+    from sax_wasm_spark.kernel.saxkernel import (  # noqa: PLC0415
+        Attribute,
+        ProcInst,
+        SaxParser,
+        Tag,
+        TextNode,
+    )
+
+    data = open("/root/reference/src/js/__test__/xml.xml", "rb").read()
+    script = r"""
+import { SAXParser } from '/root/reference/lib/esm/index.js';
+import { readFileSync } from 'fs';
+const data = readFileSync('/root/reference/src/js/__test__/xml.xml');
+const parser = new SAXParser(1023);
+const out = [];
+parser.eventHandler = (event, detail) => { out.push([event, detail.toJSON ? detail.toJSON() : detail]); };
+await parser.prepareWasm(readFileSync('/root/reference/lib/sax-wasm.wasm'));
+for (let i = 0; i < data.length; i += 65536) {
+  parser.write(new Uint8Array(data.subarray(i, i + 65536)));
+}
+parser.end();
+process.stdout.write(JSON.stringify(out));
+"""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".mjs", delete=False) as f:
+        f.write(script)
+        path = f.name
+    r = subprocess.run([NODE, path], capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    ref = json.loads(r.stdout)
+
+    out = []
+
+    def handler(code, entity):
+        k = type(entity)
+        if k is Tag:
+            j = _tag_json(entity)
+        elif k is TextNode:
+            j = _txt_json(entity)
+        elif k is Attribute:
+            j = _attr_json(entity)
+        else:
+            j = _pi_json(entity)
+        out.append([1 << code, j])
+
+    p = SaxParser(events=1023, handler=handler)
+    for i in range(0, len(data), 65536):
+        p.write(data[i : i + 65536])
+    p.end()
+    assert len(out) == len(ref)
+    assert out == ref
