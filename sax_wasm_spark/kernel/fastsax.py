@@ -375,6 +375,29 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                                         None, None, tx_sl, tx_sc, ll, lc, None, None,
                                         None, None, tx_b0, lcp))
                     state = S_SKIP_WS
+                    # fuse the SKIP_WS step for the next grapheme (the
+                    # pending text was just flushed, so the handler's
+                    # text-reset is a no-op; parser.rs:411-425)
+                    if cursor < n:
+                        g = buf[cursor]
+                        gl2 = GL[g] if g >= 0x80 else 1
+                        if cursor + gl2 <= n:
+                            ll = line
+                            lc = ch
+                            if g == 0x0A:
+                                line += 1
+                                ch = 0
+                            else:
+                                ch += 2 if gl2 == 4 else 1
+                            lcp = cursor
+                            cursor += gl2
+                            if g > 32:
+                                b0 = g
+                                state = S_BEGIN_WS
+                                continue
+                            cursor, line, ch, lcp, done = _skipws(buf, n, cursor, line, ch)
+                            if done:
+                                state = S_BEGIN_WS
                     break
                 # take_until_one_found(TEXT_END, False), inlined
                 m = RE_TEXT_END.search(buf, cursor)
