@@ -162,6 +162,13 @@ DOCS = [
     b"<e a='1' b=2 c d='' e={x}/>",
     b"<p>one</p><p>two</p><p>three</p>",
     b"<html><head><title>T</title></head><body><p>P</p></body></html>",
+    # invalid UTF-8 (exercises the FSM's grapheme-chain dirty path)
+    b"<div>\xff\xfe broken</div>",
+    b'<a b="\xf0\x41">x</a>',
+    b"text \x80\x81 more<b>y</b>",
+    b"<\xc3(>bad lead</\xc3(>",
+    b"<p>\xf0\x9f\x9a</p>",
+    b"\xed\xa0\x80<div>surrogate</div>",
 ]
 
 MASKS = [1023, (1 << 0) | (1 << 8), (1 << 6) | (1 << 8), (1 << 4), (1 << 9), (1 << 1), (1 << 3) | (1 << 2), (1 << 5) | (1 << 7)]
