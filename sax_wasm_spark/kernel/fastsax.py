@@ -699,71 +699,197 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     at[0] = line
                     at[1] = ch - 1 if ch >= 1 else 0
                     at[4] = lcp
-                    # ---- fused fast path: name="value" / name='value' ----
-                    # each committed step is exactly what the stepping FSM
-                    # would have committed; bail mid-way sets the right
-                    # state and lets the outer loop continue normally
-                    if b0 not in ATTRIBUTE_NAME_END:
+                    # ---- fused fast path: whole attribute lists ----
+                    # loops over name="value" pairs and their separators;
+                    # every committed step is exactly what the stepping
+                    # FSM would have committed; any deviation bails with
+                    # the correct state and redispatches
+                    redispatch = False
+                    while True:
+                        if b0 in ATTRIBUTE_NAME_END:
+                            state = S_ATTRIB_NAME
+                            redispatch = True
+                            break
                         m = RE_ATTR_NAME_END.search(buf, cursor)
-                        if m is not None:
-                            pos = m.start()
-                            if buf[pos] == 0x3D:  # '=' terminates the name
-                                if pos > cursor:
-                                    line, ch = _advr(buf, asc, cursor, pos, line, ch)
-                                    cursor = pos
-                                at[2] = line
-                                at[3] = ch
-                                at[5] = cursor
-                                # consume '=' (ATTRIB_NAME '=' arm: name.end
-                                # recomputed to the same values; header.1
-                                # untouched -> at[5] stays)
+                        if m is None or buf[m.start()] != 0x3D:
+                            state = S_ATTRIB_NAME
+                            redispatch = True
+                            break
+                        pos = m.start()
+                        if pos > cursor:
+                            line, ch = _advr(buf, asc, cursor, pos, line, ch)
+                            cursor = pos
+                        at[2] = line
+                        at[3] = ch
+                        at[5] = cursor
+                        # consume '=' (name.end stays; header.1 untouched)
+                        ch += 1
+                        cursor += 1
+                        if cursor >= n:
+                            state = S_ATTRIB_VAL
+                            break
+                        q = buf[cursor]
+                        if q != 0x22 and q != 0x27:
+                            state = S_ATTRIB_VAL
+                            break
+                        # consume the opening quote
+                        ch += 1
+                        cursor += 1
+                        at[6] = line
+                        at[7] = ch
+                        at[10] = cursor
+                        at[12] = 8 if q == 0x22 else 4
+                        cpos = buf.find(q, cursor)
+                        if cpos < 0:
+                            quote = q
+                            state = S_ATTRIB_VAL_Q
+                            break
+                        # value span + closing quote
+                        if cpos > cursor:
+                            line, ch = _advr(buf, asc, cursor, cpos, line, ch)
+                        ch += 1
+                        lcp = cpos
+                        cursor = cpos + 1
+                        at[8] = line
+                        at[9] = ch - 1 if ch >= 1 else 0
+                        h1 = cursor - 1
+                        if h1 == at[10]:
+                            at[11] = h1 - 1 if h1 >= 1 else 0
+                        else:
+                            at[11] = h1
+                        nval, nok = _mat(b"", buf, at[4], at[5])
+                        vval, vok = _mat(b"", buf, at[10], at[11])
+                        if ev_attr and (nok or vok):
+                            append((6, len(rows), None, None, nval,
+                                    vval, at[12], None, None, None,
+                                    at[0], at[1], at[8], at[9],
+                                    at[2], at[3], at[6], at[7],
+                                    at[13], cursor))
+                        at = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+                        quote = 0
+                        state = S_ATTRIB_VAL_CLOSED
+                        # ---- separator peek (VAL_CLOSED arms inline) ----
+                        if cursor >= n:
+                            break
+                        sep = buf[cursor]
+                        if sep == 0x3E:  # '>' closes the tag
+                            ll = line
+                            lc = ch
+                            ch += 1
+                            lcp = cursor
+                            cursor += 1
+                            tg[5] = line
+                            tg[6] = ch
+                            tg[10] = cursor
+                            if ev_ot:
+                                nm = _name_mat(buf, tg)
+                                tg[2] = nm
+                                tg[0] = tg[1] = 0
+                                append((7, len(rows), nm.decode("utf-8", "replace"),
+                                        None, None, None, None, False, None, None,
+                                        tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7],
+                                        tg[8], tg[9], tg[10]))
+                            tags.append(tg)
+                            tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
+                            state = S_BEGIN_WS
+                            break
+                        if sep < 33:
+                            # one ws grapheme: VAL_CLOSED -> ATTRIB
+                            ll = line
+                            lc = ch
+                            if sep == 0x0A:
+                                line += 1
+                                ch = 0
+                            else:
                                 ch += 1
-                                cursor += 1
-                                if cursor < n:
-                                    q = buf[cursor]
-                                    if q == 0x22 or q == 0x27:
-                                        # consume the opening quote
-                                        ch += 1
-                                        cursor += 1
-                                        at[6] = line
-                                        at[7] = ch
-                                        at[10] = cursor
-                                        at[12] = 8 if q == 0x22 else 4
-                                        cpos = buf.find(q, cursor)
-                                        if cpos >= 0:
-                                            # value span + closing quote
-                                            if cpos > cursor:
-                                                line, ch = _advr(buf, asc, cursor, cpos, line, ch)
-                                            ch += 1
-                                            cursor = cpos + 1
-                                            at[8] = line
-                                            at[9] = ch - 1 if ch >= 1 else 0
-                                            h1 = cursor - 1
-                                            if h1 == at[10]:
-                                                at[11] = h1 - 1 if h1 >= 1 else 0
-                                            else:
-                                                at[11] = h1
-                                            nval, nok = _mat(b"", buf, at[4], at[5])
-                                            vval, vok = _mat(b"", buf, at[10], at[11])
-                                            if ev_attr and (nok or vok):
-                                                append((6, len(rows), None, None, nval,
-                                                        vval, at[12], None, None, None,
-                                                        at[0], at[1], at[8], at[9],
-                                                        at[2], at[3], at[6], at[7],
-                                                        at[13], cursor))
-                                            at = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
-                                            quote = 0
-                                            state = S_ATTRIB_VAL_CLOSED
-                                            break
-                                        # unterminated: hand off to VAL_Q
-                                        quote = q
-                                        state = S_ATTRIB_VAL_Q
-                                        break
-                                # not a quote opener: ATTRIB_VAL handles it
-                                state = S_ATTRIB_VAL
+                            lcp = cursor
+                            cursor += 1
+                            state = S_ATTRIB
+                            # ATTRIB ws arm: bulk-skip remaining ws
+                            if cursor < n and buf[cursor] <= 32:
+                                m2 = RE_NON_WS.search(buf, cursor)
+                                pos2 = m2.start() if m2 else n
+                                nl = buf.count(b"\n", cursor, pos2)
+                                if nl:
+                                    line += nl
+                                    ch = pos2 - buf.rfind(b"\n", cursor, pos2) - 1
+                                else:
+                                    ch += pos2 - cursor
+                                lcp = pos2 - 1
+                                cursor = pos2
+                            if cursor >= n:
                                 break
-                    state = S_ATTRIB_NAME
-                    continue  # redispatch
+                            nb = buf[cursor]
+                            gl2 = GL[nb] if nb >= 0x80 else 1
+                            if cursor + gl2 > n:
+                                break
+                            # consume the next grapheme (ATTRIB dispatch)
+                            ll = line
+                            lc = ch
+                            if nb == 0x0A:
+                                line += 1
+                                ch = 0
+                            else:
+                                ch += 2 if gl2 == 4 else 1
+                            lcp = cursor
+                            cursor += gl2
+                            at[13] = cursor - 1 if cursor >= 1 else 0
+                            if nb == 0x3E:
+                                tg[5] = line
+                                tg[6] = ch
+                                tg[10] = cursor
+                                if ev_ot:
+                                    nm = _name_mat(buf, tg)
+                                    tg[2] = nm
+                                    tg[0] = tg[1] = 0
+                                    append((7, len(rows), nm.decode("utf-8", "replace"),
+                                            None, None, None, None, False, None, None,
+                                            tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7],
+                                            tg[8], tg[9], tg[10]))
+                                tags.append(tg)
+                                tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
+                                state = S_BEGIN_WS
+                                break
+                            if nb == 0x2F:
+                                state = S_OPEN_SLASH
+                                break
+                            at[0] = line
+                            at[1] = ch - 1 if ch >= 1 else 0
+                            at[4] = lcp
+                            b0 = nb
+                            state = S_ATTRIB_NAME
+                            continue  # next attribute
+                        if sep == 0x2F:
+                            ll = line
+                            lc = ch
+                            ch += 1
+                            lcp = cursor
+                            cursor += 1
+                            state = S_OPEN_SLASH
+                            break
+                        # no-space next attribute (VAL_CLOSED else arm)
+                        gl2 = GL[sep] if sep >= 0x80 else 1
+                        if cursor + gl2 > n:
+                            break
+                        ll = line
+                        lc = ch
+                        if sep == 0x0A:
+                            line += 1
+                            ch = 0
+                        else:
+                            ch += 2 if gl2 == 4 else 1
+                        lcp = cursor
+                        cursor += gl2
+                        at[4] = lcp
+                        at[13] = lcp
+                        at[0] = line
+                        at[1] = ch - 1 if ch >= 1 else 0
+                        b0 = sep
+                        state = S_ATTRIB_NAME
+                        continue  # next attribute
+                    if redispatch:
+                        continue  # redispatch current grapheme
+                    break  # fused loop fully handled this span
                 # process_open_tag(False) — '>' in attrib position
                 tg[5] = line
                 tg[6] = ch
