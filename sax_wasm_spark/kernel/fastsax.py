@@ -523,6 +523,70 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     md_h1 = cursor
                     md_val = b"<"
                     md_b1 = 0
+                    # ---- fused comment / CDATA classification ----
+                    # emulates consuming the classifier graphemes ('--' or
+                    # '[CDATA[', all ASCII) exactly as markup_decl would
+                    # (parser.rs:630-692), then scans for the exact
+                    # terminator in one step; bails with nothing extra
+                    # consumed on EOF. The pending text must flush FIRST
+                    # (the FSM flushes at the end of less_than, before any
+                    # further grapheme is consumed).
+                    if tx_on:
+                        tx_on = False
+                        if not (tx_h0 == fl_off and not tx_val):
+                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
+                            if ev_text and ok:
+                                append((0, len(rows), None, val, None, None, None, None,
+                                        None, None, tx_sl, tx_sc, line, fl_ch, None, None,
+                                        None, None, tx_b0, fl_off))
+                    nxt2 = buf[cursor : cursor + 2]
+                    if nxt2 == b"--":
+                        ch += 2
+                        cursor += 2
+                        md_sl = line
+                        md_sc = ch - 4 if ch >= 4 else 0
+                        md_val = b""
+                        md_h0 = cursor
+                        md_h1 = 0
+                        md_b1 = cursor - 4 if cursor >= 4 else 0
+                        state = S_COMMENT
+                        epos = buf.find(b"-->", cursor)
+                        if epos >= 0:
+                            line, ch = _advr(buf, asc, cursor, epos + 3, line, ch)
+                            body = buf[md_h0:epos]
+                            cursor = epos + 3
+                            lcp = cursor - 1
+                            if ev_comment:
+                                append((4, len(rows), None, body, None, None, None,
+                                        None, None, None, md_sl, md_sc, line, ch,
+                                        None, None, None, None, md_b0, cursor))
+                            md_on = False
+                            md_val = b""
+                            state = S_BEGIN_WS
+                    elif nxt2 == b"[C" or nxt2 == b"[c":
+                        if buf[cursor : cursor + 7].lower() == b"[cdata[":
+                            ch += 7
+                            cursor += 7
+                            md_sl = line
+                            md_sc = ch - 9 if ch >= 9 else 0
+                            md_b1 = cursor - 9 if cursor >= 9 else 0
+                            md_val = b""
+                            md_h0 = cursor
+                            md_h1 = 0
+                            state = S_CDATA
+                            epos = buf.find(b"]]>", cursor)
+                            if epos >= 0:
+                                line, ch = _advr(buf, asc, cursor, epos + 3, line, ch)
+                                body = buf[md_h0:epos]
+                                cursor = epos + 3
+                                lcp = cursor - 1
+                                if ev_cdata:
+                                    append((9, len(rows), None, body, None, None, None,
+                                            None, None, None, md_sl, md_sc, line, ch,
+                                            None, None, None, None, md_b0, cursor))
+                                md_on = False
+                                md_val = b""
+                                state = S_BEGIN_WS
                 elif b0 == 0x2F:  # '/'
                     state = S_CLOSE_TAG
                     tg[7] = line
