@@ -50,13 +50,7 @@ from pyspark.sql.types import (
 )
 
 from ..kernel.fastsax import parse_doc_flat
-from ..kernel.saxkernel import (
-    EVT_CDATA,
-    EVT_CLOSE_TAG,
-    EVT_OPEN_TAG,
-    EVT_TEXT,
-    SaxParser,
-)
+from ..kernel.saxkernel import EVT_CDATA, EVT_CLOSE_TAG, EVT_OPEN_TAG, EVT_TEXT
 
 EXTRACT_MASK = (1 << EVT_OPEN_TAG) | (1 << EVT_CLOSE_TAG) | (1 << EVT_TEXT) | (1 << EVT_CDATA)
 
@@ -84,6 +78,7 @@ DENSITY_EXEMPT_BYTES = 80
 EXTRACT_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
+        StructField("title", StringType(), True),
         StructField("text", StringType(), True),
         StructField("text_bytes", BinaryType(), True),
         StructField(
@@ -104,98 +99,6 @@ EXTRACT_SCHEMA = StructType(
 )
 
 
-class _Replay:
-    """Stack replay + block scoring over the live event stream."""
-
-    __slots__ = ("stack", "frame_ids", "next_frame", "drop_depth", "link_depth",
-                 "block_frames", "candidates", "n_events", "tag_counts")
-
-    def __init__(self):
-        self.stack = []        # open element names (str, lowercased)
-        self.frame_ids = []    # parallel: block frame id or -1
-        self.next_frame = 1
-        self.drop_depth = 0
-        self.link_depth = 0
-        self.block_frames = [0]  # innermost open block frame (root=0)
-        self.candidates = []   # (order, block_frame, is_link, value, b0, b1)
-        self.n_events = 0
-        self.tag_counts = {}   # block frame -> tags opened inside it
-
-    def __call__(self, code, entity):
-        self.n_events += 1
-        if code == EVT_OPEN_TAG:
-            blk = self.block_frames[-1]
-            self.tag_counts[blk] = self.tag_counts.get(blk, 0) + 1
-            if entity.self_closing:
-                return
-            name = entity.name.decode("utf-8", "replace").lower()
-            self.stack.append(name)
-            if name in DROP_TAGS:
-                self.drop_depth += 1
-            if name == "a":
-                self.link_depth += 1
-            if name in BLOCK_TAGS:
-                fid = self.next_frame
-                self.next_frame += 1
-                self.frame_ids.append(fid)
-                self.block_frames.append(fid)
-            else:
-                self.frame_ids.append(-1)
-        elif code == EVT_CLOSE_TAG:
-            if entity.self_closing or not self.stack:
-                return
-            name = self.stack.pop()
-            fid = self.frame_ids.pop()
-            if name in DROP_TAGS:
-                self.drop_depth -= 1
-            if name == "a":
-                self.link_depth -= 1
-            if fid >= 0:
-                self.block_frames.pop()
-        else:  # Text or Cdata payload
-            if self.drop_depth:
-                return
-            value = bytes(entity.value)
-            if not value:
-                return
-            self.candidates.append(
-                (
-                    len(self.candidates),
-                    self.block_frames[-1],
-                    self.link_depth > 0,
-                    value,
-                    entity.b0,
-                    entity.b1,
-                )
-            )
-
-    def finish(self):
-        totals: dict[int, int] = {}
-        links: dict[int, int] = {}
-        for _, blk, is_link, value, _, _ in self.candidates:
-            n = len(value)
-            totals[blk] = totals.get(blk, 0) + n
-            if is_link:
-                links[blk] = links.get(blk, 0) + n
-        kept = {
-            blk
-            for blk, total in totals.items()
-            if total >= MIN_BLOCK_BYTES
-            and links.get(blk, 0) / total <= MAX_LINK_DENSITY
-            and (
-                total / (1 + self.tag_counts.get(blk, 0)) >= MIN_TEXT_DENSITY
-                or total >= DENSITY_EXEMPT_BYTES
-            )
-        }
-        pieces = []
-        spans = []
-        for _, blk, _, value, b0, b1 in self.candidates:
-            if blk in kept:
-                pieces.append(value)
-                spans.append((b0, b1))
-        return b"\n".join(pieces), spans
-
-
 def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
     """Replay flat event rows (collect.FIELD_NAMES layout) through the
     documented reduction. Identical semantics to _Replay over entities."""
@@ -207,6 +110,8 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
     block_frames = [0]
     tag_counts: dict[int, int] = {}
     candidates: list[tuple[int, bool, bytes, int, int]] = []
+    title: bytes | None = None
+    title_depth = 0
     for row in rows:
         code = row[0]
         if code == 7:  # OpenTag
@@ -220,6 +125,8 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
                 drop_depth += 1
             if name == "a":
                 link_depth += 1
+            if name == "title":
+                title_depth += 1
             if name in BLOCK_TAGS:
                 fid = next_frame
                 next_frame += 1
@@ -236,9 +143,13 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
                 drop_depth -= 1
             if name == "a":
                 link_depth -= 1
+            if name == "title":
+                title_depth -= 1
             if fid >= 0:
                 block_frames.pop()
         else:  # Text / Cdata
+            if title_depth and title is None:
+                title = row[3]
             if drop_depth:
                 continue
             value = row[3]
@@ -269,17 +180,20 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
         if blk in kept:
             pieces.append(value)
             spans.append((b0, b1))
-    return b"\n".join(pieces), spans
+    return b"\n".join(pieces), spans, title
 
 
-def extract_bytes(html: bytes) -> tuple[bytes, list[tuple[int, int]], int, str]:
-    """Single-document extraction: -> (text_bytes, spans, n_events, status)."""
+def extract_bytes(html: bytes):
+    """Single-document extraction:
+    -> (text_bytes, spans, n_events, status, title_bytes|None).
+    The title is the first text node under a <title> element (captured
+    before the head-drop rule — titles are metadata, not boilerplate)."""
     try:
         rows = parse_doc_flat(html, EXTRACT_MASK)
-        text, spans = _extract_rows(rows)
-        return text, spans, len(rows), "ok"
+        text, spans, title = _extract_rows(rows)
+        return text, spans, len(rows), "ok", title
     except Exception as e:  # defensive: a poison document must not kill the task
-        return b"", [], 0, f"error:{type(e).__name__}"
+        return b"", [], 0, f"error:{type(e).__name__}", None
 
 
 def extract_main_content(df: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
@@ -290,14 +204,15 @@ def extract_main_content(df: DataFrame, html_col: str = "html", url_col: str = "
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            out = {"url": [], "text": [], "text_bytes": [], "spans": [], "n_events": [], "status": []}
+            out = {"url": [], "title": [], "text": [], "text_bytes": [], "spans": [], "n_events": [], "status": []}
             for url, data in zip(pdf[url_col], pdf[html_col]):
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
-                text, spans, n_events, status = extract_bytes(data)
+                text, spans, n_events, status, title = extract_bytes(data)
                 out["url"].append(url)
+                out["title"].append(title.decode("utf-8", "replace") if title is not None else None)
                 out["text"].append(text.decode("utf-8", "replace"))
                 out["text_bytes"].append(text)
                 out["spans"].append([{"byte_start": a, "byte_end": b} for a, b in spans])

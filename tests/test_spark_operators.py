@@ -68,13 +68,13 @@ def test_extract_matches_local(spark, pages):
     ex = extract_main_content(pages)
     got = {r.url: bytes(r.text_bytes) for r in ex.collect()}
     for r in pages.select("url", "html").collect():
-        text, _, _, _ = extract_bytes(bytes(r.html))
+        text, _, _, _, _ = extract_bytes(bytes(r.html))
         assert got[r.url] == text, f"url={r.url}"
 
 
 def test_extract_drops_boilerplate():
     _, _, html, _, _ = build_page(1)  # boilerplate-rich page
-    text, spans, n_events, status = extract_bytes(html)
+    text, spans, n_events, status, title = extract_bytes(html)
     assert status == "ok"
     assert b"about" not in text  # footer link text dropped
     assert len(spans) > 0
