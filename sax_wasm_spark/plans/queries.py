@@ -748,14 +748,18 @@ def sax_extract_roundtrip(spark, sf_dir):
     )
     ex = extract_main_content(pages)
     return (
-        ex.select(F.col("url").cast("long").alias("doc_id"), F.col("text").alias("extracted"))
+        ex.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("title").alias("title"),
+            F.col("text").alias("extracted"),
+        )
         .orderBy("doc_id")
     )
 
 
 def sax_extract_roundtrip_sql():
     return """
-    SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
+    SELECT doc_id, 't' AS title, text AS extracted FROM documents ORDER BY doc_id
     """
 
 
