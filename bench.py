@@ -37,10 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
 PAGE_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "8"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-PAIRS = os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "2:8,4:16")
+PAIRS = os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "2:8")
 
 HEADLINE = [
     "q01_pricing_summary",
