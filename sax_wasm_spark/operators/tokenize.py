@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     IntegerType,
@@ -115,5 +116,43 @@ def tokenize_events(
             for c in reversed(id_cols):
                 res.insert(0, c, out_ids[c])
             yield res
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def tokenize_nested(
+    df: DataFrame,
+    html_col: str = "html",
+    id_cols: tuple[str, ...] = ("url",),
+    events: int = ALL_EVENTS,
+) -> DataFrame:
+    """Nested variant (SURVEY.md §1.6): one row per document with an
+    ``events array<struct<...>>`` column. Prefer ``tokenize_events`` for
+    analytics (flat columns transfer faster through Arrow); this shape
+    suits per-document consumers that want the whole stream in one cell.
+    """
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields) + [StructField("events", ArrayType(StructType(_EVENT_FIELDS)), False)]
+    )
+    src = df.select(*id_cols, html_col)
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {c: [] for c in id_cols}
+            out["events"] = []
+            for i in range(len(pdf)):
+                data = pdf[html_col].iloc[i]
+                if data is None:
+                    continue
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                rows = parse_doc_flat(data, events)
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[i])
+                out["events"].append([dict(zip(_COLS, r)) for r in rows])
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=out_schema)

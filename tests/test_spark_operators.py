@@ -278,3 +278,30 @@ def test_stateful_streaming_host_totals(spark, pages, tmp_path):
         .collect()
     }
     assert final == expect
+
+
+def test_tokenize_nested_matches_flat(spark, pages):
+    from sax_wasm_spark.operators.tokenize import tokenize_nested
+
+    sub = pages.limit(10)
+    flat = tokenize_events(sub, id_cols=("url",))
+    nested = tokenize_nested(sub, id_cols=("url",))
+    flat_by_url = {}
+    for r in flat.collect():
+        flat_by_url.setdefault(r.url, []).append(tuple(r)[1:])
+    for r in nested.collect():
+        ev = [tuple(e) for e in r.events]
+        want = [
+            tuple(bytes(x) if isinstance(x, (bytearray, memoryview)) else x for x in t)
+            for t in flat_by_url.get(r.url, [])
+        ]
+        got = [
+            tuple(bytes(x) if isinstance(x, (bytearray, memoryview)) else x for x in t)
+            for t in ev
+        ]
+        assert got == want
+    # the nested column supports F.filter / F.size expressions
+    n = nested.select(
+        F.size(F.filter("events", lambda e: e["event"] == 7)).alias("n_open")
+    ).agg(F.sum("n_open")).collect()[0][0]
+    assert n > 0
