@@ -67,3 +67,25 @@ def test_byte_range_substring_invariant():
             b0, b1 = row[18], row[19]
             if row[0] == EVT_TEXT and b1 > b0:
                 assert row[3] == html[b0:b1], f"page {i}"
+
+
+def test_extractor_span_reconstruction():
+    """For documents without orphan-close text events (whose byte spans
+    are (0,0) by reference quirk), the extracted text must equal the
+    newline-join of the html slices at the reported spans — spans are
+    the provenance contract for downstream consumers."""
+    from sax_wasm_spark.operators.extract import extract_bytes
+
+    checked = 0
+    for i in range(300):
+        html = build_page(i)[2]
+        rows = parse_events(html, 0x3FF)
+        has_orphan = any(r[0] == 0 and r[3].startswith(b"</") for r in rows)
+        if has_orphan:
+            continue
+        text, spans, _, status, _ = extract_bytes(html)
+        assert status == "ok"
+        rebuilt = b"\n".join(html[a:b] for a, b in spans)
+        assert rebuilt == text, f"page {i}"
+        checked += 1
+    assert checked > 200
