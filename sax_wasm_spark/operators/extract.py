@@ -33,7 +33,11 @@ from exactly this spec — FIXTURES.md §6):
    text, parser.rs:411-425).
 5. Output text = b"\\n".join(values of candidates in kept blocks, in
    document order); spans = their absolute (byte_start, byte_end)
-   ranges in the original html stream.
+   ranges in the original html stream. Span caveats inherited from the
+   reference's byte ranges: CDATA spans cover the whole
+   <![CDATA[...]]> construct (value excludes delimiters), and
+   orphan-close synthetic texts carry a (0,0) span
+   (parser.rs:1164-1179).
 """
 
 from __future__ import annotations
