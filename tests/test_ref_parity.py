@@ -91,3 +91,32 @@ process.stdout.write(JSON.stringify(out));
     p.end()
     assert len(out) == len(ref)
     assert out == ref
+
+
+def test_randomized_parity():
+    """Seeded random composition documents (with random chunk splits)
+    against the compiled reference WASM — broader than the fixed corpus."""
+    import random
+
+    sys.path.insert(0, "/root/repo/tools")
+    from diff_ref import py_parse, ref_parse_batch  # noqa: PLC0415
+
+    rng = random.Random(20260816)
+    pieces = [
+        "<div>", "</div>", '<p class="x">', "</p>", "plain text ", "a<b ",
+        "< notag", "<a href=unq>", "<a href='sq'>", '<a href="dq">', "<br/>",
+        "<!-- c -->", "<!--", "-->", "<![CDATA[z]]>", "<![CDATA[", "]]>",
+        "<!DOCTYPE html>", '<!ENTITY e "v">', "<?pi data?>", "<?>", "\n",
+        "  ", ">", "/", "=", '"', "'", "</orphan>", "<>", "</>", "{", "}",
+        "<c a={x{y}z}>", "é", "🚀", "<e a b=1 c=\"2\"d='3' e>", "<е>", "<!",
+        "< ", "x=y", "<e/ junk>", "<e\n a=1\n>", '<a b="">', "line\n",
+    ]
+    jobs = []
+    for _ in range(150):
+        doc = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 20))).encode()
+        m = rng.randrange(1, 1024)
+        split = rng.choice([-1, rng.randint(1, max(1, len(doc) - 1))])
+        jobs.append((doc, m, split))
+    ref = ref_parse_batch(jobs)
+    for (d, m, s_), expect in zip(jobs, ref):
+        assert py_parse(d, m, s_) == expect, f"doc={d[:60]!r} mask={m} split={s_}"
