@@ -18,13 +18,19 @@ for _b in range(0x41, 0x5B):  # A-Z
 _ASCII_NAME_START[0x3A] = 1  # ':'
 _ASCII_NAME_START[0x5F] = 1  # '_'
 
-_ASCII_NAME = bytearray(_ASCII_NAME_START)
+# NB: unlike NameStartChar, the reference's NameChar ASCII path
+# (names.rs:96-99) does NOT include ':' — build the table from scratch
+# rather than copying _ASCII_NAME_START (which has ':' set).
+_ASCII_NAME = bytearray(128)
+for _b in range(0x61, 0x7B):  # a-z
+    _ASCII_NAME[_b] = 1
+for _b in range(0x41, 0x5B):  # A-Z
+    _ASCII_NAME[_b] = 1
 for _b in range(0x30, 0x3A):  # 0-9
     _ASCII_NAME[_b] = 1
 _ASCII_NAME[0x2D] = 1  # '-'
 _ASCII_NAME[0x2E] = 1  # '.'
-_ASCII_NAME[0x3A] = 1
-_ASCII_NAME[0x5F] = 1
+_ASCII_NAME[0x5F] = 1  # '_'
 
 _NAME_START_RANGES = (
     (0xC0, 0xD6),

@@ -103,7 +103,7 @@ EXTRACT_SCHEMA = StructType(
 )
 
 
-def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]]]:
+def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]], bytes | None]:
     """Replay flat event rows (collect.FIELD_NAMES layout) through the
     documented reduction. Identical semantics to _Replay over entities."""
     stack: list[str] = []

@@ -454,7 +454,10 @@ def q14_lang_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
-            F.round(F.sum(F.length("text")), 2).alias("total_chars"),
+            # no round(): the sum of lengths is integral; Spark returns
+            # BIGINT and the oracle casts DuckDB's HUGEINT to match —
+            # round() would force DOUBLE on one side only (r1 hash-fail)
+            F.sum(F.length("text")).alias("total_chars"),
         )
         .orderBy("lang")
     )
@@ -462,9 +465,9 @@ def q14_lang_stats(spark, sf_dir):
 
 def q14_sql():
     return """
-    SELECT lang, count(*) AS n_docs,
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            round(avg(length(text)), 4) AS avg_chars,
-           round(sum(length(text)), 2) AS total_chars
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -850,8 +853,11 @@ def q22_salted_source_stats(spark, sf_dir):
 
 
 def q22_sql():
+    # CASTs pin DuckDB's HUGEINT sum / count to BIGINT so the dtype
+    # matches Spark's LONG exactly (the driver hash is type-sensitive)
     return """
-    SELECT source, count(*) AS n_docs, sum(length(text)) AS n_chars
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
     FROM documents
     GROUP BY source
     ORDER BY source

@@ -14,10 +14,23 @@ sys.path.insert(0, "/root/repo")
 
 
 def norm_cell(v):
+    """Type-sensitive normalization. The round-1 driver hash-failed two
+    queries whose VALUES matched but whose TYPES differed (Spark BIGINT
+    vs DuckDB DOUBLE/HUGEINT); the old %.9g rendering hid that locally.
+    Ints, floats, and Decimals now normalize distinctly so any cross-
+    engine dtype drift fails here before it fails at the driver."""
+    import decimal  # noqa: PLC0415
+
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
