@@ -53,6 +53,28 @@ def _plane_matrix(dim: int, n_planes: int, seed: int):
     return out
 
 
+def int_planes(dim: int, n_planes: int, seed: int = 7, span: int = 15) -> list[list[int]]:
+    """Deterministic INTEGER-valued hyperplanes in [-span, span], derived
+    from blake2b. Integer planes (paired with floor-quantized embeddings)
+    make the LSH bit exact on any engine — the dot product is integer
+    arithmetic, immune to floating-point summation-order drift. Used by
+    dedup.embedding_neardup_lsh and its DuckDB oracle (same literals)."""
+    out: list[list[int]] = []
+    for p in range(n_planes):
+        vals: list[int] = []
+        counter = 0
+        while len(vals) < dim:
+            h = hashlib.blake2b(
+                struct.pack("<qqqq", seed, p, dim, counter), digest_size=64
+            ).digest()
+            for i in range(0, 64, 2):
+                u = int.from_bytes(h[i : i + 2], "little")
+                vals.append((u % (2 * span + 1)) - span)
+            counter += 1
+        out.append(vals[:dim])
+    return out
+
+
 def with_cosine(df: DataFrame, query, emb_col: str = "embedding") -> DataFrame:
     """Adds a ``cosine`` column against ``query`` using JVM-side
     zip_with/aggregate expressions (no UDF)."""
@@ -112,6 +134,36 @@ def _sig_of(query, dim: int, n_planes: int, seed: int) -> int:
     return int(sum(1 << i for i, b in enumerate(bits) if b))
 
 
+def _query_signed(
+    signed: DataFrame,
+    query,
+    k: int,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    id_col: str,
+    emb_col: str,
+    sig_col: str = "lsh_sig",
+) -> DataFrame:
+    """Shared bucket-probe + exact re-rank over a pre-signed frame."""
+    dim = len(query)
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    qsig = _sig_of(query, dim, n_planes, seed)
+    cond = None
+    for b in range(n_bands):
+        qband = (qsig >> (b * band_bits)) & mask
+        band_expr = F.shiftright(F.col(sig_col), b * band_bits).bitwiseAND(F.lit(mask)) == F.lit(qband)
+        cond = band_expr if cond is None else (cond | band_expr)
+    candidates = signed.where(cond)
+    return (
+        with_cosine(candidates, query, emb_col)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_lsh(
     df: DataFrame,
     query,
@@ -124,22 +176,60 @@ def ann_lsh(
 ) -> DataFrame:
     """LSH-bucketed ANN: candidate = signature matches the query in at
     least one band of ``n_planes // n_bands`` contiguous bits; candidates
-    re-ranked by exact cosine. Recall grows with n_bands (multi-probe)."""
-    dim = len(query)
-    band_bits = n_planes // n_bands
-    mask = (1 << band_bits) - 1
-    qsig = _sig_of(query, dim, n_planes, seed)
+    re-ranked by exact cosine. Recall grows with n_bands (multi-probe).
 
-    signed = add_lsh_signature(df, dim, n_planes, seed, emb_col)
-    cond = None
-    for b in range(n_bands):
-        qband = (qsig >> (b * band_bits)) & mask
-        band_expr = F.shiftright(F.col("lsh_sig"), b * band_bits).bitwiseAND(F.lit(mask)) == F.lit(qband)
-        cond = band_expr if cond is None else (cond | band_expr)
-    candidates = signed.where(cond)
-    return (
-        with_cosine(candidates, query, emb_col)
-        .select(id_col, F.round("cosine", 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    One-shot convenience: recomputes signatures per call. For repeated
+    queries, build the index once with :class:`AnnIndex` and query the
+    persisted signatures (VERDICT r1 item 8)."""
+    signed = add_lsh_signature(df, len(query), n_planes, seed, emb_col)
+    return _query_signed(signed, query, k, n_planes, n_bands, seed, id_col, emb_col)
+
+
+class AnnIndex:
+    """Persisted LSH index: the signature pass runs ONCE at build time
+    and is materialized to parquet; queries read the signed table and
+    probe buckets with pure JVM bit expressions (no Python stage at
+    query time — verify with .explain(): no ArrowEvalPython).
+
+    At cluster scale the signed table would additionally be bucketed
+    (bucketBy(sig)) or sorted so bucket probes prune files; parquet
+    min/max stats on ``lsh_sig`` already prune row groups for exact-
+    signature probes.
+
+    Usage::
+
+        idx = AnnIndex(dim=64)                 # parameters of the index
+        idx.build(df).write.parquet(path)      # one signature scan
+        signed = spark.read.parquet(path)
+        idx.query(signed, qvec, k=10)          # JVM-only probe
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        n_planes: int = 16,
+        n_bands: int = 4,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ):
+        self.dim = dim
+        self.n_planes = n_planes
+        self.n_bands = n_bands
+        self.seed = seed
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def build(self, df: DataFrame) -> DataFrame:
+        """Adds the ``lsh_sig`` column (one vectorized numpy pass);
+        caller persists (write.parquet / bucketBy)."""
+        return add_lsh_signature(df, self.dim, self.n_planes, self.seed, self.emb_col)
+
+    def query(self, signed: DataFrame, query, k: int = 10) -> DataFrame:
+        """Top-k over a pre-signed frame — does NOT recompute
+        signatures; the only Python stage in the plan is none."""
+        if len(query) != self.dim:
+            raise ValueError(f"query dim {len(query)} != index dim {self.dim}")
+        return _query_signed(
+            signed, query, k, self.n_planes, self.n_bands, self.seed, self.id_col, self.emb_col
+        )

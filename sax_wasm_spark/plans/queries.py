@@ -496,40 +496,41 @@ def q15_sql():
 
 def q16_minhash_signature(spark, sf_dir):
     """Minhash-lite over 3-word shingles: signature = min(md5(shingle)).
-    Docs sharing a signature are near-dup candidates (one-band LSH)."""
+    Shingles and the min are built WITHIN the row (array transform +
+    array_min) — the whole query is one projection scan, zero shuffles
+    (round 1 shuffled the token table through a Window)."""
+    from ..operators.dedup import shingle_array  # noqa: PLC0415
+
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-        .withColumn("w2", F.lead("w", 1).over(w))
-        .withColumn("w3", F.lead("w", 2).over(w))
-        .where(F.col("w3").isNotNull())
-        .select("doc_id", F.md5(F.concat_ws(" ", "w", "w2", "w3")).alias("sh"))
-    )
-    return (
-        sh.groupBy("doc_id")
-        .agg(F.min("sh").alias("minhash"), F.count("*").alias("n_shingles"))
-        .orderBy("doc_id")
-    )
+    sa = shingle_array(d, "doc_id", "text", 3)
+    return sa.select(
+        "doc_id",
+        F.array_min(F.transform("sh", lambda s: F.md5(s))).alias("minhash"),
+        F.size("sh").cast("long").alias("n_shingles"),
+    ).orderBy("doc_id")
+
+
+# Shared shingle CTE (DuckDB): whitespace tokens with empties filtered,
+# 3-word shingles via list_slice — mirrors dedup.shingle_array exactly.
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ), shing AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
+      FROM toks WHERE len(toks) >= 3
+    )"""
 
 
 def q16_sql():
-    return """
-    WITH words AS (
-      SELECT doc_id, u.w AS w, u.pos AS pos
-      FROM documents,
-           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
-                           generate_subscripts(string_split(text, ' '), 1) AS pos) u
-    ), shingles AS (
-      SELECT doc_id,
-             md5(w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-                   || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS sh,
-             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
-      FROM words
-    )
-    SELECT doc_id, min(sh) AS minhash, count(*) AS n_shingles
-    FROM shingles WHERE w3 IS NOT NULL
-    GROUP BY doc_id
+    return f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id,
+           list_min(list_transform(sh, s -> md5(s))) AS minhash,
+           CAST(len(sh) AS BIGINT) AS n_shingles
+    FROM shing
     ORDER BY doc_id
     """
 
@@ -874,32 +875,31 @@ def q23_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(d, n_hashes=8, band_size=2).orderBy("doc_a", "doc_b")
 
 
-def q23_sql():
+def _lsh_cte():
+    """Shingle → in-row minhash → band buckets → candidate pairs, as a
+    reusable DuckDB CTE chain (q23/q24/q32 share it). Mirrors
+    dedup.minhash_signatures / minhash_lsh_pairs (8 hashes, 4 bands of
+    2, hash_i(s) = md5('i:' || s))."""
     mh = ", ".join(
-        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8)
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}" for i in range(8)
     )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sigs"
         for b in range(4)
     )
+    return f"""{_SHINGLE_CTE}, sigs AS (
+      SELECT doc_id, {mh} FROM shing
+    ), buckets AS ({bands}), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )"""
+
+
+def q23_sql():
     return f"""
-    WITH words AS (
-      SELECT doc_id, u.w AS w, u.pos AS pos
-      FROM documents,
-           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
-                           generate_subscripts(string_split(text, ' '), 1) AS pos) u
-    ), shingles AS (
-      SELECT doc_id,
-             w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh,
-             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
-      FROM words
-    ), sigs AS (
-      SELECT doc_id, {mh} FROM shingles WHERE w3 IS NOT NULL GROUP BY doc_id
-    ), buckets AS ({bands})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM buckets a JOIN buckets b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WITH {_lsh_cte()}
+    SELECT doc_a, doc_b FROM pairs
     ORDER BY doc_a, doc_b
     """
 
@@ -914,46 +914,17 @@ def q24_ngram_jaccard(spark, sf_dir):
 
 
 def q24_sql():
-    mh = ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8))
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sigs"
-        for b in range(4)
-    )
     return f"""
-    WITH words AS (
-      SELECT doc_id, u.w AS w, u.pos AS pos
-      FROM documents,
-           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
-                           generate_subscripts(string_split(text, ' '), 1) AS pos) u
-    ), shingles AS (
-      SELECT doc_id,
-             w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh,
-             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
-      FROM words
-    ), shset AS (
-      SELECT DISTINCT doc_id, sh FROM shingles WHERE w3 IS NOT NULL
-    ), sizes AS (
-      SELECT doc_id, count(*) AS sz FROM shset GROUP BY doc_id
-    ), sigs AS (
-      SELECT doc_id, {mh} FROM shingles WHERE w3 IS NOT NULL GROUP BY doc_id
-    ), buckets AS ({bands}),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ), inter AS (
-      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-      FROM pairs p
-      JOIN shset sa ON sa.doc_id = p.doc_a
-      JOIN shset sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
-      GROUP BY p.doc_a, p.doc_b
+    WITH {_lsh_cte()}, sets AS (
+      SELECT doc_id, list_distinct(sh) AS shset FROM shing
     )
-    SELECT i.doc_a, i.doc_b,
-           round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.doc_a
-    JOIN sizes zb ON zb.doc_id = i.doc_b
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_intersect(sa.shset, sb.shset))
+                 / (len(sa.shset) + len(sb.shset)
+                    - len(list_intersect(sa.shset, sb.shset))), 6) AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b
     ORDER BY doc_a, doc_b
     """
 
@@ -1112,6 +1083,93 @@ def q30_sql():
     """
 
 
+_EMB_DIM = 64  # dim of testdata embeddings.parquet (all sf levels)
+
+
+def q31_embedding_neardup_lsh(spark, sf_dir):
+    """Scale-safe embedding near-dup: LSH band-bucket blocking + exact
+    cosine re-check — the 10^9-vector replacement for q25's all-pairs
+    join (no CartesianProduct in the plan; asserted by
+    tests/test_plan_quality.py). Buckets are exact on both engines via
+    integer quantization + integer hyperplanes."""
+    from ..operators.dedup import embedding_neardup_lsh  # noqa: PLC0415
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(e, dim=_EMB_DIM, threshold=0.42).orderBy("id_a", "id_b")
+
+
+def q31_sql():
+    from ..operators.similarity import int_planes  # noqa: PLC0415
+
+    planes = int_planes(_EMB_DIM, 16, seed=7)
+
+    def dot(p):
+        lit = "[" + ", ".join(str(v) for v in planes[p]) + "]"
+        return f"list_dot_product(qe, {lit})"
+
+    bands = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, ({expr}) AS bucket FROM q".format(
+            b=b,
+            expr=" + ".join(
+                f"(CASE WHEN {dot(4 * b + j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024)) AS qe
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM q
+    ), buckets AS ({bands}), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM cand c
+    JOIN n na ON na.vec_id = c.id_a
+    JOIN n nb ON nb.vec_id = c.id_b
+    WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.42
+    ORDER BY id_a, id_b
+    """
+
+
+def q32_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: q23's LSH candidate pairs →
+    connected components (iterative min-label propagation with pointer
+    jumping, operators/clusters.py) → one kept representative per
+    cluster. Oracle: DuckDB recursive CTE computing min reachable id."""
+    from ..operators.clusters import resolve_clusters  # noqa: PLC0415
+    from ..operators.dedup import minhash_lsh_pairs  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, n_hashes=8, band_size=2)
+    return resolve_clusters(pairs).orderBy("doc_id")
+
+
+def q32_sql():
+    return f"""
+    WITH RECURSIVE {_lsh_cte()}, und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS rep_id, (id = min(r)) AS keep
+    FROM reach
+    GROUP BY id
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1145,6 +1203,8 @@ QUERIES = {
     "q28_value_percentiles": q28_value_percentiles,
     "q29_weighted_avg_udaf": q29_weighted_avg_udaf,
     "q30_doc_zscore_grouped": q30_doc_zscore_grouped,
+    "q31_embedding_neardup_lsh": q31_embedding_neardup_lsh,
+    "q32_dedup_clusters": q32_dedup_clusters,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -1182,6 +1242,8 @@ ORACLES = {
     "q28_value_percentiles": q28_sql(),
     "q29_weighted_avg_udaf": q29_sql(),
     "q30_doc_zscore_grouped": q30_sql(),
+    "q31_embedding_neardup_lsh": q31_sql(),
+    "q32_dedup_clusters": q32_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),

@@ -71,6 +71,38 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "Exchange" in plan
 
 
+def test_shingle_minhash_is_shuffle_free(spark):
+    """The shingle → minhash signature stage is built within the row
+    (transform/slice/array_min) — no Window, no Exchange before the
+    signature projection (round 1 shuffled the token table)."""
+    from sax_wasm_spark.operators.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures(d))
+    assert "Window" not in plan, plan[:3000]
+    assert "Exchange" not in plan, plan[:3000]
+
+
+def test_q16_has_no_window_shuffle(spark):
+    from sax_wasm_spark.plans.queries import q16_minhash_signature
+
+    plan = plan_of(q16_minhash_signature(spark, SF))
+    assert "Window" not in plan, plan[:3000]
+    # the only exchange allowed is the final orderBy's range partitioning
+    assert "hashpartitioning" not in plan, plan[:3000]
+
+
+def test_embedding_neardup_lsh_has_no_cartesian(spark):
+    """q31's blocking join must be a real equi-join on (band, bucket) —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (q25's
+    all-pairs shape is the O(n²) anti-pattern this replaces)."""
+    from sax_wasm_spark.plans.queries import q31_embedding_neardup_lsh
+
+    plan = plan_of(q31_embedding_neardup_lsh(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
 def test_whole_stage_codegen_present(spark):
     df = q01_pricing_summary(spark, SF)
     df.collect()  # AQE finalizes the physical plan only on execution

@@ -136,6 +136,55 @@ def test_knn_and_ann(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ann_index_persisted(spark, tmp_path):
+    """AnnIndex materializes signatures once; query() runs against the
+    persisted parquet with NO Python stage (no re-signing)."""
+    from sax_wasm_spark.operators.similarity import AnnIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    idx = AnnIndex(dim=len(query), n_planes=16, n_bands=8)
+    path = str(tmp_path / "ann_index")
+    idx.build(emb.where(F.col("vec_id") != 0)).write.parquet(path)
+
+    signed = spark.read.parquet(path)
+    out = idx.query(signed, query, k=10)
+    # the probe plan must not contain the signature pandas UDF stage
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan[:2000]
+
+    exact_ids = [r.vec_id for r in knn_bruteforce(emb.where(F.col("vec_id") != 0), query, k=10).collect()]
+    approx_ids = [r.vec_id for r in out.collect()]
+    recall = len(set(exact_ids) & set(approx_ids)) / 10
+    assert recall >= 0.5, f"persisted-index recall too low: {recall}"
+    # same result as the one-shot path (identical planes/seed)
+    oneshot_ids = [
+        r.vec_id
+        for r in ann_lsh(emb.where(F.col("vec_id") != 0), query, k=10, n_planes=16, n_bands=8).collect()
+    ]
+    assert approx_ids == oneshot_ids
+
+
+def test_resolve_clusters_small_graph(spark):
+    """Chain + triangle + isolated pair: min-id propagation with pointer
+    jumping must label every node with its component's min id."""
+    from sax_wasm_spark.operators.clusters import resolve_clusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),   # chain → rep 1
+        (10, 11), (11, 12), (10, 12),     # triangle → rep 10
+        (20, 21),                          # pair → rep 20
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: (r.rep_id, r.keep) for r in resolve_clusters(pairs).collect()}
+    want = {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False), 5: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        20: (20, True), 21: (20, False),
+    }
+    assert got == want
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, ["image", "audio", "video"][i % 3], bytes([i % 251]) * (100 + i)) for i in range(30)]
     # duplicate payloads for dedup
