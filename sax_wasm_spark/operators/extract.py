@@ -201,19 +201,29 @@ def extract_bytes(html: bytes):
 
 
 def extract_main_content(df: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
-    """DataFrame operator: pages(url, html, …) → extracted per FIXTURES.md §3."""
+    """DataFrame operator: pages(url, html, …) → extracted per FIXTURES.md §3.
+
+    Output batches are pyarrow RecordBatches built directly from the
+    column lists (``mapInArrow``) — no pandas intermediate, no object-
+    dtype inference on the nested spans column per batch."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in EXTRACT_SCHEMA.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
     src = df.select(url_col, html_col)
 
     def run(batches):
-        import pandas as pd  # noqa: PLC0415
-
-        for pdf in batches:
-            out = {"url": [], "title": [], "text": [], "text_bytes": [], "spans": [], "n_events": [], "status": []}
-            for url, data in zip(pdf[url_col], pdf[html_col]):
+        for rb in batches:
+            urls = rb.column(0).to_pylist()
+            htmls = rb.column(1).to_pylist()
+            out = {f.name: [] for f in arrow_fields}
+            for url, data in zip(urls, htmls):
                 if data is None:
                     data = b""
-                if isinstance(data, (bytearray, memoryview)):
-                    data = bytes(data)
                 text, spans, n_events, status, title = extract_bytes(data)
                 out["url"].append(url)
                 out["title"].append(title.decode("utf-8", "replace") if title is not None else None)
@@ -222,6 +232,9 @@ def extract_main_content(df: DataFrame, html_col: str = "html", url_col: str = "
                 out["spans"].append([{"byte_start": a, "byte_end": b} for a, b in spans])
                 out["n_events"].append(n_events)
                 out["status"].append(status)
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[f.name], type=f.type) for f in arrow_fields],
+                schema=arrow_schema,
+            )
 
-    return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
+    return src.mapInArrow(run, schema=EXTRACT_SCHEMA)

@@ -77,9 +77,32 @@ def extract_media_features(
     media_col: str = "media",
     id_col: str = "media_id",
     kind_col: str = "kind",
-    decoder: str = "fake",
+    decoder="fake",
 ) -> DataFrame:
-    """Decode/feature-extract stage over binary media columns."""
+    """Decode/feature-extract stage over binary media columns.
+
+    ``decoder`` is pluggable (VERDICT r1 item 10):
+
+    - ``"fake"`` — deterministic hash-derived metadata/features (the
+      in-container default; real codecs are absent here);
+    - ``"real"`` — raises NotImplementedError at the integration point;
+    - a CALLABLE ``(kind: str, data: bytes) -> (width, height,
+      duration_ms, feature: list[float])`` — a production codec
+      (Pillow / ffmpeg / torchaudio wrapper) injected without editing
+      the operator. The callable must be picklable (module-level) so
+      Spark can ship it to executors.
+    """
+    if callable(decoder):
+        decode = decoder
+    elif decoder == "fake":
+        decode = _fake_decode
+    elif decoder == "real":
+        def decode(kind, data):
+            # production codec integration point (Pillow / ffmpeg /
+            # torchaudio are not available in this environment)
+            raise NotImplementedError("real media decoding requires image/audio libraries")
+    else:
+        raise ValueError(f"decoder must be 'fake', 'real', or a callable, got {decoder!r}")
 
     def run(batches):
         import pandas as pd  # noqa: PLC0415
@@ -91,13 +114,7 @@ def extract_media_features(
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
-                if decoder == "real":
-                    # production codec integration point (Pillow / ffmpeg /
-                    # torchaudio are not available in this environment)
-                    raise NotImplementedError(
-                        "real media decoding requires image/audio libraries"
-                    )
-                width, height, duration, feature = _fake_decode(str(kind), data)
+                width, height, duration, feature = decode(str(kind), data)
                 out["media_id"].append(int(mid))
                 out["kind"].append(str(kind))
                 out["n_bytes"].append(len(data))

@@ -77,22 +77,34 @@ def tokenize_events(
     ``chunk_size`` > 0 streams each document through the parser in
     fixed-size writes (event values are identical; used for streaming-
     parity tests). The id columns are repeated per event row.
+
+    Output batches are built as pyarrow RecordBatches directly
+    (``mapInArrow``): the kernel's row tuples are transposed once and
+    handed to ``pa.array`` (C-level), skipping the round-1
+    pandas-DataFrame intermediate and its object-dtype inference +
+    pandas→Arrow reconversion on every batch.
     """
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = event_schema(id_fields)
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in out_schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+    n_id = len(id_cols)
     src = df.select(*id_cols, html_col)
 
     def run(batches):
-        import pandas as pd  # noqa: PLC0415
-
         collector = EventCollector()
-        for pdf in batches:
-            out_ids: dict[str, list] = {c: [] for c in id_cols}
+        for rb in batches:
+            htmls = rb.column(n_id).to_pylist()
+            ids = [rb.column(j).to_pylist() for j in range(n_id)]
+            out_ids: list[list] = [[] for _ in range(n_id)]
             out_rows: list[tuple] = []
-            htmls = pdf[html_col]
-            ids = [pdf[c] for c in id_cols]
-            for i in range(len(pdf)):
-                data = htmls.iloc[i]
+            for i, data in enumerate(htmls):
                 if data is None:
                     continue
                 if isinstance(data, (bytearray, memoryview)):
@@ -109,15 +121,22 @@ def tokenize_events(
                     # hot path: single-shot kernel w/ automatic FSM fallback
                     rows = parse_doc_flat(data, events)
                 if rows:
-                    for c, col in zip(id_cols, ids):
-                        out_ids[c].extend([col.iloc[i]] * len(rows))
+                    for j in range(n_id):
+                        out_ids[j].extend([ids[j][i]] * len(rows))
                     out_rows.extend(rows)
-            res = pd.DataFrame(out_rows, columns=_COLS)
-            for c in reversed(id_cols):
-                res.insert(0, c, out_ids[c])
-            yield res
+            if out_rows:
+                cols = list(zip(*out_rows))
+            else:
+                cols = [[] for _ in _COLS]
+            arrays = [
+                pa.array(out_ids[j], type=arrow_fields[j].type) for j in range(n_id)
+            ] + [
+                pa.array(cols[k], type=arrow_fields[n_id + k].type)
+                for k in range(len(_COLS))
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-    return src.mapInPandas(run, schema=out_schema)
+    return src.mapInArrow(run, schema=out_schema)
 
 
 def tokenize_nested(

@@ -165,6 +165,29 @@ def test_ann_index_persisted(spark, tmp_path):
     assert approx_ids == oneshot_ids
 
 
+def test_multimodal_decoder_injectable(spark):
+    """A production codec plugs in as a callable — no operator edits.
+    (Defined as a closure: cloudpickle ships it by value; a real codec
+    wrapper would live in an importable module on the executors.)"""
+    import pytest
+
+    from sax_wasm_spark.operators.multimodal import extract_media_features
+
+    def _const_decoder(kind, data):
+        return 7, 9, 123, [float(len(data) % 10)] * 8
+
+    rows = [(1, "image", b"\x01\x02\x03")]
+    df = spark.createDataFrame(rows, "media_id long, kind string, media binary")
+    out = extract_media_features(df, decoder=_const_decoder).collect()[0]
+    assert (out.width, out.height, out.duration_ms) == (7, 9, 123)
+    assert out.feature == [3.0] * 8
+    # "real" remains the documented NotImplementedError integration point
+    with pytest.raises(Exception):
+        extract_media_features(df, decoder="real").collect()
+    with pytest.raises(ValueError):
+        extract_media_features(df, decoder="bogus")
+
+
 def test_resolve_clusters_small_graph(spark):
     """Chain + triangle + isolated pair: min-id propagation with pointer
     jumping must label every node with its component's min id."""
