@@ -185,6 +185,74 @@ def ann_lsh(
     return _query_signed(signed, query, k, n_planes, n_bands, seed, id_col, emb_col)
 
 
+def ann_int_lsh(
+    df: DataFrame,
+    query,
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    quant: int = 1024,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_ids=(0,),
+) -> DataFrame:
+    """ANN query with EXACT cross-engine semantics (the oracle-checked
+    twin of :func:`ann_lsh`): integer-quantized embeddings × integer
+    hyperplanes give bit-exact band buckets on any engine; the query's
+    buckets are computed driver-side with the same integer arithmetic
+    and folded into the filter as literals (at scale this is exactly
+    what you want — the bucket probe is a constant predicate the scan
+    can evaluate without a join); candidates re-rank by exact cosine."""
+    import math  # noqa: PLC0415
+
+    dim = len(query)
+    planes = int_planes(dim, n_planes, seed)
+    n_bands = n_planes // band_bits
+    # float32→double is exact; *2^10 and floor are exact in IEEE double
+    qq = [math.floor(float(x) * quant) for x in query]
+    qbuckets = []
+    for b in range(n_bands):
+        v = 0
+        for j in range(band_bits):
+            p = planes[b * band_bits + j]
+            if sum(a * c for a, c in zip(qq, p)) > 0:
+                v |= 1 << j
+        qbuckets.append(v)
+
+    qe = F.transform(emb_col, lambda x: F.floor(x.cast("double") * F.lit(float(quant))))
+    d = df.withColumn("_qe", qe)
+
+    def dot_plane(p: int):
+        plane_lit = F.array(*[F.lit(int(v)) for v in planes[p]])
+        return F.aggregate(
+            F.zip_with("_qe", plane_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cond = None
+    for b in range(n_bands):
+        bits = [
+            F.when(dot_plane(b * band_bits + j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(band_bits)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc + x
+        band_match = acc == F.lit(qbuckets[b])
+        cond = band_match if cond is None else (cond | band_match)
+    candidates = d.where(cond)
+    if exclude_ids:
+        candidates = candidates.where(~F.col(id_col).isin(*exclude_ids))
+    return (
+        with_cosine(candidates, query, emb_col)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 class AnnIndex:
     """Persisted LSH index: the signature pass runs ONCE at build time
     and is materialized to parquet; queries read the signed table and

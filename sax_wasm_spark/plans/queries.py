@@ -1170,6 +1170,86 @@ def q32_sql():
     """
 
 
+# "BPE-ish" tokenization pattern: letter runs, digit runs, and single
+# non-alphanumeric marks — the GPT-style pre-tokenizer shape, written in
+# the regex subset Java (Spark) and RE2 (DuckDB) evaluate identically.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q33_bpe_tokens(spark, sf_dir):
+    """Token counting with a BPE-ish regex (the brief's second
+    tokenization tier next to q12's whitespace split): top-20 tokens +
+    per-kind totals stay in whole-stage codegen via
+    regexp_extract_all → explode."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+def q33_sql():
+    return f"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_PAT}')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """
+
+
+def q34_ann_int_lsh(spark, sf_dir):
+    """Oracle-checked ANN: integer-plane LSH bucket probe (query
+    buckets folded to literal predicates driver-side) + exact cosine
+    re-rank — the deterministic twin of the numpy ann_lsh/AnnIndex
+    path, provable value-for-value against DuckDB."""
+    from ..operators.similarity import ann_int_lsh  # noqa: PLC0415
+
+    e = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return ann_int_lsh(e, query, k=10)
+
+
+def q34_sql():
+    from ..operators.similarity import int_planes  # noqa: PLC0415
+
+    planes = int_planes(_EMB_DIM, 16, seed=7)
+
+    def dot(p, col):
+        lit = "[" + ", ".join(str(v) for v in planes[p]) + "]"
+        return f"list_dot_product({col}, {lit})"
+
+    def bucket(b, col):
+        return " + ".join(
+            f"(CASE WHEN {dot(4 * b + j, col)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+        )
+
+    cond = " OR ".join(f"({bucket(b, 'v.qe')}) = ({bucket(b, 'q.qq')})" for b in range(4))
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS eq,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024)) AS qq
+      FROM embeddings WHERE vec_id = 0
+    ), v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024)) AS qe
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_dot_product(v.e, q.eq)
+                 / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.eq, q.eq))),
+                 6) AS cosine
+    FROM v, q
+    WHERE vec_id <> 0 AND ({cond})
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1205,6 +1285,8 @@ QUERIES = {
     "q30_doc_zscore_grouped": q30_doc_zscore_grouped,
     "q31_embedding_neardup_lsh": q31_embedding_neardup_lsh,
     "q32_dedup_clusters": q32_dedup_clusters,
+    "q33_bpe_tokens": q33_bpe_tokens,
+    "q34_ann_int_lsh": q34_ann_int_lsh,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -1244,6 +1326,8 @@ ORACLES = {
     "q30_doc_zscore_grouped": q30_sql(),
     "q31_embedding_neardup_lsh": q31_sql(),
     "q32_dedup_clusters": q32_sql(),
+    "q33_bpe_tokens": q33_sql(),
+    "q34_ann_int_lsh": q34_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),

@@ -208,6 +208,34 @@ def test_resolve_clusters_small_graph(spark):
     assert got == want
 
 
+def test_dedup_job_end_to_end(spark, tmp_path):
+    """jobs/dedup_job.run_dedup: exact + near dups drop, one rep per
+    cluster survives, kept ∪ dropped partitions the corpus."""
+    from jobs.dedup_job import run_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base),                      # near-dup cluster {1,2,3}: 1 kept
+        (2, base + "tail one"),
+        (3, base + "tail two"),
+        (10, "totally different words " + "x y z w v u t s r q " * 6),
+        (11, "another unrelated doc " + "m n o p q r s t u v " * 6),
+        (20, "exact twin content " + "a b c d e f g h i j " * 6),
+        (21, "exact twin content " + "a b c d e f g h i j " * 6),  # == 20
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "dedup")
+    stats = run_dedup(spark, docs, out, jaccard=0.5)
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
+    drops = {r.drop_id: r.reason for r in spark.read.parquet(f"{out}/drops").collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert drops[2] == "near" and drops[3] == "near"
+    assert 20 in kept and drops[21] == "exact"
+    assert {10, 11} <= kept
+    assert stats["n_kept"] + stats["n_dropped"] == stats["n_docs"] == 7
+    assert kept | set(drops) == {r[0] for r in rows}
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, ["image", "audio", "video"][i % 3], bytes([i % 251]) * (100 + i)) for i in range(30)]
     # duplicate payloads for dedup
