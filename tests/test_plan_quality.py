@@ -103,6 +103,34 @@ def test_embedding_neardup_lsh_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
 
 
+def test_no_cartesian_anywhere_in_battery(spark):
+    """Battery-wide scale gate: NO query plan may contain a cartesian
+    product or nested-loop join. Exemptions, each deliberate:
+    - q25: the exact all-pairs embedding near-dup — kept ONLY as the
+      small-n oracle twin of q31 (its docstring says so);
+    - q18: a broadcast of a single-row query vector frame (the textbook
+      broadcast-the-query kNN shape) — BroadcastNestedLoopJoin over
+      exactly one build-side row is a constant, not a blow-up. (q34,
+      the ANN twin, folds the query to literals and needs no exemption.)
+    """
+    from sax_wasm_spark.plans.queries import QUERIES
+
+    exempt = {"q25_embedding_neardup", "q18_knn_cosine"}
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name in exempt:
+            continue
+        plan = plan_of(fn(spark, SF))
+        hits = [
+            tok
+            for tok in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if tok in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"scale-unsafe join shapes: {bad}"
+
+
 def test_whole_stage_codegen_present(spark):
     df = q01_pricing_summary(spark, SF)
     df.collect()  # AQE finalizes the physical plan only on execution
