@@ -109,12 +109,32 @@ def stage_corpus(path: str):
 
 
 def extraction_throughput(cores: int, path: str):
-    """(docs/sec, wall, MB/sec) steady-state at local[cores]."""
+    """(docs/sec, wall, MB/sec) steady-state at local[cores].
+
+    Input-split sizing: extraction is CPU-heavy per byte, so the scan
+    must yield MANY more tasks than cores or the last wave straggles —
+    with Spark's default 128 MB maxPartitionBytes + 4 MB openCost, the
+    ~340 MB / 256-file corpus packs into only ~9 scan tasks (1.1 waves
+    at 8 cores ⇒ up to 7 idle cores during the tail; the true cause of
+    the sub-0.8 ratios previously blamed on host noise). 4 MB splits /
+    1 MB open-cost yield ~70+ tasks → ≥9 waves at 8 cores, <2% tail.
+    The production job is unaffected: run_extraction repartitions by
+    shard explicitly."""
     from pyspark.sql import functions as F
+
+    from sax_wasm_spark.session import get_spark
 
     from sax_wasm_spark.operators.extract import extract_main_content
 
-    spark = _fresh_spark(cores, f"bench-extract-{cores}")
+    spark = get_spark(
+        app_name=f"bench-extract-{cores}",
+        cores=cores,
+        shuffle_partitions=max(2 * cores, 16),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
     try:
         pages = spark.read.parquet(path)
         stats = pages.select(
@@ -176,7 +196,11 @@ def main():
     }
 
     if DO_SCALING:
-        corpus_dir = os.path.join(tempfile.gettempdir(), f"spark_sax_bench_{N_PAGES}_{PAGE_SCALE}")
+        # cache key includes the partition layout — a staged corpus with
+        # a different task granularity must not be silently reused
+        corpus_dir = os.path.join(
+            tempfile.gettempdir(), f"spark_sax_bench_{N_PAGES}_{PAGE_SCALE}_p256"
+        )
         if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
             stage_corpus(corpus_dir)
         pairs = []
