@@ -62,7 +62,15 @@ _DOC_SUFFIX = "</body></doc>"
 
 
 def _wrapped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # The testdata ships one small parquet file per table, so the scan
+    # is ONE task no matter how many cores — repartition before the
+    # CPU-heavy tokenize stage (the shuffle moves <1 MB of text; the
+    # parse work it unlocks is parallel across every core). Same lesson
+    # as the bench input-split fix: parallelism for a Python-kernel
+    # stage must come from explicit partitioning, not file sizes.
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         "text",
@@ -745,7 +753,9 @@ def sax_extract_roundtrip(spark, sf_dir):
     drop head/script/nav/footer and keep the single <p> block, so the
     extracted text equals the document text exactly — a closed-form SQL
     oracle for the entire tokenize→classify pipeline."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
     pages = d.select(
         F.col("doc_id").cast("string").alias("url"),
         F.concat(F.lit(_BP_PREFIX), F.col("text"), F.lit(_BP_SUFFIX)).cast("binary").alias("html"),
