@@ -129,6 +129,121 @@ def extract_media_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    resizer=None,
+) -> DataFrame:
+    """Image resize stage: binary in → (id, w, h, resized binary) out.
+    ``resizer(data: bytes, w: int, h: int) -> bytes`` is the pluggable
+    codec (Pillow's ``Image.resize`` wrapper in production — absent
+    here); the default deterministic stand-in re-hashes the bytes to a
+    w*h-shaped payload so batch plumbing, schema, and memory bounds are
+    exercised for real. Stateless per row → embarrassingly parallel,
+    no shuffle, bounded by the Arrow batch size like the extractor."""
+    from pyspark.sql.types import BinaryType  # noqa: PLC0415
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("resized", BinaryType(), True),
+        ]
+    )
+
+    if resizer is None:
+        def resizer(data: bytes, w: int, h: int) -> bytes:
+            # deterministic fake: derive exactly w*h bytes from the input
+            out = bytearray()
+            seed = hashlib.blake2b(data, digest_size=32).digest()
+            counter = 0
+            while len(out) < w * h:
+                out += hashlib.blake2b(
+                    seed + counter.to_bytes(8, "little"), digest_size=64
+                ).digest()
+                counter += 1
+            return bytes(out[: w * h])
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {id_col: [], "width": [], "height": [], "resized": []}
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                out[id_col].append(int(mid))
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["resized"].append(resizer(data, target_w, target_h))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    sampler=None,
+) -> DataFrame:
+    """Video frame-sampling stage: one input row → ``n_frames`` output
+    rows (id, frame_idx, ts_ms, frame binary). ``sampler(data, n) ->
+    list[(ts_ms, frame_bytes)]`` is the pluggable codec (an ffmpeg
+    keyframe extractor in production); the default deterministic
+    stand-in slices the payload into n evenly-spaced windows. The
+    1→n fan-out happens inside the executor batch (a flatMap shape) —
+    no shuffle, and frame bytes never visit the driver."""
+    from pyspark.sql.types import BinaryType  # noqa: PLC0415
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("ts_ms", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    if sampler is None:
+        def sampler(data: bytes, n: int):
+            h = hashlib.blake2b(data, digest_size=32).digest()
+            dur = 100 + int.from_bytes(h[2:4], "little") % 10000  # = _fake_decode
+            if not data:
+                data = h
+            step = max(len(data) // n, 1)
+            return [
+                (dur * i // max(n - 1, 1), data[i * step : i * step + step])
+                for i in range(n)
+            ]
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {id_col: [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                for i, (ts, frame) in enumerate(sampler(data, n_frames)):
+                    out[id_col].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(int(ts))
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
 def media_dedup_exact(features: DataFrame) -> DataFrame:
     """Exact media dedup on content hash (same shape as text dedup)."""
     return (

@@ -253,6 +253,103 @@ def ann_int_lsh(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF (inverted-file) coarse quantizer — the brief's alternative
+    scale path to LSH. Deterministic Lloyd iterations expressed in
+    DataFrame ops:
+
+    - init: centroids = the ``n_lists`` vectors with the smallest ids
+      (deterministic, no RNG);
+    - assign: argmin squared-L2 to the broadcast centroid table, all in
+      zip_with/aggregate codegen expressions (no UDF);
+    - update: per-list component-wise mean via one groupBy over
+      ``posexplode`` of the vector (shuffles (list, dim_idx) pairs —
+      tiny relative to the corpus).
+
+    Returns (assigned DataFrame with a ``list_id`` column, centroids as
+    a python list-of-lists). Persist the assigned frame partitioned (or
+    bucketed) by ``list_id``; queries then read only the probed lists'
+    partitions — the IVF pruning story.
+    """
+    vecs = df.select(
+        id_col, F.transform(emb_col, lambda x: x.cast("double")).alias("e")
+    )
+    centroids = [
+        [float(v) for v in r.e]
+        for r in vecs.orderBy(id_col).limit(n_lists).collect()
+    ]
+
+    def assign(frame, cents):
+        best_id = F.lit(0)
+        best_d = None
+        for ci, c in enumerate(cents):
+            clit = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with("e", clit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            if best_d is None:
+                best_d, best_id = d, F.lit(0)
+            else:
+                best_id = F.when(d < best_d, F.lit(ci)).otherwise(best_id)
+                best_d = F.when(d < best_d, d).otherwise(best_d)
+        return frame.withColumn("list_id", best_id)
+
+    for _ in range(n_iter):
+        assigned = assign(vecs, centroids)
+        means = (
+            assigned.select("list_id", F.posexplode("e").alias("dim", "v"))
+            .groupBy("list_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("list_id")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .collect()
+        )
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r.list_id] = [x.m for x in r.ms]
+        centroids = new_cents
+
+    assigned = assign(df.withColumn(
+        "e", F.transform(emb_col, lambda x: x.cast("double"))
+    ), centroids).drop("e")
+    return assigned, centroids
+
+
+def ivf_query(
+    assigned: DataFrame,
+    centroids,
+    query,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest lists (chosen driver-side against
+    the tiny centroid table) and exact-rerank by cosine — the scan
+    touches only the probed lists (partition pruning when ``assigned``
+    is written partitioned by list_id)."""
+    dists = [
+        (sum((float(a) - float(b)) ** 2 for a, b in zip(query, c)), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    probe = [ci for _, ci in sorted(dists)[:n_probe]]
+    cand = assigned.where(F.col("list_id").isin(*probe))
+    return (
+        with_cosine(cand, query, emb_col)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 class AnnIndex:
     """Persisted LSH index: the signature pass runs ONCE at build time
     and is materialized to parquet; queries read the signed table and

@@ -208,6 +208,54 @@ def test_resolve_clusters_small_graph(spark):
     assert got == want
 
 
+def test_ivf_index_and_query(spark, tmp_path):
+    """IVF coarse quantizer: deterministic build, partition-pruned
+    probe, recall vs brute force."""
+    from sax_wasm_spark.operators.similarity import ivf_build, ivf_query
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    assigned, centroids = ivf_build(emb.where(F.col("vec_id") != 0), n_lists=8, n_iter=2)
+    path = str(tmp_path / "ivf")
+    assigned.write.partitionBy("list_id").parquet(path)
+    stored = spark.read.parquet(path)
+    # every vector in exactly one list; all lists non-degenerate
+    assert stored.count() == emb.count() - 1
+    assert stored.select("list_id").distinct().count() > 1
+
+    got = ivf_query(stored, centroids, query, k=10, n_probe=4)
+    got_ids = [r.vec_id for r in got.collect()]
+    exact_ids = [r.vec_id for r in knn_bruteforce(emb.where(F.col("vec_id") != 0), query, k=10).collect()]
+    recall = len(set(got_ids) & set(exact_ids)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # determinism: rebuilding yields the same centroids
+    _, c2 = ivf_build(emb.where(F.col("vec_id") != 0), n_lists=8, n_iter=2)
+    assert [[round(v, 9) for v in c] for c in centroids] == [[round(v, 9) for v in c] for c in c2]
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize (1→1) and frame-sample (1→n) plumbing: schemas, batch
+    shapes, determinism."""
+    from sax_wasm_spark.operators.multimodal import resize_images, sample_frames
+
+    rows = [(i, "video", bytes([i % 251]) * (400 + i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, media binary")
+    rs = resize_images(df, 8, 6).collect()
+    assert len(rs) == 12
+    assert all(len(r.resized) == 8 * 6 for r in rs)
+    # deterministic: same input bytes → same resized payload
+    by_id = {r.media_id: r.resized for r in rs}
+    rs2 = {r.media_id: r.resized for r in resize_images(df, 8, 6).collect()}
+    assert by_id == rs2
+
+    fr = sample_frames(df, n_frames=5).collect()
+    assert len(fr) == 12 * 5
+    one = sorted([r for r in fr if r.media_id == 3], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in one] == [0, 1, 2, 3, 4]
+    assert all(one[i].ts_ms <= one[i + 1].ts_ms for i in range(4))
+    assert all(r.frame for r in one)
+
+
 def test_dedup_job_end_to_end(spark, tmp_path):
     """jobs/dedup_job.run_dedup: exact + near dups drop, one rep per
     cluster survives, kept ∪ dropped partitions the corpus."""
