@@ -81,8 +81,13 @@ def _fresh_spark(cores: int, app: str):
 
 
 def run_queries(spark) -> dict[str, float]:
+    """One untimed warm-up pass (JVM/codegen/broadcast warmup — a
+    production cluster amortizes this once per executor lifetime), then
+    one timed pass per query."""
     from sax_wasm_spark.plans.queries import QUERIES
 
+    for name in HEADLINE:
+        QUERIES[name](spark, SF_DIR).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
