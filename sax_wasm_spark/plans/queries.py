@@ -421,12 +421,14 @@ def q12_sql():
 
 
 def q13_doc_quality(spark, sf_dir):
-    """Quality scoring: length, token stats, stopword ratio."""
+    """Quality scoring: length, token stats, stopword ratio, and
+    punctuation ratio (the brief's length/punct/stopword triple)."""
     d = load(spark, sf_dir, "documents")
     toks = F.size(F.split("text", " "))
     stop = (
         F.size(F.filter(F.split("text", " "), lambda t: t.isin("the", "a", "of", "and")))
     )
+    punct = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
     return (
         d.select(
             "doc_id",
@@ -434,6 +436,7 @@ def q13_doc_quality(spark, sf_dir):
             toks.alias("n_tokens"),
             F.round(F.length("text") / toks, 4).alias("avg_token_len"),
             F.round(stop / toks, 4).alias("stopword_ratio"),
+            F.round(punct / F.length("text"), 6).alias("punct_ratio"),
             (F.length("text") >= 100).cast("int").alias("len_ok"),
         )
         .orderBy("doc_id")
@@ -449,6 +452,8 @@ def q13_sql():
            round(len(list_filter(string_split(text, ' '),
                  t -> t IN ('the', 'a', 'of', 'and'))) / len(string_split(text, ' ')), 4)
              AS stopword_ratio,
+           round(len(regexp_extract_all(text, '[.,;:!?]')) / length(text), 6)
+             AS punct_ratio,
            CAST(length(text) >= 100 AS INT) AS len_ok
     FROM documents
     ORDER BY doc_id
