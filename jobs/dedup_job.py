@@ -48,6 +48,7 @@ def run_dedup(
     band_size: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = 10_000,
 ) -> dict:
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -67,8 +68,14 @@ def run_dedup(
         .select(F.col(id_col).alias("drop_id"), F.lit("exact").alias("reason"))
     )
 
-    # 2-3. near-dup candidates, verified by exact Jaccard
-    pairs = minhash_lsh_pairs(docs, n_hashes, band_size, id_col, text_col)
+    # 2-3. near-dup candidates, verified by exact Jaccard. The hot-
+    # bucket guard caps the bucket self-join's worst key: a degenerate
+    # bucket (mass-duplicated boilerplate) is dropped WITH a logged
+    # count — its members are exact duplicates of each other in
+    # practice and stage 1 already collapsed those.
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes, band_size, id_col, text_col, max_bucket=max_bucket
+    )
     verified = ngram_jaccard(docs, pairs, id_col, text_col).where(
         F.col("jaccard") >= jaccard
     )
@@ -110,6 +117,12 @@ def main():
     ap.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument(
+        "--max-bucket",
+        type=int,
+        default=10_000,
+        help="drop LSH buckets larger than this before the self-join (0 disables)",
+    )
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -118,7 +131,13 @@ def main():
     spark = get_spark(app_name="sax-dedup-job", cores=args.cores)
     try:
         docs = spark.read.parquet(args.input)
-        stats = run_dedup(spark, docs, args.output, jaccard=args.jaccard)
+        stats = run_dedup(
+            spark,
+            docs,
+            args.output,
+            jaccard=args.jaccard,
+            max_bucket=args.max_bucket or None,
+        )
         print(json.dumps(stats))
     finally:
         spark.stop()

@@ -39,6 +39,19 @@ def main():
     ap.add_argument("--num-shards", type=int, default=256)
     ap.add_argument("--synth", type=int, default=0, help="synthesize N pages instead of --input")
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
+    ap.add_argument(
+        "--table-format",
+        choices=["parquet", "iceberg"],
+        default="parquet",
+        help="iceberg needs the iceberg-spark runtime jars + a catalog; "
+        "--output is then a table identifier (see plans/lineage.py runbook)",
+    )
+    ap.add_argument(
+        "--lineage-path",
+        default=None,
+        help="lineage parquet location (default <output>/lineage; required "
+        "with --table-format iceberg, where --output is not a path)",
+    )
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -55,7 +68,13 @@ def main():
         else:
             ap.error("either --input or --synth is required")
         stats = run_extraction(
-            spark, pages, args.output, num_shards=args.num_shards, run_id=args.run_id
+            spark,
+            pages,
+            args.output,
+            num_shards=args.num_shards,
+            run_id=args.run_id,
+            table_format=args.table_format,
+            lineage_path=args.lineage_path,
         )
         print(json.dumps({"run_id": args.run_id, **stats}))
     finally:

@@ -29,6 +29,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _tracked_local_checkpoint(df: DataFrame):
+    """localCheckpoint + the set of block-manager RDD ids it created,
+    so the caller can free exactly those blocks later (ADVICE r2:
+    without this, every round's checkpoint blocks live until the
+    session dies — linear executor-storage growth on slow-converging
+    graphs). Only ids that appear across THIS call are tracked — other
+    persisted RDDs in the session are never touched."""
+    sc = df.sparkSession.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap.keySet()}
+    out = df.localCheckpoint()
+    jmap = sc._jsc.getPersistentRDDs()
+    created = {int(k) for k in jmap.keySet()} - before
+    return out, created
+
+
+def _unpersist_ids(df: DataFrame, ids) -> None:
+    sc = df.sparkSession.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid) if hasattr(jmap, "get") else None
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def resolve_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -43,13 +68,12 @@ def resolve_clusters(
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    labels = (
+    labels, labels_blocks = _tracked_local_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("rep", F.col("id"))
-        .localCheckpoint()
     )
-    edges = edges.localCheckpoint()
+    edges, _edges_blocks = _tracked_local_checkpoint(edges)
 
     for _ in range(max_iter):
         # neighbor-min: each node receives its neighbors' current labels
@@ -65,10 +89,8 @@ def resolve_clusters(
         # pointer jumping: rep := rep's rep (reps are node ids, so the
         # self-join always matches)
         j = new.select(F.col("id").alias("jid"), F.col("rep").alias("jrep"))
-        new = (
-            new.join(j, new.rep == j.jid)
-            .select(new.id, F.col("jrep").alias("rep"))
-            .localCheckpoint()
+        new, new_blocks = _tracked_local_checkpoint(
+            new.join(j, new.rep == j.jid).select(new.id, F.col("jrep").alias("rep"))
         )
         changed = (
             new.alias("n")
@@ -76,8 +98,12 @@ def resolve_clusters(
             .where(F.col("n.rep") != F.col("o.rep"))
             .count()
         )
-        labels = new
+        # the convergence count above was the last reader of the
+        # previous round's checkpoint — free its blocks now (ADVICE r2)
+        _unpersist_ids(new, labels_blocks)
+        labels, labels_blocks = new, new_blocks
         if changed == 0:
+            _unpersist_ids(edges, _edges_blocks)
             return labels.select(
                 F.col("id").alias("doc_id"),
                 F.col("rep").alias("rep_id"),

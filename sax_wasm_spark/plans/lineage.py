@@ -59,10 +59,10 @@ def with_shard(df: DataFrame, num_shards: int, url_col: str = "url") -> DataFram
     )
 
 
-def completed_shards(spark: SparkSession, out_path: str) -> DataFrame:
+def completed_shards(spark: SparkSession, lineage_path: str) -> DataFrame:
     """Shards already marked ok in the lineage table (empty if none)."""
     try:
-        lin = spark.read.parquet(f"{out_path}/lineage")
+        lin = spark.read.parquet(lineage_path)
     except Exception:
         return spark.createDataFrame([], "shard int")
     return lin.where(F.col("status") == "ok").select("shard").distinct()
@@ -85,6 +85,20 @@ def write_extracted_partitioned(
       the iceberg-spark runtime jars + a configured catalog (absent in
       this sandbox, so this branch is exercised only off-container);
       ``out_path`` is then a table identifier, not a filesystem path.
+
+    Off-container runbook (call sequence contract-tested in
+    tests/test_spark_operators.py::test_iceberg_writer_contract)::
+
+        spark-submit \\
+          --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+          --conf spark.sql.catalog.cat=org.apache.iceberg.spark.SparkCatalog \\
+          --conf spark.sql.catalog.cat.type=hadoop \\
+          --conf spark.sql.catalog.cat.warehouse=hdfs://.../warehouse \\
+          --py-files sax_wasm_spark.zip jobs/extract_job.py \\
+          --output cat.db.pages --table-format iceberg
+
+      First run creates the table (createOrReplace); re-runs replace
+      only the shards present in the frame (overwritePartitions).
     """
     if table_format == "parquet":
         spark = extracted.sparkSession
@@ -93,7 +107,17 @@ def write_extracted_partitioned(
             f"{out_path}/extracted"
         )
     elif table_format == "iceberg":
-        extracted.writeTo(f"{out_path}_extracted").overwritePartitions()
+        table = f"{out_path}_extracted"
+        writer = extracted.writeTo(table).partitionedBy(F.col("shard"))
+        # first run must CREATE the table — overwritePartitions() alone
+        # fails on a missing target (ADVICE r2). createOrReplace() is
+        # still partition-exact for run 1 (the table is empty);
+        # subsequent runs REPLACE only the shards present in
+        # `extracted` via the snapshot-isolated overwritePartitions().
+        if extracted.sparkSession.catalog.tableExists(table):
+            writer.overwritePartitions()
+        else:
+            writer.createOrReplace()
     else:
         raise ValueError(f"unknown table_format {table_format!r}")
 
@@ -114,15 +138,21 @@ def run_extraction(
     run_id: str = "run",
     fail_shards: set[int] | None = None,
     table_format: str = "parquet",
+    lineage_path: str | None = None,
 ) -> dict:
     """One resumable pass: process every shard not yet marked ok.
 
     ``fail_shards`` is a test hook: those shards are skipped (simulating
     task failure) and get no lineage row, so the next run picks them up.
+    ``lineage_path`` defaults to ``<out_path>/lineage``; pass it
+    explicitly when ``table_format='iceberg'`` (``out_path`` is then a
+    table identifier, not a filesystem root).
     Returns counters {processed_shards, skipped_shards, n_docs}.
     """
+    if lineage_path is None:
+        lineage_path = f"{out_path}/lineage"
     sharded = with_shard(pages, num_shards)
-    done = completed_shards(spark, out_path)
+    done = completed_shards(spark, lineage_path)
     n_done = done.count()
     todo = sharded.join(F.broadcast(done), "shard", "left_anti")
     if fail_shards:
@@ -163,7 +193,7 @@ def run_extraction(
     rows = stats.collect()  # lineage is tiny (one row per shard)
     if rows:
         spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(
-            f"{out_path}/lineage"
+            lineage_path
         )
     return {
         "processed_shards": len(rows),

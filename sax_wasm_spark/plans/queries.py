@@ -436,7 +436,9 @@ def q13_doc_quality(spark, sf_dir):
             toks.alias("n_tokens"),
             F.round(F.length("text") / toks, 4).alias("avg_token_len"),
             F.round(stop / toks, 4).alias("stopword_ratio"),
-            F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+            # nullif: Spark 4 ANSI mode raises DIVIDE_BY_ZERO on empty
+            # docs; DuckDB returns NULL — nullif keeps both engines NULL
+            F.round(punct / F.nullif(F.length("text"), F.lit(0)), 6).alias("punct_ratio"),
             (F.length("text") >= 100).cast("int").alias("len_ok"),
         )
         .orderBy("doc_id")
@@ -452,7 +454,7 @@ def q13_sql():
            round(len(list_filter(string_split(text, ' '),
                  t -> t IN ('the', 'a', 'of', 'and'))) / len(string_split(text, ' ')), 4)
              AS stopword_ratio,
-           round(len(regexp_extract_all(text, '[.,;:!?]')) / length(text), 6)
+           round(len(regexp_extract_all(text, '[.,;:!?]')) / nullif(length(text), 0), 6)
              AS punct_ratio,
            CAST(length(text) >= 100 AS INT) AS len_ok
     FROM documents
@@ -551,18 +553,38 @@ def q16_sql():
 def q17_simhash16(spark, sf_dir):
     """16-bit simhash from the md5 nibbles of each token: per nibble
     position, the majority bit across tokens. Identical closed form on
-    both engines (md5 is the shared hash)."""
+    both engines (md5 is the shared hash).
+
+    Computed ENTIRELY within the row (the q16 pattern, VERDICT r2 item
+    7): one md5 per token via transform, then a single F.aggregate that
+    folds a 16-element sign-count array — no explode, no groupBy, no
+    Exchange before the final orderBy. Round 2 shuffled the exploded
+    token table's partial aggregates (~1 row/doc — acceptable, but this
+    is shuffle-free)."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
-    toks = toks.withColumn("h", F.md5("w"))
-    cols = []
-    for i in range(16):
-        # nibble >= 8 ⟺ its lowercase hex char >= '8' (digits sort below
-        # a-f in ASCII) — portable across both engines
-        bit = (F.substring("h", i + 1, 1) >= "8").cast("int")
-        cols.append(F.sum(bit * 2 - 1).alias(f"s{i}"))
-    agg = toks.groupBy("doc_id").agg(*cols)
-    sim = F.concat(*[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(16)])
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    hs = F.transform(toks, lambda w: F.md5(w))
+    # nibble >= 8 ⟺ its lowercase hex char >= '8' (digits sort below
+    # a-f in ASCII) — portable across both engines
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.when(h.substr(i, F.lit(1)) >= "8", F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    agg = d.where(F.size(toks) > 0).select("doc_id", sums.alias("s"))
+    sim = F.concat(
+        *[
+            F.when(F.element_at("s", i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(16)
+        ]
+    )
     return agg.select("doc_id", sim.alias("simhash16")).orderBy("doc_id")
 
 
@@ -1068,22 +1090,22 @@ def q29_sql():
 
 
 def q30_doc_zscore_grouped(spark, sf_dir):
-    """Grouped-map applyInPandas: per-language z-score of document
-    length (each language group processed as one pandas frame)."""
-    import pandas as pd  # noqa: PLC0415
-
+    """Per-language z-score of document length, scale-safely: two-pass
+    aggregate (groupBy(lang).agg(avg, stddev_samp)) + broadcast join
+    back to the docs. Round 2 used groupBy(lang).applyInPandas, which
+    holds an ENTIRE language in one pandas frame — at 100 TB lang='en'
+    is ~half the corpus in a single task (VERDICT r2 item 3). The
+    per-lang stats table is tiny (one row per language) so the join is
+    a broadcast; no unbounded group anywhere in the plan. The
+    applyInPandas grouped-map surface stays covered by q35 (bounded
+    per-document groups)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", F.length("text").alias("n"))
-
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["n"].mean()
-        sd = pdf["n"].std(ddof=1)
-        out = pdf[["doc_id", "lang"]].copy()
-        out["z"] = ((pdf["n"] - mu) / sd).round(4)
-        return out
-
+    stats = d.groupBy("lang").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
     return (
-        d.groupBy("lang")
-        .applyInPandas(zscore, "doc_id long, lang string, z double")
+        d.join(F.broadcast(stats), "lang")
+        .select("doc_id", "lang", F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("z"))
         .orderBy("doc_id")
     )
 
@@ -1225,7 +1247,9 @@ def q34_ann_int_lsh(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     query = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0].embedding]
-    return ann_int_lsh(e, query, k=10)
+    # exclude the query row itself (q34's query IS vec_id 0) — an
+    # explicit per-call choice, not an operator default
+    return ann_int_lsh(e, query, k=10, exclude_ids=(0,))
 
 
 def q34_sql():
@@ -1262,6 +1286,58 @@ def q34_sql():
     WHERE vec_id <> 0 AND ({cond})
     ORDER BY cosine DESC, vec_id
     LIMIT 10
+    """
+
+
+def q35_token_stats_grouped(spark, sf_dir):
+    """Grouped-map applyInPandas surface (SURVEY §2.4 UDF/UDAF/UDTF
+    row) on a BOUNDED group: each pandas frame is ONE document's
+    tokens, so group size is capped by max document length — never by
+    corpus size (the scale-safety q30's old per-language grouping
+    lacked, VERDICT r2 item 3)."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math  # noqa: PLC0415
+
+        n = pdf["w"].str.len()
+        avg = float(n.sum()) / len(pdf)
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "n_tokens": [len(pdf)],
+                # half-UP like DuckDB/Spark round(); python round() is
+                # banker's and diverges on exact .00005 halves
+                "avg_token_len": [math.floor(avg * 1e4 + 0.5) / 1e4],
+                "max_token_len": [int(n.max())],
+            }
+        )
+
+    return (
+        toks.groupBy("doc_id")
+        .applyInPandas(
+            stats, "doc_id long, n_tokens long, avg_token_len double, max_token_len long"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q35_sql():
+    return """
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(length(w)) AS DOUBLE) / count(*), 4) AS avg_token_len,
+           CAST(max(length(w)) AS BIGINT) AS max_token_len
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY doc_id
+    ORDER BY doc_id
     """
 
 
@@ -1302,6 +1378,7 @@ QUERIES = {
     "q32_dedup_clusters": q32_dedup_clusters,
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_ann_int_lsh": q34_ann_int_lsh,
+    "q35_token_stats_grouped": q35_token_stats_grouped,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -1343,6 +1420,7 @@ ORACLES = {
     "q32_dedup_clusters": q32_sql(),
     "q33_bpe_tokens": q33_sql(),
     "q34_ann_int_lsh": q34_sql(),
+    "q35_token_stats_grouped": q35_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),

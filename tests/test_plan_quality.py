@@ -131,6 +131,23 @@ def test_no_cartesian_anywhere_in_battery(spark):
     assert not bad, f"scale-unsafe join shapes: {bad}"
 
 
+def test_ivf_query_prunes_partitions(spark, tmp_path):
+    """ivf_query over a list_id-partitioned write must read ONLY the
+    probed lists' partitions — the partition filter must appear in the
+    scan, not as a post-scan Filter (VERDICT r2 item 2 done-criterion)."""
+    from sax_wasm_spark.operators.similarity import ivf_build, ivf_query
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    assigned, centroids = ivf_build(emb.where(F.col("vec_id") != 0), n_lists=8, n_iter=1)
+    path = str(tmp_path / "ivf_pruned")
+    assigned.write.partitionBy("list_id").parquet(path)
+    stored = spark.read.parquet(path)
+    plan = plan_of(ivf_query(stored, centroids, query, k=5, n_probe=2))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan[:3000]
+
+
 def test_whole_stage_codegen_present(spark):
     df = q01_pricing_summary(spark, SF)
     df.collect()  # AQE finalizes the physical plan only on execution
