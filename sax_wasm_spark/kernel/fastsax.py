@@ -364,81 +364,202 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                 if b0 == 0x3C:
                     state = S_LT
                     break
+                # ---- fused text-run loop ----
+                # A multi-line text run used to cost one outer iteration
+                # per line ('\n' flush → SKIP_WS → BEGIN_WS → TEXT).
+                # This loop performs the whole cycle inline — newline
+                # flush at (fll, flc, fpos), whitespace skip, text
+                # restart — and only returns to the outer loop at '<'
+                # or EOF. Every committed step is exactly what the
+                # stepping handlers would have committed.
                 if b0 == 0x0A:
-                    # newline flushes text at (ll, lc, lcp)
-                    if tx_on:
-                        tx_on = False
-                        if not (tx_h0 == lcp and not tx_val):
-                            val, ok = _mat(tx_val, buf, tx_h0, lcp)
-                            if ev_text and ok:
-                                append((0, len(rows), None, val, None, None, None, None,
-                                        None, None, tx_sl, tx_sc, ll, lc, None, None,
-                                        None, None, tx_b0, lcp))
-                    state = S_SKIP_WS
-                    # fuse the SKIP_WS step for the next grapheme (the
-                    # pending text was just flushed, so the handler's
-                    # text-reset is a no-op; parser.rs:411-425)
-                    if cursor < n:
+                    fll, flc, fpos = ll, lc, lcp
+                    do_nl = True
+                else:
+                    do_nl = False
+                redisp = False
+                while True:
+                    if do_nl:
+                        do_nl = False
+                        # newline flushes text at (fll, flc, fpos)
+                        if tx_on:
+                            tx_on = False
+                            if not (tx_h0 == fpos and not tx_val):
+                                val, ok = _mat(tx_val, buf, tx_h0, fpos)
+                                if ev_text and ok:
+                                    append((0, len(rows), None, val, None, None, None, None,
+                                            None, None, tx_sl, tx_sc, fll, flc, None, None,
+                                            None, None, tx_b0, fpos))
+                        state = S_SKIP_WS
+                        if cursor >= n:
+                            break
                         g = buf[cursor]
+                        if g <= 32:
+                            cursor, line, ch, lcp, done = _skipws(buf, n, cursor, line, ch)
+                            if not done:
+                                break  # EOF inside whitespace: stay SKIP_WS
+                            g = buf[cursor]
+                        # consume the first non-ws grapheme (SKIP_WS
+                        # done-arm; its tx reset is a no-op — the text
+                        # was just flushed) and run BEGIN_WS inline
                         gl2 = GL[g] if g >= 0x80 else 1
-                        if cursor + gl2 <= n:
+                        if cursor + gl2 > n:
+                            break
+                        ll = line
+                        lc = ch
+                        ch += 2 if gl2 == 4 else 1
+                        lcp = cursor
+                        cursor += gl2
+                        state = S_BEGIN_WS
+                        if g == 0x3C:
+                            b0 = g
+                            redisp = True  # BEGIN_WS '<' fusion
+                            break
+                        # BEGIN_WS text restart, inline
+                        if want_text:
+                            tx_on = True
+                            tx_val = b""
+                            tx_sl = line
+                            tx_sc = lc
+                            tx_h0 = lcp
+                            tx_h1 = lcp
+                            tx_b0 = lcp
+                        state = S_TEXT
+                        # ---- emulate the DISPATCH of the next grapheme
+                        # (the restart grapheme itself is never re-run
+                        # through the text handler, parser.rs:1213-1222,
+                        # and a directly-dispatched '<' / EOF must NOT
+                        # touch tx_h1 — the reference's one-byte
+                        # hydrate quirk depends on it) ----
+                        if cursor >= n:
+                            break  # EOF right after restart: quirk flush
+                        y = buf[cursor]
+                        if y == 0x3C:
                             ll = line
                             lc = ch
-                            if g == 0x0A:
-                                line += 1
-                                ch = 0
-                            else:
-                                ch += 2 if gl2 == 4 else 1
+                            ch += 1
                             lcp = cursor
-                            cursor += gl2
-                            if g > 32:
-                                b0 = g
-                                state = S_BEGIN_WS
-                                continue
-                            cursor, line, ch, lcp, done = _skipws(buf, n, cursor, line, ch)
-                            if done:
-                                state = S_BEGIN_WS
-                    break
-                # take_until_one_found(TEXT_END, False), inlined
-                m = RE_TEXT_END.search(buf, cursor)
-                if m is not None:
-                    pos = m.start()
-                    if pos != cursor:
+                            cursor += 1
+                            state = S_LT
+                            break  # direct-dispatch arm: no tx_h1 update
+                        gly = GL[y] if y >= 0x80 else 1
+                        if cursor + gly > n:
+                            break
                         ll = line
                         lc = ch
-                        line, ch = _advr(buf, asc, cursor, pos, line, ch)
-                        lcp = pos - 1
-                        cursor = pos
+                        if y == 0x0A:
+                            line += 1
+                            ch = 0
+                            lcp = cursor
+                            cursor += 1
+                            fll, flc, fpos = ll, lc, lcp
+                            do_nl = True
+                            continue
+                        ch += 2 if gly == 4 else 1
+                        lcp = cursor
+                        cursor += gly
+                        # fall through: bulk scan from after y, exactly
+                        # as a TEXT dispatch of y would
+                    # take_until_one_found(TEXT_END, False), inlined
+                    m = RE_TEXT_END.search(buf, cursor)
+                    if m is not None:
+                        pos = m.start()
+                        if buf[pos] == 0x3C:
+                            if pos != cursor:
+                                ll = line
+                                lc = ch
+                                line, ch = _advr(buf, asc, cursor, pos, line, ch)
+                                lcp = pos - 1
+                                cursor = pos
+                            if tx_on:
+                                tx_h1 = cursor
+                            # fuse the '<' step (parser.rs:586-589):
+                            # consume it with exact next() bookkeeping;
+                            # the following grapheme dispatches into LT
+                            ll = line
+                            lc = ch
+                            ch += 1
+                            lcp = cursor
+                            cursor += 1
+                            state = S_LT
+                            break
+                        # '\n': consume it inline and loop
+                        if pos != cursor:
+                            line, ch = _advr(buf, asc, cursor, pos, line, ch)
+                        fll = line
+                        flc = ch
+                        fpos = pos
+                        line += 1
+                        ch = 0
+                        lcp = pos
+                        cursor = pos + 1
+                        do_nl = True
+                        continue
+                    if cursor < n:
+                        ll = line
+                        lc = ch
+                        line, ch = _advr(buf, asc, cursor, n, line, ch)
+                        lcp = n - _last_gl(buf, n)
+                        cursor = n
                     if tx_on:
                         tx_h1 = cursor
-                    # fuse the '<' step: the next outer iteration would
-                    # re-enter this handler just to flip to LT
-                    # (parser.rs:586-589); consume the '<' here with
-                    # exact next() bookkeeping and break — the following
-                    # grapheme dispatches straight into LT
-                    if buf[pos] == 0x3C:
-                        ll = line
-                        lc = ch
-                        ch += 1
-                        lcp = cursor
-                        cursor += 1
-                        state = S_LT
                     break
-                if cursor < n:
-                    ll = line
-                    lc = ch
-                    line, ch = _advr(buf, asc, cursor, n, line, ch)
-                    lcp = n - _last_gl(buf, n)
-                    cursor = n
-                if tx_on:
-                    tx_h1 = cursor
+                if redisp:
+                    continue  # redispatch '<' into BEGIN_WS
                 break
 
             # ---------------- BEGIN_WS ----------------
             if st == S_BEGIN_WS:
                 if b0 == 0x0A:
                     state = S_SKIP_WS
-                    break
+                    # fuse the SKIP_WS round-trip (one outer iteration
+                    # + one dispatch per inter-tag newline): bulk-skip
+                    # the whitespace run and redispatch the next
+                    # grapheme straight back into BEGIN_WS
+                    if cursor >= n:
+                        break
+                    g = buf[cursor]
+                    if g > 32:
+                        gl2 = GL[g] if g >= 0x80 else 1
+                        if cursor + gl2 > n:
+                            break
+                        ll = line
+                        lc = ch
+                        ch += 2 if gl2 == 4 else 1
+                        lcp = cursor
+                        cursor += gl2
+                        # SKIP_WS done-arm: reset pending text AFTER the
+                        # grapheme consume (mirrors the stepping order)
+                        if tx_on:
+                            tx_val = b""
+                            tx_sl = line
+                            tx_sc = ch
+                            tx_h0 = cursor
+                        state = S_BEGIN_WS
+                        b0 = g
+                        continue
+                    cursor, line, ch, lcp, done = _skipws(buf, n, cursor, line, ch)
+                    if not done:
+                        break  # EOF inside whitespace: stay SKIP_WS
+                    # SKIP_WS done-arm (bulk): reset pending text BEFORE
+                    # the next grapheme consume (cursor at the non-ws)
+                    if tx_on:
+                        tx_val = b""
+                        tx_sl = line
+                        tx_sc = ch
+                        tx_h0 = cursor
+                    state = S_BEGIN_WS
+                    nb = buf[cursor]
+                    gl2 = GL[nb] if nb >= 0x80 else 1
+                    if cursor + gl2 > n:
+                        break
+                    ll = line
+                    lc = ch
+                    ch += 2 if gl2 == 4 else 1
+                    lcp = cursor
+                    cursor += gl2
+                    b0 = nb
+                    continue
                 if b0 == 0x3C:
                     tg = [0, 0, None, line, lc, 0, 0, 0, 0, 0, 0]
                     state = S_LT
@@ -487,6 +608,19 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     state = S_BEGIN_WS
                     if b0 > 32:
                         continue  # redispatch current grapheme
+                    # fuse: consume the first non-ws grapheme inline and
+                    # redispatch into BEGIN_WS (saves an outer iteration)
+                    nb = buf[cursor]
+                    gl2 = GL[nb] if nb >= 0x80 else 1
+                    if cursor + gl2 > n:
+                        break
+                    ll = line
+                    lc = ch
+                    ch += 2 if gl2 == 4 else 1
+                    lcp = cursor
+                    cursor += gl2
+                    b0 = nb
+                    continue
                 break
 
             # ---------------- LT ----------------
