@@ -1,0 +1,80 @@
+"""Same-session kernel benchmark: reference WASM vs the Python kernels.
+
+Runs the reference (via node, its own 64 KB-chunk methodology with the
+mask subscribed) INTERLEAVED with fastsax.parse_doc (positions-on) and
+fastsax_np.parse_doc_np (positions-off) over the reference's own 3 MB
+fixture, so host-load noise hits all three alike. Per-engine best-of-
+rounds is the capacity estimate (noise on a shared VM is strictly
+subtractive). Prints ONE JSON line.
+
+Usage: python tools/bench_kernel.py [rounds]
+
+Masks: 0x141 (Text|Attribute|CloseTag — the extraction-like mask used
+by BENCH_BASELINE.md) and 0x381 (OpenTag|CloseTag|Text|Cdata — the
+extractor's actual mask).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+FIXTURE = "/root/reference/src/js/__test__/xml.xml"
+MASKS = (0x141, 0x381)
+
+
+def time_py(fn, data, mask):
+    t = time.perf_counter()
+    fn(data, mask)
+    return (time.perf_counter() - t) * 1000
+
+
+def ref_ms(mask, runs=1):
+    out = subprocess.run(
+        ["node", "/root/repo/tools/ref_bench.mjs", str(mask), str(runs)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return min(json.loads(out.stdout)["runs_ms"])
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    from sax_wasm_spark.kernel.fastsax import parse_doc
+    from sax_wasm_spark.kernel.fastsax_np import parse_doc_np
+
+    with open(FIXTURE, "rb") as f:
+        data = f.read()
+    mb = len(data) / 1e6
+
+    # warm-up (imports, regex compile, WASM JIT)
+    parse_doc(data, MASKS[0])
+    parse_doc_np(data, MASKS[0])
+    ref_ms(MASKS[0], 1)
+
+    result = {"fixture_bytes": len(data), "rounds": rounds, "masks": {}}
+    for mask in MASKS:
+        best = {"ref": 9e9, "pos": 9e9, "np": 9e9}
+        for _ in range(rounds):
+            best["ref"] = min(best["ref"], ref_ms(mask, 1))
+            best["pos"] = min(best["pos"], time_py(parse_doc, data, mask))
+            best["np"] = min(best["np"], time_py(parse_doc_np, data, mask))
+        result["masks"][f"{mask:#x}"] = {
+            "ref_ms": round(best["ref"], 1),
+            "pos_ms": round(best["pos"], 1),
+            "np_ms": round(best["np"], 1),
+            "ref_mb_s": round(mb / best["ref"] * 1000, 2),
+            "pos_mb_s": round(mb / best["pos"] * 1000, 2),
+            "np_mb_s": round(mb / best["np"] * 1000, 2),
+            "np_vs_ref": round(best["ref"] / best["np"], 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
