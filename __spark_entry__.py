@@ -31,7 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF", "/root/testdata/sf0.001")
     pages = _wrapped_docs(spark, sf_dir)
-    ev = tokenize_events(pages, id_cols=("doc_id",))
+    # histogram reads no position columns → positions-off kernel
+    ev = tokenize_events(pages, id_cols=("doc_id",), positions=False)
     return (
         ev.groupBy("event")
         .agg(F.count("*").alias("n_events"), F.countDistinct("doc_id").alias("n_docs"))

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 
 from ..kernel.collect import ALL_EVENTS, EventCollector
 from ..kernel.fastsax import parse_doc_flat
+from ..kernel.fastsax_np import parse_doc_flat_np
 from ..kernel.saxkernel import SaxParser
 
 _EVENT_FIELDS = [
@@ -71,12 +72,21 @@ def tokenize_events(
     id_cols: tuple[str, ...] = ("url",),
     events: int = ALL_EVENTS,
     chunk_size: int = 0,
+    positions: bool = True,
 ) -> DataFrame:
     """One output row per SAX event, flat columns (FIXTURES.md §2).
 
     ``chunk_size`` > 0 streams each document through the parser in
     fixed-size writes (event values are identical; used for streaming-
     parity tests). The id columns are repeated per event row.
+
+    ``positions=False`` runs the positions-off kernel (fastsax_np):
+    line/char columns come back 0, byte offsets stay exact, the parse
+    is ~1.5x faster — the Python-stage analogue of column pruning.
+    Pass it whenever downstream never reads the position columns
+    (the extractor and the event-histogram/text/attribute queries);
+    the position surface itself is oracle-checked by sax_positions,
+    which keeps the default.
 
     Output batches are built as pyarrow RecordBatches directly
     (``mapInArrow``): the kernel's row tuples are transposed once and
@@ -117,9 +127,11 @@ def tokenize_events(
                         parser.write(data[o : o + chunk_size])
                     parser.end()
                     rows = collector.rows
-                else:
+                elif positions:
                     # hot path: single-shot kernel w/ automatic FSM fallback
                     rows = parse_doc_flat(data, events)
+                else:
+                    rows = parse_doc_flat_np(data, events)
                 if rows:
                     for j in range(n_id):
                         out_ids[j].extend([ids[j][i]] * len(rows))

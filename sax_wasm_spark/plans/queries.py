@@ -691,9 +691,9 @@ def sax_text_events(spark, sf_dir):
     """Parse wrapped docs; emit each Text event's value and byte span.
     Oracle: the wrapper is fixed, the text single-line ASCII → exactly
     one Text event per doc, value = text, byte span computable from
-    string lengths."""
+    string lengths. Positions unread → positions-off kernel."""
     pages = _wrapped_docs(spark, sf_dir)
-    ev = tokenize_events(pages, id_cols=("doc_id",), events=1 << 0)
+    ev = tokenize_events(pages, id_cols=("doc_id",), events=1 << 0, positions=False)
     return (
         ev.where(F.col("event") == 0)
         .select(
@@ -718,11 +718,78 @@ def sax_text_events_sql():
     """
 
 
+def sax_positions(spark, sf_dir):
+    """Line/char position surface, oracle-checked end-to-end: the
+    wrapper is ONE line of ASCII, so every event's (line, char)
+    coordinates — including the open-end and close-start pairs and the
+    reference's off-by-N quirks baked into the kernel — are exact
+    closed forms of len(doc_id) and strlen(text). Until round 3 the
+    position fields were pinned only by WASM parity + frozen goldens;
+    this row makes the driver's cross-engine gate cover them too."""
+    pages = _wrapped_docs(spark, sf_dir)
+    ev = tokenize_events(
+        pages, id_cols=("doc_id",), events=(1 << 0) | (1 << 7) | (1 << 8)
+    )
+    return ev.select(
+        "doc_id",
+        "event_idx",
+        "event",
+        "name",
+        "line_start",
+        "char_start",
+        "line_end",
+        "char_end",
+        "open_end_line",
+        "open_end_char",
+        "close_start_line",
+        "close_start_char",
+        "byte_start",
+        "byte_end",
+    ).orderBy("doc_id", "event_idx")
+
+
+def sax_positions_sql():
+    p = len(_DOC_PREFIX)
+    m = len(_DOC_MID)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST({p} + length(CAST(doc_id AS VARCHAR)) + 2 AS BIGINT) AS ode,
+             CAST({p} + length(CAST(doc_id AS VARCHAR)) + {m} AS BIGINT) AS ts,
+             CAST(strlen(text) AS BIGINT) AS t
+      FROM documents
+    )
+    SELECT doc_id, event_idx, event, name,
+           line_start, char_start, line_end, char_end,
+           open_end_line, open_end_char, close_start_line, close_start_char,
+           byte_start, byte_end
+    FROM (
+      SELECT doc_id, 0 AS event_idx, 7 AS event, 'doc' AS name,
+             CAST(0 AS BIGINT) AS line_start, CAST(0 AS BIGINT) AS char_start,
+             CAST(0 AS BIGINT) AS line_end, CAST(0 AS BIGINT) AS char_end,
+             CAST(0 AS BIGINT) AS open_end_line, ode AS open_end_char,
+             CAST(0 AS BIGINT) AS close_start_line, CAST(0 AS BIGINT) AS close_start_char,
+             CAST(0 AS BIGINT) AS byte_start, ode AS byte_end
+      FROM d
+      UNION ALL
+      SELECT doc_id, 1, 7, 'body', 0, ode, 0, 0, 0, ode + 6, 0, 0, ode, ode + 6 FROM d
+      UNION ALL
+      SELECT doc_id, 2, 0, NULL, 0, ts, 0, ts + t, NULL, NULL, NULL, NULL, ts, ts + t FROM d
+      UNION ALL
+      SELECT doc_id, 3, 8, 'body', 0, ode, 0, ts + t + 7, 0, ts, 0, ts + t, ode, ts + t + 7 FROM d
+      UNION ALL
+      SELECT doc_id, 4, 8, 'doc', 0, 0, 0, ts + t + 13, 0, ode, 0, ts + t + 7, 0, ts + t + 13 FROM d
+    )
+    ORDER BY doc_id, event_idx
+    """
+
+
 def sax_event_counts(spark, sf_dir):
     """Event-type histogram per document vs the statically known stream:
-    2 OpenTagStart, 1 Attribute, 2 OpenTag, 2 CloseTag, 1 Text."""
+    2 OpenTagStart, 1 Attribute, 2 OpenTag, 2 CloseTag, 1 Text.
+    Position columns are never read → positions-off kernel."""
     pages = _wrapped_docs(spark, sf_dir)
-    ev = tokenize_events(pages, id_cols=("doc_id",))
+    ev = tokenize_events(pages, id_cols=("doc_id",), positions=False)
     return (
         ev.groupBy("doc_id", "event")
         .agg(F.count("*").alias("n"))
@@ -744,9 +811,10 @@ def sax_event_counts_sql():
 
 
 def sax_attributes(spark, sf_dir):
-    """Attribute decode: the wrapper's id attribute must round-trip."""
+    """Attribute decode: the wrapper's id attribute must round-trip.
+    Positions unread → positions-off kernel."""
     pages = _wrapped_docs(spark, sf_dir)
-    ev = tokenize_events(pages, id_cols=("doc_id",), events=1 << 6)
+    ev = tokenize_events(pages, id_cols=("doc_id",), events=1 << 6, positions=False)
     return (
         ev.where(F.col("event") == 6)
         .select(
@@ -1379,6 +1447,7 @@ QUERIES = {
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_ann_int_lsh": q34_ann_int_lsh,
     "q35_token_stats_grouped": q35_token_stats_grouped,
+    "sax_positions": sax_positions,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -1421,6 +1490,7 @@ ORACLES = {
     "q33_bpe_tokens": q33_sql(),
     "q34_ann_int_lsh": q34_sql(),
     "q35_token_stats_grouped": q35_sql(),
+    "sax_positions": sax_positions_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),
