@@ -273,6 +273,7 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
 
     rows: list[tuple] = []
     append = rows.append
+    seq = 0
 
     cursor = 0
     line = 0
@@ -283,7 +284,6 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
     state = S_BEGIN
     brace_ct = 0
     quote = 0
-    first = True  # BOM only honored as the very first grapheme
 
     # pending text (mirrors parser text buffer)
     tx_on = False
@@ -328,36 +328,458 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
     pi_ch0 = pi_ch1 = 0
     pi_c_sl = pi_c_sc = 0
 
+    # BOM handled before the loop (saves the per-grapheme `first`
+    # check). The BOM grapheme was consumed through the stepping
+    # preamble, so it counts one column (ch = 1) and its lcp is never
+    # observed — the next iteration overwrites it.
+    state = S_BEGIN_WS
+    if buf[:3] == b"\xef\xbb\xbf":
+        cursor = 3
+        ch = 1
+
     while cursor < n:
         b0 = buf[cursor]
-        if b0 < 0x80:
-            gl = 1
-        else:
-            gl = GL[b0]
-        gend = cursor + gl
-        if gend > n:
-            return None  # cannot happen on valid UTF-8; defensive
         ll = line
         lc = ch
-        if b0 == 0x0A:
-            line += 1
-            ch = 0
+        if b0 < 0x80:
+            # ASCII fast path: no length table, no truncation guard
+            if b0 == 0x0A:
+                line += 1
+                ch = 0
+            else:
+                ch += 1
+            lcp = cursor
+            cursor += 1
         else:
+            gl = GL[b0]
+            gend = cursor + gl
+            if gend > n:
+                return None  # cannot happen on valid UTF-8; defensive
             ch += 2 if gl == 4 else 1
-        lcp = cursor
-        cursor = gend
-
-        if first:
-            first = False
-            if state == S_BEGIN:
-                state = S_BEGIN_WS
-                if gl == 3 and buf[0:3] == b"\xef\xbb\xbf":
-                    continue
+            lcp = cursor
+            cursor = gend
 
         # inner redispatch loop: a handler that chains into another
         # handler on the SAME grapheme sets `state` and loops again
         while True:
             st = state
+
+            # ---------------- BEGIN_WS ----------------
+            if st == S_BEGIN_WS:
+                if b0 == 0x0A:
+                    state = S_SKIP_WS
+                    # fuse the SKIP_WS round-trip (one outer iteration
+                    # + one dispatch per inter-tag newline): bulk-skip
+                    # the whitespace run and redispatch the next
+                    # grapheme straight back into BEGIN_WS
+                    if cursor >= n:
+                        break
+                    g = buf[cursor]
+                    if g > 32:
+                        gl2 = GL[g] if g >= 0x80 else 1
+                        if cursor + gl2 > n:
+                            break
+                        ll = line
+                        lc = ch
+                        ch += 2 if gl2 == 4 else 1
+                        lcp = cursor
+                        cursor += gl2
+                        # SKIP_WS done-arm: reset pending text AFTER the
+                        # grapheme consume (mirrors the stepping order)
+                        if tx_on:
+                            tx_val = b""
+                            tx_sl = line
+                            tx_sc = ch
+                            tx_h0 = cursor
+                        state = S_BEGIN_WS
+                        b0 = g
+                        continue
+                    cursor, line, ch, lcp, done = _skipws(buf, n, cursor, line, ch)
+                    if not done:
+                        break  # EOF inside whitespace: stay SKIP_WS
+                    # SKIP_WS done-arm (bulk): reset pending text BEFORE
+                    # the next grapheme consume (cursor at the non-ws)
+                    if tx_on:
+                        tx_val = b""
+                        tx_sl = line
+                        tx_sc = ch
+                        tx_h0 = cursor
+                    state = S_BEGIN_WS
+                    nb = buf[cursor]
+                    gl2 = GL[nb] if nb >= 0x80 else 1
+                    if cursor + gl2 > n:
+                        break
+                    ll = line
+                    lc = ch
+                    ch += 2 if gl2 == 4 else 1
+                    lcp = cursor
+                    cursor += gl2
+                    b0 = nb
+                    continue
+                if b0 == 0x3C:
+                    tg = [0, 0, None, line, lc, 0, 0, 0, 0, 0, 0]
+                    state = S_LT
+                    # fuse next(): consume the grapheme after '<' and
+                    # chain straight into the LT handler
+                    if cursor < n:
+                        b0 = buf[cursor]
+                        gl = GL[b0] if b0 >= 0x80 else 1
+                        if cursor + gl <= n:
+                            ll = line
+                            lc = ch
+                            if b0 == 0x0A:
+                                line += 1
+                                ch = 0
+                            else:
+                                ch += 2 if gl == 4 else 1
+                            lcp = cursor
+                            cursor += gl
+                            continue
+                    break
+                if not tx_on and want_text:
+                    tx_on = True
+                    tx_val = b""
+                    tx_sl = line
+                    tx_sc = lc
+                    tx_h0 = lcp
+                    tx_h1 = lcp
+                    tx_b0 = lcp
+                # new_text only sets state; this grapheme is NOT re-run
+                # through the text handler (parser.rs:1213-1222 returns)
+                state = S_TEXT
+                break
+
+            # ---------------- LT ----------------
+            if st == S_LT:
+                fl_ch = ch - 2 if ch >= 2 else 0
+                fl_off = lcp - 1 if lcp >= 1 else 0
+                is_name = (
+                    (0x61 <= b0 <= 0x7A)
+                    or (0x41 <= b0 <= 0x5A)
+                    or b0 == 0x3A
+                    or b0 == 0x5F
+                    or (b0 > 0x7F and is_name_start_char(buf[lcp:cursor]))
+                )
+                if is_name:
+                    tg[0] = lcp
+                    tg[1] = cursor
+                    state = S_OPEN_TAG
+                    if tx_on:
+                        tx_on = False
+                        if not (tx_h0 == fl_off and not tx_val):
+                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
+                            if ev_text and ok:
+                                append((0, seq, None, val, None, None, None, None,
+                                        None, None, tx_sl, tx_sc, line, fl_ch, None,
+                                        None, None, None, tx_b0, fl_off))
+                                seq += 1
+                    continue  # redispatch into OPEN_TAG
+                if b0 == 0x21:  # '!'
+                    state = S_MARKUP_DECL
+                    md_on = True
+                    md_sl = line
+                    md_sc = lc
+                    md_b0 = cursor - 2 if cursor >= 2 else 0
+                    md_h0 = cursor - 1 if cursor >= 1 else 0
+                    md_h1 = cursor
+                    md_val = b"<"
+                    md_b1 = 0
+                    # ---- fused comment / CDATA classification ----
+                    # emulates consuming the classifier graphemes ('--' or
+                    # '[CDATA[', all ASCII) exactly as markup_decl would
+                    # (parser.rs:630-692), then scans for the exact
+                    # terminator in one step; bails with nothing extra
+                    # consumed on EOF. The pending text must flush FIRST
+                    # (the FSM flushes at the end of less_than, before any
+                    # further grapheme is consumed).
+                    if tx_on:
+                        tx_on = False
+                        if not (tx_h0 == fl_off and not tx_val):
+                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
+                            if ev_text and ok:
+                                append((0, seq, None, val, None, None, None, None,
+                                        None, None, tx_sl, tx_sc, line, fl_ch, None, None,
+                                        None, None, tx_b0, fl_off))
+                                seq += 1
+                    nxt2 = buf[cursor : cursor + 2]
+                    if nxt2 == b"--":
+                        ch += 2
+                        cursor += 2
+                        md_sl = line
+                        md_sc = ch - 4 if ch >= 4 else 0
+                        md_val = b""
+                        md_h0 = cursor
+                        md_h1 = 0
+                        md_b1 = cursor - 4 if cursor >= 4 else 0
+                        state = S_COMMENT
+                        epos = buf.find(b"-->", cursor)
+                        if epos >= 0:
+                            line, ch = _advr(buf, asc, cursor, epos + 3, line, ch)
+                            body = buf[md_h0:epos]
+                            cursor = epos + 3
+                            lcp = cursor - 1
+                            if ev_comment:
+                                append((4, seq, None, body, None, None, None,
+                                        None, None, None, md_sl, md_sc, line, ch,
+                                        None, None, None, None, md_b0, cursor))
+                                seq += 1
+                            md_on = False
+                            md_val = b""
+                            state = S_BEGIN_WS
+                    elif nxt2 == b"[C" or nxt2 == b"[c":
+                        if buf[cursor : cursor + 7].lower() == b"[cdata[":
+                            ch += 7
+                            cursor += 7
+                            md_sl = line
+                            md_sc = ch - 9 if ch >= 9 else 0
+                            md_b1 = cursor - 9 if cursor >= 9 else 0
+                            md_val = b""
+                            md_h0 = cursor
+                            md_h1 = 0
+                            state = S_CDATA
+                            epos = buf.find(b"]]>", cursor)
+                            if epos >= 0:
+                                line, ch = _advr(buf, asc, cursor, epos + 3, line, ch)
+                                body = buf[md_h0:epos]
+                                cursor = epos + 3
+                                lcp = cursor - 1
+                                if ev_cdata:
+                                    append((9, seq, None, body, None, None, None,
+                                            None, None, None, md_sl, md_sc, line, ch,
+                                            None, None, None, None, md_b0, cursor))
+                                    seq += 1
+                                md_on = False
+                                md_val = b""
+                                state = S_BEGIN_WS
+                elif b0 == 0x2F:  # '/'
+                    state = S_CLOSE_TAG
+                    tg[7] = line
+                    tg[8] = lc - 1 if lc >= 1 else 0
+                    cl_h0 = lcp
+                    cl_h1 = 0
+                    # fuse next(): chain straight into the close-tag
+                    # handler for the grapheme after '/'
+                    if tx_on:
+                        tx_on = False
+                        if not (tx_h0 == fl_off and not tx_val):
+                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
+                            if ev_text and ok:
+                                append((0, seq, None, val, None, None, None, None,
+                                        None, None, tx_sl, tx_sc, line, fl_ch, None, None,
+                                        None, None, tx_b0, fl_off))
+                                seq += 1
+                    if cursor < n:
+                        b0 = buf[cursor]
+                        gl = GL[b0] if b0 >= 0x80 else 1
+                        if cursor + gl <= n:
+                            ll = line
+                            lc = ch
+                            if b0 == 0x0A:
+                                line += 1
+                                ch = 0
+                            else:
+                                ch += 2 if gl == 4 else 1
+                            lcp = cursor
+                            cursor += gl
+                            continue
+                    break
+                elif b0 == 0x3F:  # '?'
+                    state = S_PROC_INST
+                    pi_sl = line
+                    pi_sc = ch - 2 if ch >= 2 else 0
+                    pi_th0 = lcp - 1 if lcp >= 1 else 0
+                    pi_th1 = cursor
+                    pi_b0 = cursor - 2 if cursor >= 2 else 0
+                    pi_t_el = pi_t_ec = 0
+                    pi_ch0 = pi_ch1 = 0
+                    pi_c_sl = pi_c_sc = 0
+                elif b0 == 0x3E:  # '>' : JSX fragment
+                    if tx_on:
+                        tx_on = False
+                        if not (tx_h0 == fl_off and not tx_val):
+                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
+                            if ev_text and ok:
+                                append((0, seq, None, val, None, None, None, None,
+                                        None, None, tx_sl, tx_sc, line, fl_ch, None,
+                                        None, None, None, tx_b0, fl_off))
+                                seq += 1
+                    # process_open_tag(False)
+                    tg[5] = line
+                    tg[6] = ch
+                    tg[10] = cursor
+                    if ev_ot:
+                        nm = _name_mat(buf, tg)
+                        tg[2] = nm
+                        tg[0] = tg[1] = 0
+                        append((7, seq, nm.decode("utf-8", "replace"), None, None,
+                                None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                        seq += 1
+                    tags.append(tg)
+                    tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
+                    state = S_BEGIN_WS
+                    break
+                else:
+                    # '< foo' is text, not a tag
+                    if not tx_on and want_text:
+                        tx_on = True
+                        tx_val = b""
+                        tx_sl = line
+                        tx_sc = ch
+                        tx_h0 = lcp
+                        tx_h1 = lcp
+                        tx_b0 = lcp
+                    state = S_TEXT
+                    break
+                # '!', '/', '?' arms flush pending text at the end
+                if tx_on:
+                    tx_on = False
+                    if not (tx_h0 == fl_off and not tx_val):
+                        val, ok = _mat(tx_val, buf, tx_h0, fl_off)
+                        if ev_text and ok:
+                            append((0, seq, None, val, None, None, None, None,
+                                    None, None, tx_sl, tx_sc, line, fl_ch, None, None,
+                                    None, None, tx_b0, fl_off))
+                            seq += 1
+                break
+
+            # ---------------- OPEN_TAG ----------------
+            if st == S_OPEN_TAG:
+                tg[3] = line
+                tg[4] = ch - 2 if ch >= 2 else 0
+                tg[9] = cursor - 2 if cursor >= 2 else 0
+                byte = b0
+                if byte not in TAG_NAME_END:
+                    m = RE_TAG_NAME_END.search(buf, cursor)
+                    if m is not None:
+                        # common case inlined (the precheck cannot hit:
+                        # the current grapheme is not a terminator)
+                        pos = m.start()
+                        ll = line
+                        lc = ch
+                        if pos != cursor:
+                            line, ch = _advr(buf, asc, cursor, pos, line, ch)
+                        matched = buf[pos]
+                        if matched == 0x0A:
+                            line += 1
+                            ch = 0
+                        else:
+                            ch += 1
+                        lcp = pos
+                        cursor = pos + 1
+                        byte = matched
+                        tg[1] = lcp
+                    else:
+                        k, cursor2, line2, ch2, lcp2, lastb, found = _tuof(
+                            buf, n, asc, RE_TAG_NAME_END, TAG_NAME_END, cursor, line, ch, True
+                        )
+                        if k == 2:
+                            ll, lc = line, ch
+                            cursor, line, ch, lcp = cursor2, line2, ch2, lcp2
+                            byte = lastb
+                            tg[1] = lcp if found else cursor
+                        else:
+                            tg[1] = lcp
+                if ev_ots:
+                    nm = _name_mat(buf, tg)
+                    tg[2] = nm
+                    tg[0] = tg[1] = 0
+                    append((5, seq, nm.decode("utf-8", "replace"), None, None,
+                            None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                    seq += 1
+                if byte == 0x3E:
+                    tg[5] = line
+                    tg[6] = ch
+                    tg[10] = cursor
+                    if ev_ot:
+                        nm = _name_mat(buf, tg)
+                        tg[2] = nm
+                        tg[0] = tg[1] = 0
+                        append((7, seq, nm.decode("utf-8", "replace"), None, None,
+                                None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                        seq += 1
+                    tags.append(tg)
+                    tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
+                    state = S_BEGIN_WS
+                elif byte == 0x2F:
+                    state = S_OPEN_SLASH
+                elif byte in (0x20, 0x09, 0x0A, 0x0D):
+                    state = S_ATTRIB
+                break
+
+            # ---------------- CLOSE_TAG ----------------
+            if st == S_CLOSE_TAG:
+                byte = b0
+                if byte != 0x3E:
+                    offset = 0
+                    start = lcp
+                    k, cursor2, line2, ch2, lcp2, lastb, found = _tuof(buf, n, asc, RE_CLOSE_END, b"> ", cursor, line, ch, True
+                    )
+                    if k != 0:
+                        byte = lastb
+                        offset = 1 if found else 0
+                        if k == 2:
+                            ll, lc = line, ch
+                            cursor, line, ch, lcp = cursor2, line2, ch2, lcp2
+                    cl_h0 = start
+                    cl_h1 = cursor - offset
+                if byte == 0x3E:
+                    # ---- process_close_tag ----
+                    state = S_BEGIN_WS
+                    close_name, _ok = _mat(b"", buf, cl_h0, cl_h1)
+                    cl_h0 = cl_h1 = 0
+                    found_i = -1
+                    for i in range(len(tags) - 1, -1, -1):
+                        if _name_of(buf, tags[i]) == close_name:
+                            e = tags[i]
+                            e[7] = tg[7]
+                            e[8] = tg[8]
+                            found_i = i
+                            break
+                    if found_i < 0:
+                        # orphan close → text
+                        if not tx_on:
+                            tx_on = True
+                            tx_b0 = 0
+                            tx_sl = tx_sc = 0
+                        tx_val = b"</" + close_name + b">"
+                        tx_sl = tg[7]
+                        tx_sc = tg[8]
+                        tx_h0 = 0
+                        tx_h1 = 0
+                        # flush_text(line, ch, 0)
+                        tx_on = False
+                        if tx_val:  # h0==h1==0 but value non-empty
+                            if ev_text:
+                                append((0, seq, None, tx_val, None, None, None,
+                                        None, None, None, tx_sl, tx_sc, line, ch, None,
+                                        None, None, None, tx_b0, 0))
+                                seq += 1
+                        break
+                    e = tags[found_i]
+                    # close_end + byte_range.1 on the matched tag
+                    e_ce_l, e_ce_c = line, ch
+                    e[10] = cursor
+                    if not ev_ct:
+                        keep = found_i if found_i > 1 else 1
+                        del tags[keep:]
+                        break
+                    while len(tags) > found_i:
+                        e2 = tags.pop()
+                        nm = _name_mat(buf, e2)
+                        if e2 is e:
+                            ce_l, ce_c = e_ce_l, e_ce_c
+                            cs_l, cs_c = e2[7], e2[8]
+                        else:
+                            ce_l, ce_c = 0, 0
+                            cs_l, cs_c = e2[7], e2[8]
+                        append((8, seq, nm.decode("utf-8", "replace"), None, None,
+                                None, None, False, None, None, e2[3], e2[4], ce_l, ce_c,
+                                e2[5], e2[6], cs_l, cs_c, e2[9], e2[10]))
+                        seq += 1
+                    break
+                if byte == 0x20:
+                    cursor, line, ch, lcp, _d = _skipws(buf, n, cursor, line, ch)
+                break
 
             # ---------------- TEXT ----------------
             if st == S_TEXT:
@@ -387,9 +809,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                             if not (tx_h0 == fpos and not tx_val):
                                 val, ok = _mat(tx_val, buf, tx_h0, fpos)
                                 if ev_text and ok:
-                                    append((0, len(rows), None, val, None, None, None, None,
+                                    append((0, seq, None, val, None, None, None, None,
                                             None, None, tx_sl, tx_sc, fll, flc, None, None,
                                             None, None, tx_b0, fpos))
+                                    seq += 1
                         state = S_SKIP_WS
                         if cursor >= n:
                             break
@@ -508,368 +931,6 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     continue  # redispatch '<' into BEGIN_WS
                 break
 
-            # ---------------- BEGIN_WS ----------------
-            if st == S_BEGIN_WS:
-                if b0 == 0x0A:
-                    state = S_SKIP_WS
-                    # fuse the SKIP_WS round-trip (one outer iteration
-                    # + one dispatch per inter-tag newline): bulk-skip
-                    # the whitespace run and redispatch the next
-                    # grapheme straight back into BEGIN_WS
-                    if cursor >= n:
-                        break
-                    g = buf[cursor]
-                    if g > 32:
-                        gl2 = GL[g] if g >= 0x80 else 1
-                        if cursor + gl2 > n:
-                            break
-                        ll = line
-                        lc = ch
-                        ch += 2 if gl2 == 4 else 1
-                        lcp = cursor
-                        cursor += gl2
-                        # SKIP_WS done-arm: reset pending text AFTER the
-                        # grapheme consume (mirrors the stepping order)
-                        if tx_on:
-                            tx_val = b""
-                            tx_sl = line
-                            tx_sc = ch
-                            tx_h0 = cursor
-                        state = S_BEGIN_WS
-                        b0 = g
-                        continue
-                    cursor, line, ch, lcp, done = _skipws(buf, n, cursor, line, ch)
-                    if not done:
-                        break  # EOF inside whitespace: stay SKIP_WS
-                    # SKIP_WS done-arm (bulk): reset pending text BEFORE
-                    # the next grapheme consume (cursor at the non-ws)
-                    if tx_on:
-                        tx_val = b""
-                        tx_sl = line
-                        tx_sc = ch
-                        tx_h0 = cursor
-                    state = S_BEGIN_WS
-                    nb = buf[cursor]
-                    gl2 = GL[nb] if nb >= 0x80 else 1
-                    if cursor + gl2 > n:
-                        break
-                    ll = line
-                    lc = ch
-                    ch += 2 if gl2 == 4 else 1
-                    lcp = cursor
-                    cursor += gl2
-                    b0 = nb
-                    continue
-                if b0 == 0x3C:
-                    tg = [0, 0, None, line, lc, 0, 0, 0, 0, 0, 0]
-                    state = S_LT
-                    # fuse next(): consume the grapheme after '<' and
-                    # chain straight into the LT handler
-                    if cursor < n:
-                        b0 = buf[cursor]
-                        gl = GL[b0] if b0 >= 0x80 else 1
-                        if cursor + gl <= n:
-                            ll = line
-                            lc = ch
-                            if b0 == 0x0A:
-                                line += 1
-                                ch = 0
-                            else:
-                                ch += 2 if gl == 4 else 1
-                            lcp = cursor
-                            cursor += gl
-                            continue
-                    break
-                if not tx_on and want_text:
-                    tx_on = True
-                    tx_val = b""
-                    tx_sl = line
-                    tx_sc = lc
-                    tx_h0 = lcp
-                    tx_h1 = lcp
-                    tx_b0 = lcp
-                # new_text only sets state; this grapheme is NOT re-run
-                # through the text handler (parser.rs:1213-1222 returns)
-                state = S_TEXT
-                break
-
-            # ---------------- SKIP_WS ----------------
-            if st == S_SKIP_WS:
-                if b0 > 32:
-                    done = True
-                else:
-                    cursor, line, ch, lcp, done = _skipws(buf, n, cursor, line, ch)
-                if done:
-                    if tx_on:
-                        tx_val = b""
-                        tx_sl = line
-                        tx_sc = ch
-                        tx_h0 = cursor
-                    state = S_BEGIN_WS
-                    if b0 > 32:
-                        continue  # redispatch current grapheme
-                    # fuse: consume the first non-ws grapheme inline and
-                    # redispatch into BEGIN_WS (saves an outer iteration)
-                    nb = buf[cursor]
-                    gl2 = GL[nb] if nb >= 0x80 else 1
-                    if cursor + gl2 > n:
-                        break
-                    ll = line
-                    lc = ch
-                    ch += 2 if gl2 == 4 else 1
-                    lcp = cursor
-                    cursor += gl2
-                    b0 = nb
-                    continue
-                break
-
-            # ---------------- LT ----------------
-            if st == S_LT:
-                fl_ch = ch - 2 if ch >= 2 else 0
-                fl_off = lcp - 1 if lcp >= 1 else 0
-                is_name = (
-                    (0x61 <= b0 <= 0x7A)
-                    or (0x41 <= b0 <= 0x5A)
-                    or b0 == 0x3A
-                    or b0 == 0x5F
-                    or (b0 > 0x7F and is_name_start_char(buf[lcp:cursor]))
-                )
-                if is_name:
-                    tg[0] = lcp
-                    tg[1] = cursor
-                    state = S_OPEN_TAG
-                    if tx_on:
-                        tx_on = False
-                        if not (tx_h0 == fl_off and not tx_val):
-                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
-                            if ev_text and ok:
-                                append((0, len(rows), None, val, None, None, None, None,
-                                        None, None, tx_sl, tx_sc, line, fl_ch, None,
-                                        None, None, None, tx_b0, fl_off))
-                    continue  # redispatch into OPEN_TAG
-                if b0 == 0x21:  # '!'
-                    state = S_MARKUP_DECL
-                    md_on = True
-                    md_sl = line
-                    md_sc = lc
-                    md_b0 = cursor - 2 if cursor >= 2 else 0
-                    md_h0 = cursor - 1 if cursor >= 1 else 0
-                    md_h1 = cursor
-                    md_val = b"<"
-                    md_b1 = 0
-                    # ---- fused comment / CDATA classification ----
-                    # emulates consuming the classifier graphemes ('--' or
-                    # '[CDATA[', all ASCII) exactly as markup_decl would
-                    # (parser.rs:630-692), then scans for the exact
-                    # terminator in one step; bails with nothing extra
-                    # consumed on EOF. The pending text must flush FIRST
-                    # (the FSM flushes at the end of less_than, before any
-                    # further grapheme is consumed).
-                    if tx_on:
-                        tx_on = False
-                        if not (tx_h0 == fl_off and not tx_val):
-                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
-                            if ev_text and ok:
-                                append((0, len(rows), None, val, None, None, None, None,
-                                        None, None, tx_sl, tx_sc, line, fl_ch, None, None,
-                                        None, None, tx_b0, fl_off))
-                    nxt2 = buf[cursor : cursor + 2]
-                    if nxt2 == b"--":
-                        ch += 2
-                        cursor += 2
-                        md_sl = line
-                        md_sc = ch - 4 if ch >= 4 else 0
-                        md_val = b""
-                        md_h0 = cursor
-                        md_h1 = 0
-                        md_b1 = cursor - 4 if cursor >= 4 else 0
-                        state = S_COMMENT
-                        epos = buf.find(b"-->", cursor)
-                        if epos >= 0:
-                            line, ch = _advr(buf, asc, cursor, epos + 3, line, ch)
-                            body = buf[md_h0:epos]
-                            cursor = epos + 3
-                            lcp = cursor - 1
-                            if ev_comment:
-                                append((4, len(rows), None, body, None, None, None,
-                                        None, None, None, md_sl, md_sc, line, ch,
-                                        None, None, None, None, md_b0, cursor))
-                            md_on = False
-                            md_val = b""
-                            state = S_BEGIN_WS
-                    elif nxt2 == b"[C" or nxt2 == b"[c":
-                        if buf[cursor : cursor + 7].lower() == b"[cdata[":
-                            ch += 7
-                            cursor += 7
-                            md_sl = line
-                            md_sc = ch - 9 if ch >= 9 else 0
-                            md_b1 = cursor - 9 if cursor >= 9 else 0
-                            md_val = b""
-                            md_h0 = cursor
-                            md_h1 = 0
-                            state = S_CDATA
-                            epos = buf.find(b"]]>", cursor)
-                            if epos >= 0:
-                                line, ch = _advr(buf, asc, cursor, epos + 3, line, ch)
-                                body = buf[md_h0:epos]
-                                cursor = epos + 3
-                                lcp = cursor - 1
-                                if ev_cdata:
-                                    append((9, len(rows), None, body, None, None, None,
-                                            None, None, None, md_sl, md_sc, line, ch,
-                                            None, None, None, None, md_b0, cursor))
-                                md_on = False
-                                md_val = b""
-                                state = S_BEGIN_WS
-                elif b0 == 0x2F:  # '/'
-                    state = S_CLOSE_TAG
-                    tg[7] = line
-                    tg[8] = lc - 1 if lc >= 1 else 0
-                    cl_h0 = lcp
-                    cl_h1 = 0
-                    # fuse next(): chain straight into the close-tag
-                    # handler for the grapheme after '/'
-                    if tx_on:
-                        tx_on = False
-                        if not (tx_h0 == fl_off and not tx_val):
-                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
-                            if ev_text and ok:
-                                append((0, len(rows), None, val, None, None, None, None,
-                                        None, None, tx_sl, tx_sc, line, fl_ch, None, None,
-                                        None, None, tx_b0, fl_off))
-                    if cursor < n:
-                        b0 = buf[cursor]
-                        gl = GL[b0] if b0 >= 0x80 else 1
-                        if cursor + gl <= n:
-                            ll = line
-                            lc = ch
-                            if b0 == 0x0A:
-                                line += 1
-                                ch = 0
-                            else:
-                                ch += 2 if gl == 4 else 1
-                            lcp = cursor
-                            cursor += gl
-                            continue
-                    break
-                elif b0 == 0x3F:  # '?'
-                    state = S_PROC_INST
-                    pi_sl = line
-                    pi_sc = ch - 2 if ch >= 2 else 0
-                    pi_th0 = lcp - 1 if lcp >= 1 else 0
-                    pi_th1 = cursor
-                    pi_b0 = cursor - 2 if cursor >= 2 else 0
-                    pi_t_el = pi_t_ec = 0
-                    pi_ch0 = pi_ch1 = 0
-                    pi_c_sl = pi_c_sc = 0
-                elif b0 == 0x3E:  # '>' : JSX fragment
-                    if tx_on:
-                        tx_on = False
-                        if not (tx_h0 == fl_off and not tx_val):
-                            val, ok = _mat(tx_val, buf, tx_h0, fl_off)
-                            if ev_text and ok:
-                                append((0, len(rows), None, val, None, None, None, None,
-                                        None, None, tx_sl, tx_sc, line, fl_ch, None,
-                                        None, None, None, tx_b0, fl_off))
-                    # process_open_tag(False)
-                    tg[5] = line
-                    tg[6] = ch
-                    tg[10] = cursor
-                    if ev_ot:
-                        nm = _name_mat(buf, tg)
-                        tg[2] = nm
-                        tg[0] = tg[1] = 0
-                        append((7, len(rows), nm.decode("utf-8", "replace"), None, None,
-                                None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
-                    tags.append(tg)
-                    tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
-                    state = S_BEGIN_WS
-                    break
-                else:
-                    # '< foo' is text, not a tag
-                    if not tx_on and want_text:
-                        tx_on = True
-                        tx_val = b""
-                        tx_sl = line
-                        tx_sc = ch
-                        tx_h0 = lcp
-                        tx_h1 = lcp
-                        tx_b0 = lcp
-                    state = S_TEXT
-                    break
-                # '!', '/', '?' arms flush pending text at the end
-                if tx_on:
-                    tx_on = False
-                    if not (tx_h0 == fl_off and not tx_val):
-                        val, ok = _mat(tx_val, buf, tx_h0, fl_off)
-                        if ev_text and ok:
-                            append((0, len(rows), None, val, None, None, None, None,
-                                    None, None, tx_sl, tx_sc, line, fl_ch, None, None,
-                                    None, None, tx_b0, fl_off))
-                break
-
-            # ---------------- OPEN_TAG ----------------
-            if st == S_OPEN_TAG:
-                tg[3] = line
-                tg[4] = ch - 2 if ch >= 2 else 0
-                tg[9] = cursor - 2 if cursor >= 2 else 0
-                byte = b0
-                if byte not in TAG_NAME_END:
-                    m = RE_TAG_NAME_END.search(buf, cursor)
-                    if m is not None:
-                        # common case inlined (the precheck cannot hit:
-                        # the current grapheme is not a terminator)
-                        pos = m.start()
-                        ll = line
-                        lc = ch
-                        if pos != cursor:
-                            line, ch = _advr(buf, asc, cursor, pos, line, ch)
-                        matched = buf[pos]
-                        if matched == 0x0A:
-                            line += 1
-                            ch = 0
-                        else:
-                            ch += 1
-                        lcp = pos
-                        cursor = pos + 1
-                        byte = matched
-                        tg[1] = lcp
-                    else:
-                        k, cursor2, line2, ch2, lcp2, lastb, found = _tuof(
-                            buf, n, asc, RE_TAG_NAME_END, TAG_NAME_END, cursor, line, ch, True
-                        )
-                        if k == 2:
-                            ll, lc = line, ch
-                            cursor, line, ch, lcp = cursor2, line2, ch2, lcp2
-                            byte = lastb
-                            tg[1] = lcp if found else cursor
-                        else:
-                            tg[1] = lcp
-                if ev_ots:
-                    nm = _name_mat(buf, tg)
-                    tg[2] = nm
-                    tg[0] = tg[1] = 0
-                    append((5, len(rows), nm.decode("utf-8", "replace"), None, None,
-                            None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
-                if byte == 0x3E:
-                    tg[5] = line
-                    tg[6] = ch
-                    tg[10] = cursor
-                    if ev_ot:
-                        nm = _name_mat(buf, tg)
-                        tg[2] = nm
-                        tg[0] = tg[1] = 0
-                        append((7, len(rows), nm.decode("utf-8", "replace"), None, None,
-                                None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
-                    tags.append(tg)
-                    tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
-                    state = S_BEGIN_WS
-                elif byte == 0x2F:
-                    state = S_OPEN_SLASH
-                elif byte in (0x20, 0x09, 0x0A, 0x0D):
-                    state = S_ATTRIB
-                break
-
             # ---------------- ATTRIB ----------------
             if st == S_ATTRIB:
                 if b0 < 33:
@@ -958,11 +1019,12 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         nval, nok = _mat(b"", buf, at[4], at[5])
                         vval, vok = _mat(b"", buf, at[10], at[11])
                         if ev_attr and (nok or vok):
-                            append((6, len(rows), None, None, nval,
+                            append((6, seq, None, None, nval,
                                     vval, at[12], None, None, None,
                                     at[0], at[1], at[8], at[9],
                                     at[2], at[3], at[6], at[7],
                                     at[13], cursor))
+                            seq += 1
                         at = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
                         quote = 0
                         state = S_ATTRIB_VAL_CLOSED
@@ -983,10 +1045,11 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                                 nm = _name_mat(buf, tg)
                                 tg[2] = nm
                                 tg[0] = tg[1] = 0
-                                append((7, len(rows), nm.decode("utf-8", "replace"),
+                                append((7, seq, nm.decode("utf-8", "replace"),
                                         None, None, None, None, False, None, None,
                                         tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7],
                                         tg[8], tg[9], tg[10]))
+                                seq += 1
                             tags.append(tg)
                             tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
                             state = S_BEGIN_WS
@@ -1040,10 +1103,11 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                                     nm = _name_mat(buf, tg)
                                     tg[2] = nm
                                     tg[0] = tg[1] = 0
-                                    append((7, len(rows), nm.decode("utf-8", "replace"),
+                                    append((7, seq, nm.decode("utf-8", "replace"),
                                             None, None, None, None, False, None, None,
                                             tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7],
                                             tg[8], tg[9], tg[10]))
+                                    seq += 1
                                 tags.append(tg)
                                 tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
                                 state = S_BEGIN_WS
@@ -1096,8 +1160,9 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     nm = _name_mat(buf, tg)
                     tg[2] = nm
                     tg[0] = tg[1] = 0
-                    append((7, len(rows), nm.decode("utf-8", "replace"), None, None,
+                    append((7, seq, nm.decode("utf-8", "replace"), None, None,
                             None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                    seq += 1
                 tags.append(tg)
                 tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
                 state = S_BEGIN_WS
@@ -1121,9 +1186,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     nval, nok = _mat(b"", buf, at[4], at[5])
                     vval, vok = _mat(b"", buf, at[10], at[11])
                     if ev_attr and (nok or vok):
-                        append((6, len(rows), None, None, nval, vval, at[12], None,
+                        append((6, seq, None, None, nval, vval, at[12], None,
                                 None, None, at[0], at[1], at[8], at[9], at[2], at[3],
                                 at[6], at[7], at[13], cursor))
+                        seq += 1
                     at = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
                     tg[5] = line
                     tg[6] = ch
@@ -1132,8 +1198,9 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         nm = _name_mat(buf, tg)
                         tg[2] = nm
                         tg[0] = tg[1] = 0
-                        append((7, len(rows), nm.decode("utf-8", "replace"), None, None,
+                        append((7, seq, nm.decode("utf-8", "replace"), None, None,
                                 None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                        seq += 1
                     tags.append(tg)
                     tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
                     state = S_BEGIN_WS
@@ -1168,9 +1235,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     nval, nok = _mat(b"", buf, at[4], at[5])
                     vval, vok = _mat(b"", buf, at[10], at[11])
                     if ev_attr and (nok or vok):
-                        append((6, len(rows), None, None, nval, vval, at[12], None,
+                        append((6, seq, None, None, nval, vval, at[12], None,
                                 None, None, at[0], at[1], at[8], at[9], at[2], at[3],
                                 at[6], at[7], at[13], cursor))
+                        seq += 1
                     at = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
                 if b0 == 0x3D:
                     state = S_ATTRIB_VAL
@@ -1186,8 +1254,9 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         nm = _name_mat(buf, tg)
                         tg[2] = nm
                         tg[0] = tg[1] = 0
-                        append((7, len(rows), nm.decode("utf-8", "replace"), None, None,
+                        append((7, seq, nm.decode("utf-8", "replace"), None, None,
                                 None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                        seq += 1
                     tags.append(tg)
                     tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
                     state = S_BEGIN_WS
@@ -1247,9 +1316,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     nval, nok = _mat(b"", buf, at[4], at[5])
                     vval, vok = _mat(b"", buf, at[10], at[11])
                     if ev_attr and (nok or vok):
-                        append((6, len(rows), None, None, nval, vval, at[12], None,
+                        append((6, seq, None, None, nval, vval, at[12], None,
                                 None, None, at[0], at[1], at[8], at[9], at[2], at[3],
                                 at[6], at[7], at[13], cursor))
+                        seq += 1
                     at = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
                     quote = 0
                     state = S_ATTRIB_VAL_CLOSED
@@ -1275,8 +1345,9 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         nm = _name_mat(buf, tg)
                         tg[2] = nm
                         tg[0] = tg[1] = 0
-                        append((7, len(rows), nm.decode("utf-8", "replace"), None, None,
+                        append((7, seq, nm.decode("utf-8", "replace"), None, None,
                                 None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                        seq += 1
                     tags.append(tg)
                     tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
                     state = S_BEGIN_WS
@@ -1317,9 +1388,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                 nval, nok = _mat(b"", buf, at[4], at[5])
                 vval, vok = _mat(b"", buf, at[10], at[11])
                 if ev_attr and (nok or vok):
-                    append((6, len(rows), None, None, nval, vval, at[12], None,
+                    append((6, seq, None, None, nval, vval, at[12], None,
                             None, None, at[0], at[1], at[8], at[9], at[2], at[3],
                             at[6], at[7], at[13], cursor))
+                    seq += 1
                 at = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
                 if byte == 0x2F:
                     state = S_OPEN_SLASH
@@ -1331,8 +1403,9 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         nm = _name_mat(buf, tg)
                         tg[2] = nm
                         tg[0] = tg[1] = 0
-                        append((7, len(rows), nm.decode("utf-8", "replace"), None, None,
+                        append((7, seq, nm.decode("utf-8", "replace"), None, None,
                                 None, None, False, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                        seq += 1
                     tags.append(tg)
                     tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
                     state = S_BEGIN_WS
@@ -1352,92 +1425,51 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         nm = _name_mat(buf, tg)
                         tg[2] = nm
                         tg[0] = tg[1] = 0
-                        append((7, len(rows), nm.decode("utf-8", "replace"), None, None,
+                        append((7, seq, nm.decode("utf-8", "replace"), None, None,
                                 None, None, True, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                        seq += 1
                     if ev_ct:
                         if nm is None:
                             nm = _name_mat(buf, tg)
                             tg[2] = nm
                             tg[0] = tg[1] = 0
-                        append((8, len(rows), nm.decode("utf-8", "replace"), None, None,
+                        append((8, seq, nm.decode("utf-8", "replace"), None, None,
                                 None, None, True, None, None, tg[3], tg[4], 0, 0, tg[5], tg[6], tg[7], tg[8], tg[9], tg[10]))
+                        seq += 1
                     tg = [0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0]
                     state = S_BEGIN_WS
                     break
                 state = S_ATTRIB
                 break
 
-            # ---------------- CLOSE_TAG ----------------
-            if st == S_CLOSE_TAG:
-                byte = b0
-                if byte != 0x3E:
-                    offset = 0
-                    start = lcp
-                    k, cursor2, line2, ch2, lcp2, lastb, found = _tuof(buf, n, asc, RE_CLOSE_END, b"> ", cursor, line, ch, True
-                    )
-                    if k != 0:
-                        byte = lastb
-                        offset = 1 if found else 0
-                        if k == 2:
-                            ll, lc = line, ch
-                            cursor, line, ch, lcp = cursor2, line2, ch2, lcp2
-                    cl_h0 = start
-                    cl_h1 = cursor - offset
-                if byte == 0x3E:
-                    # ---- process_close_tag ----
+            # ---------------- SKIP_WS ----------------
+            if st == S_SKIP_WS:
+                if b0 > 32:
+                    done = True
+                else:
+                    cursor, line, ch, lcp, done = _skipws(buf, n, cursor, line, ch)
+                if done:
+                    if tx_on:
+                        tx_val = b""
+                        tx_sl = line
+                        tx_sc = ch
+                        tx_h0 = cursor
                     state = S_BEGIN_WS
-                    close_name, _ok = _mat(b"", buf, cl_h0, cl_h1)
-                    cl_h0 = cl_h1 = 0
-                    found_i = -1
-                    for i in range(len(tags) - 1, -1, -1):
-                        if _name_of(buf, tags[i]) == close_name:
-                            e = tags[i]
-                            e[7] = tg[7]
-                            e[8] = tg[8]
-                            found_i = i
-                            break
-                    if found_i < 0:
-                        # orphan close → text
-                        if not tx_on:
-                            tx_on = True
-                            tx_b0 = 0
-                            tx_sl = tx_sc = 0
-                        tx_val = b"</" + close_name + b">"
-                        tx_sl = tg[7]
-                        tx_sc = tg[8]
-                        tx_h0 = 0
-                        tx_h1 = 0
-                        # flush_text(line, ch, 0)
-                        tx_on = False
-                        if tx_val:  # h0==h1==0 but value non-empty
-                            if ev_text:
-                                append((0, len(rows), None, tx_val, None, None, None,
-                                        None, None, None, tx_sl, tx_sc, line, ch, None,
-                                        None, None, None, tx_b0, 0))
+                    if b0 > 32:
+                        continue  # redispatch current grapheme
+                    # fuse: consume the first non-ws grapheme inline and
+                    # redispatch into BEGIN_WS (saves an outer iteration)
+                    nb = buf[cursor]
+                    gl2 = GL[nb] if nb >= 0x80 else 1
+                    if cursor + gl2 > n:
                         break
-                    e = tags[found_i]
-                    # close_end + byte_range.1 on the matched tag
-                    e_ce_l, e_ce_c = line, ch
-                    e[10] = cursor
-                    if not ev_ct:
-                        keep = found_i if found_i > 1 else 1
-                        del tags[keep:]
-                        break
-                    while len(tags) > found_i:
-                        e2 = tags.pop()
-                        nm = _name_mat(buf, e2)
-                        if e2 is e:
-                            ce_l, ce_c = e_ce_l, e_ce_c
-                            cs_l, cs_c = e2[7], e2[8]
-                        else:
-                            ce_l, ce_c = 0, 0
-                            cs_l, cs_c = e2[7], e2[8]
-                        append((8, len(rows), nm.decode("utf-8", "replace"), None, None,
-                                None, None, False, None, None, e2[3], e2[4], ce_l, ce_c,
-                                e2[5], e2[6], cs_l, cs_c, e2[9], e2[10]))
-                    break
-                if byte == 0x20:
-                    cursor, line, ch, lcp, _d = _skipws(buf, n, cursor, line, ch)
+                    ll = line
+                    lc = ch
+                    ch += 2 if gl2 == 4 else 1
+                    lcp = cursor
+                    cursor += gl2
+                    b0 = nb
+                    continue
                 break
 
             # ---------------- MARKUP_DECL ----------------
@@ -1512,9 +1544,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                 md_val, md_h0, md_h1 = _gvs(md_val, buf, n, md_h0, md_h1)
                 if len(md_val) > 2 and md_val[-3:] == b"-->":
                     if ev_comment:
-                        append((4, len(rows), None, md_val[:-3], None, None, None, None,
+                        append((4, seq, None, md_val[:-3], None, None, None, None,
                                 None, None, md_sl, md_sc, line, ch, None, None, None,
                                 None, md_b0, md_b1))
+                        seq += 1
                     md_on = False
                     md_val = b""
                     state = S_BEGIN_WS
@@ -1536,9 +1569,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                 md_val, md_h0, md_h1 = _gvs(md_val, buf, n, md_h0, md_h1)
                 if len(md_val) > 2 and md_val[-3:] == b"]]>":
                     if ev_cdata:
-                        append((9, len(rows), None, md_val[:-3], None, None, None, None,
+                        append((9, seq, None, md_val[:-3], None, None, None, None,
                                 None, None, md_sl, md_sc, line, ch, None, None, None,
                                 None, md_b0, md_b1))
+                        seq += 1
                     state = S_BEGIN_WS
                     md_val = b""
                     md_on = False
@@ -1583,9 +1617,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     md_val = b""
                     md_on = False
                     if ev_doctype and ok:
-                        append((3, len(rows), None, val[:-1] if val else val, None,
+                        append((3, seq, None, val[:-1] if val else val, None,
                                 None, None, None, None, None, md_sl, md_sc, line, ch,
                                 None, None, None, None, md_b0, md_b1))
+                        seq += 1
                     state = S_BEGIN_WS
                 break
 
@@ -1611,9 +1646,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         if ok:
                             # reference dispatches declarations with the
                             # Cdata event code (parser.rs:822-823)
-                            append((9, len(rows), None, val, None, None, None, None,
+                            append((9, seq, None, val, None, None, None, None,
                                     None, None, me_sl, me_sc, me_el, me_ec, None, None,
                                     None, None, me_b0, me_b1))
+                            seq += 1
                     state = S_DOCTYPE_ENTITY if md_on else S_BEGIN_WS
                     cursor, line, ch, lcp, _d = _skipws(buf, n, cursor, line, ch)
                 break
@@ -1639,9 +1675,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                         cval, _cok = _mat(b"", buf, pi_ch0, pi_ch1)
                         tval = tval[2:]
                         cval = cval[: len(cval) - 2] if len(cval) >= 2 else b""
-                        append((1, len(rows), None, None, None, None, None, None,
+                        append((1, seq, None, None, None, None, None, None,
                                 tval, cval, pi_sl, pi_sc, line, ch, pi_t_el, pi_t_ec,
                                 pi_c_sl, pi_c_sc, pi_b0, cursor))
+                        seq += 1
                 elif byte < 33:
                     pi_th1 = cursor - 1 if cursor >= 1 else 0
                     pi_t_el = line
@@ -1674,9 +1711,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     cval, _cok = _mat(b"", buf, pi_ch0, pi_ch1)
                     tval = tval[2:]
                     cval = cval[: len(cval) - 2] if len(cval) >= 2 else b""
-                    append((1, len(rows), None, None, None, None, None, None,
+                    append((1, seq, None, None, None, None, None, None,
                             tval, cval, pi_sl, pi_sc, line, ch, pi_t_el, pi_t_ec,
                             pi_c_sl, pi_c_sc, pi_b0, cursor))
+                    seq += 1
                 break
 
             # ---------------- JSX ----------------
@@ -1692,9 +1730,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
                     nval, nok = _mat(b"", buf, at[4], at[5])
                     vval, vok = _mat(b"", buf, at[10], at[11])
                     if ev_attr and (nok or vok):
-                        append((6, len(rows), None, None, nval, vval, at[12], None,
+                        append((6, seq, None, None, nval, vval, at[12], None,
                                 None, None, at[0], at[1], at[8], at[9], at[2], at[3],
                                 at[6], at[7], at[13], cursor))
+                        seq += 1
                     at = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
                     state = S_ATTRIB_VAL_CLOSED
                     break
@@ -1718,9 +1757,10 @@ def parse_doc(data: bytes, events: int):  # noqa: C901, PLR0912, PLR0915
         val, _ok = _mat(tx_val, buf, tx_h0, tx_h1)
         if val:
             if ev_text:
-                rows.append((0, len(rows), None, val, None, None, None, None, None,
+                rows.append((0, seq, None, val, None, None, None, None, None,
                              None, tx_sl, tx_sc, line, ch, None, None, None, None,
                              tx_b0, n))
+                seq += 1
     return rows
 
 

@@ -92,6 +92,21 @@ def test_q16_has_no_window_shuffle(spark):
     assert "hashpartitioning" not in plan, plan[:3000]
 
 
+def test_q17_simhash_is_shuffle_free(spark):
+    """Round-3 rewrite: the 16-bit simhash folds entirely within the
+    row (transform + aggregate over the token array) — the ONLY
+    Exchange left is the final orderBy's range partitioning (VERDICT
+    r2 item 7 done-criterion)."""
+    from sax_wasm_spark.plans.queries import q17_simhash16
+
+    plan = plan_of(q17_simhash16(spark, SF))
+    assert "hashpartitioning" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    # exactly one Exchange NODE (the formatted plan names each node
+    # twice: in the tree and in its detail block)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan[:3000]
+
+
 def test_embedding_neardup_lsh_has_no_cartesian(spark):
     """q31's blocking join must be a real equi-join on (band, bucket) —
     no CartesianProduct / BroadcastNestedLoopJoin anywhere (q25's
