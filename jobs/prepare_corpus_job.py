@@ -1,0 +1,172 @@
+"""End-to-end training-corpus preparation — the full pipeline a
+100 TB data-curation run needs, composed from the engine's operators:
+
+  1. EXTRACT   raw pages → main-content text, url-hash sharded,
+               resumable per shard with lineage (plans/lineage.py;
+               positions-off kernel in the Python stage);
+  2. FILTER    language ID + quality score + length gates, all
+               whole-stage-codegen column expressions
+               (functions/text.py) — no Python in this stage;
+  3. DEDUP     exact (content-hash) + near (minhash/LSH with the
+               hot-bucket guard → Jaccard verify → connected
+               components) → surviving representatives
+               (jobs/dedup_job.run_dedup);
+  4. STATS     per-language document/byte/token counts of the final
+               corpus (one aggregation pass, persisted next to the
+               data for the audit trail).
+
+Usage (cluster):
+    zip -r sax_wasm_spark.zip sax_wasm_spark
+    spark-submit --py-files sax_wasm_spark.zip jobs/prepare_corpus_job.py \\
+        --input <pages parquet/iceberg> --output <root> \\
+        --num-shards 4096 --min-quality 0.5 --jaccard 0.8
+
+Usage (sandbox, synthesizes input):
+    python jobs/prepare_corpus_job.py --synth 5000 --output /tmp/corpus_out
+
+Scale notes: stage 2 is a pure projection+filter over the extracted
+parquet (predicate pushdown applies — the scan never rereads html);
+stage 3 shuffles only on hash/bucket/id keys; every stage reads the
+previous stage's persisted output, so any stage can be re-run
+independently and the extract stage resumes per shard. Outputs:
+<out>/extracted (sharded), <out>/filtered, <out>/pairs, /clusters,
+/drops, /kept, /stats, /lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_pipeline(
+    spark,
+    pages,
+    out_path: str,
+    num_shards: int = 64,
+    min_quality: float = 0.5,
+    min_chars: int = 100,
+    lang_allow: tuple[str, ...] = (),
+    jaccard: float = 0.8,
+    max_bucket: int | None = 10_000,
+    run_id: str = "run",
+) -> dict:
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from jobs.dedup_job import run_dedup  # noqa: PLC0415
+    from sax_wasm_spark.functions.text import lang_guess, quality_score  # noqa: PLC0415
+    from sax_wasm_spark.plans.lineage import read_extracted, run_extraction  # noqa: PLC0415
+
+    # ---- 1. extract (resumable; idempotent per shard) ----
+    ex_stats = run_extraction(
+        spark, pages, out_path, num_shards=num_shards, run_id=run_id
+    )
+    extracted = read_extracted(spark, out_path)
+
+    # ---- 2. language + quality gates (codegen-only projection) ----
+    docs = (
+        extracted.where(F.col("status") == "ok")
+        .select(
+            F.col("url"),
+            F.col("shard"),
+            F.col("title"),
+            F.col("text"),
+            # a stable numeric id for the dedup stage (deterministic
+            # in url — survives re-runs and cluster-size changes)
+            F.xxhash64(F.sha2(F.col("url"), 256)).alias("doc_id"),
+        )
+        .withColumn("lang", lang_guess(F.col("text")))
+        .withColumn("quality", F.round(quality_score(F.col("text")), 4))
+        .where(F.length("text") >= min_chars)
+        .where(F.col("quality") >= min_quality)
+    )
+    if lang_allow:
+        docs = docs.where(F.col("lang").isin(*lang_allow))
+    docs.write.mode("overwrite").parquet(f"{out_path}/filtered")
+    docs = spark.read.parquet(f"{out_path}/filtered")
+    n_filtered = docs.count()
+
+    # ---- 3. dedup (exact + near → clusters → survivors) ----
+    de_stats = run_dedup(
+        spark,
+        docs,
+        out_path,
+        jaccard=jaccard,
+        max_bucket=max_bucket,
+    )
+
+    # ---- 4. final corpus stats (audit trail) ----
+    kept = spark.read.parquet(f"{out_path}/kept")
+    stats = (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.sum(F.size(F.filter(F.split("text", " "), lambda w: w != ""))).alias(
+                "n_tokens"
+            ),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/stats")
+
+    return {
+        "run_id": run_id,
+        "extract": ex_stats,
+        "n_filtered": n_filtered,
+        "dedup": de_stats,
+        "langs": {r["lang"]: r["n_docs"] for r in stats.collect()},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--synth", type=int, default=0, help="synthesize N pages instead of --input")
+    ap.add_argument("--num-shards", type=int, default=256)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-chars", type=int, default=100)
+    ap.add_argument("--langs", default="", help="comma list; empty = keep all")
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--max-bucket", type=int, default=10_000)
+    ap.add_argument("--run-id", default=f"run-{int(time.time())}")
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from sax_wasm_spark.session import get_spark  # noqa: PLC0415
+    from sax_wasm_spark.sources.pages import synthesize_pages  # noqa: PLC0415
+
+    spark = get_spark(app_name="sax-prepare-corpus", cores=args.cores)
+    try:
+        if args.synth:
+            pages = synthesize_pages(spark, args.synth)
+        elif args.input:
+            pages = spark.read.parquet(args.input)
+        else:
+            ap.error("either --input or --synth is required")
+        stats = run_pipeline(
+            spark,
+            pages,
+            args.output,
+            num_shards=args.num_shards,
+            min_quality=args.min_quality,
+            min_chars=args.min_chars,
+            lang_allow=tuple(x for x in args.langs.split(",") if x),
+            jaccard=args.jaccard,
+            max_bucket=args.max_bucket or None,
+            run_id=args.run_id,
+        )
+        print(json.dumps(stats))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -348,6 +348,48 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert kept | set(drops) == {r[0] for r in rows}
 
 
+def test_prepare_corpus_pipeline_end_to_end(spark, pages, tmp_path):
+    """jobs/prepare_corpus_job.run_pipeline: extract → filter → dedup →
+    stats over the synthetic pages corpus, then a second run resumes
+    without re-extracting (every shard already has an ok lineage row)."""
+    from jobs.prepare_corpus_job import run_pipeline
+
+    out = str(tmp_path / "corpus")
+    stats = run_pipeline(
+        spark,
+        pages,
+        out,
+        num_shards=8,
+        min_quality=0.0,
+        min_chars=10,
+        run_id="p1",
+    )
+    assert stats["extract"]["processed_shards"] == 8
+    assert stats["n_filtered"] > 0
+    kept = spark.read.parquet(f"{out}/kept")
+    n_kept = kept.count()
+    assert 0 < n_kept <= stats["n_filtered"]
+    assert stats["dedup"]["n_kept"] == n_kept
+    # audit stats cover exactly the kept corpus
+    agg = spark.read.parquet(f"{out}/stats")
+    assert sum(r.n_docs for r in agg.collect()) == n_kept
+    assert set(kept.columns) >= {"url", "doc_id", "text", "lang", "quality"}
+
+    # resume: run 2 skips all shards, final corpus unchanged
+    stats2 = run_pipeline(
+        spark,
+        pages,
+        out,
+        num_shards=8,
+        min_quality=0.0,
+        min_chars=10,
+        run_id="p2",
+    )
+    assert stats2["extract"]["processed_shards"] == 0
+    assert stats2["extract"]["skipped_shards"] == 8
+    assert spark.read.parquet(f"{out}/kept").count() == n_kept
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, ["image", "audio", "video"][i % 3], bytes([i % 251]) * (100 + i)) for i in range(30)]
     # duplicate payloads for dedup
