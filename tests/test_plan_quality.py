@@ -92,6 +92,19 @@ def test_q16_has_no_window_shuffle(spark):
     assert "hashpartitioning" not in plan, plan[:3000]
 
 
+def test_q30_has_no_unbounded_pandas_group(spark):
+    """Round-3 rewrite: per-language z-score = two-pass agg + broadcast
+    join. The plan must contain NO grouped-map pandas stage (the old
+    groupBy(lang).applyInPandas held ~half the corpus in one task at
+    100 TB) and the per-lang stats join must be a broadcast (VERDICT r2
+    item 3 done-criterion)."""
+    from sax_wasm_spark.plans.queries import q30_doc_zscore_grouped
+
+    plan = plan_of(q30_doc_zscore_grouped(spark, SF))
+    assert "FlatMapGroupsInPandas" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
 def test_q17_simhash_is_shuffle_free(spark):
     """Round-3 rewrite: the 16-bit simhash folds entirely within the
     row (transform + aggregate over the token array) — the ONLY

@@ -73,6 +73,37 @@ def main():
             "np_mb_s": round(mb / best["np"] * 1000, 2),
             "np_vs_ref": round(best["ref"] / best["np"], 3),
         }
+
+    # realistic web-pages corpus: single-core docs/s of the full
+    # extract (tokenize + classify) and of both raw parses
+    from sax_wasm_spark.operators.extract import EXTRACT_MASK, extract_bytes
+    from sax_wasm_spark.sources.pages import build_page
+
+    pages = [build_page(i)[2] for i in range(2000)]
+    page_mb = sum(len(p) for p in pages) / 1e6
+    for p in pages[:50]:
+        extract_bytes(p)
+
+    def best_of(fn):
+        b = 9e9
+        for _ in range(max(rounds - 1, 2)):
+            t = time.perf_counter()
+            for p in pages:
+                fn(p)
+            b = min(b, time.perf_counter() - t)
+        return b
+
+    wp = best_of(lambda p: parse_doc(p, EXTRACT_MASK))
+    wn = best_of(lambda p: parse_doc_np(p, EXTRACT_MASK))
+    we = best_of(extract_bytes)
+    result["web_pages"] = {
+        "n_pages": len(pages),
+        "corpus_mb": round(page_mb, 2),
+        "pos_docs_s": round(len(pages) / wp),
+        "np_docs_s": round(len(pages) / wn),
+        "extract_docs_s": round(len(pages) / we),
+        "extract_mb_s": round(page_mb / we, 2),
+    }
     print(json.dumps(result))
 
 
