@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_main_content
-from ..operators.tokenize import tokenize_events
+from ..operators.tokenize import tokenize_events, tokenize_nested
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -784,6 +784,39 @@ def sax_positions_sql():
     """
 
 
+def sax_nested(spark, sf_dir):
+    """Nested tokenize shape (SURVEY §1.6: one row per document, the
+    whole event stream as array<struct>): in-array order, struct field
+    access, and higher-order filtering over the nested column are all
+    checked — size, first event code, last tag name, and the Text
+    event's value dug out of the array must match closed forms."""
+    pages = _wrapped_docs(spark, sf_dir)
+    ev = tokenize_nested(pages, id_cols=("doc_id",))
+    texts = F.filter("events", lambda e: e["event"] == 0)
+    return (
+        ev.select(
+            "doc_id",
+            F.size("events").alias("n_events"),
+            F.element_at("events", 1)["event"].alias("first_event"),
+            F.element_at("events", -1)["name"].alias("last_name"),
+            F.element_at(texts, 1)["value"].cast("string").alias("text_value"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sax_nested_sql():
+    return """
+    SELECT doc_id,
+           8 AS n_events,
+           5 AS first_event,
+           'doc' AS last_name,
+           text AS text_value
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
 def sax_event_counts(spark, sf_dir):
     """Event-type histogram per document vs the statically known stream:
     2 OpenTagStart, 1 Attribute, 2 OpenTag, 2 CloseTag, 1 Text.
@@ -1448,6 +1481,7 @@ QUERIES = {
     "q34_ann_int_lsh": q34_ann_int_lsh,
     "q35_token_stats_grouped": q35_token_stats_grouped,
     "sax_positions": sax_positions,
+    "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
@@ -1491,6 +1525,7 @@ ORACLES = {
     "q34_ann_int_lsh": q34_sql(),
     "q35_token_stats_grouped": q35_sql(),
     "sax_positions": sax_positions_sql(),
+    "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),
