@@ -1,0 +1,700 @@
+"""From-scratch PDF text + layout extractor (pure Python, stdlib only).
+
+The north rule names "PDF/layout parse" as part of the main-content
+extraction pipeline alongside the HTML boilerplate strip. This module is
+that stage, built from the public PDF 1.7 spec (ISO 32000-1) — it is NOT
+derived from the reference repo (sax-wasm is XML/HTML-only) and NOT a
+wrapper over a PDF library (none is installed; zlib/base64/binascii are
+stdlib).
+
+Scope (documented contract, enforced by tests/test_pdf.py):
+
+* **Object layer**: full COS syntax — literal strings (all escapes incl.
+  octal and line continuations), hex strings, names with ``#xx`` escapes,
+  numbers, booleans, null, arrays, dictionaries, indirect references,
+  streams. Objects are discovered by scanning for ``N G obj`` rather than
+  trusting the xref table, so documents with broken/absent xref still
+  parse; incremental updates (the same object number redefined later in
+  the file) resolve to the LAST definition, matching xref-chain
+  semantics for append-only updates.
+* **Filters**: FlateDecode (zlib), ASCIIHexDecode, ASCII85Decode, and
+  filter chains thereof. LZW/DCT/CCITT raise :class:`UnsupportedFilter`
+  (the DataFrame operator maps that to a per-row error status — a poison
+  document never kills the task).
+* **Page tree**: Catalog → /Pages → /Kids walk (cycle-guarded); when the
+  trailer/catalog is missing or broken, falls back to every
+  ``/Type /Page`` object in file order. /Contents may be one stream or
+  an array of streams (concatenated with a newline, per spec).
+* **Text operators**: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ, ', ".
+  Graphics operators are skipped; inline images (BI..ID..EI) are skipped
+  bodily. Strings decode as UTF-16 when BOM-tagged, else Latin-1 (a
+  documented approximation of PDFDocEncoding for the printable range;
+  no embedded-font /ToUnicode CMaps — out of scope, flagged in status).
+* **Layout**: the text matrix is tracked as a position (e, f translation
+  of Tm; Td/TD/T* line moves). Each show op appends to the run at the
+  current line origin; runs are grouped into lines by y (±``Y_TOL``),
+  lines ordered top-to-bottom (descending y, PDF user space points up),
+  runs within a line ordered by x — so a two-column page whose content
+  stream writes the right column first still reads in visual order.
+  Within a TJ array, a kerning adjustment ≤ ``-SPACE_KERN`` renders as a
+  single space (the standard heuristic for inter-word gaps encoded as
+  negative moves).
+
+``extract_pdf_text(data)`` → text (pages joined by "\\n").
+``extract_pdf_runs(data)`` → [(page, y, x, text)] for span consumers.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+import zlib
+from typing import NamedTuple
+
+__all__ = [
+    "PdfError",
+    "UnsupportedFilter",
+    "PdfDocument",
+    "extract_pdf_text",
+    "extract_pdf_runs",
+]
+
+SPACE_KERN = 180  # TJ adjustment (thousandths of an em) rendered as a space
+Y_TOL = 1.5  # runs within this many points of a line's y belong to it
+
+
+class PdfError(ValueError):
+    """Document is not parseable as PDF within this module's scope."""
+
+
+class UnsupportedFilter(PdfError):
+    """Stream uses a filter outside {Flate, AHx, A85}."""
+
+
+class Ref(NamedTuple):
+    num: int
+    gen: int
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_REGULAR_STOP = _WS + _DELIM
+
+_RE_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_RE_TRAILER = re.compile(rb"trailer\b")
+
+
+# ---------------------------------------------------------------------------
+# lexer (shared by the object layer and the content-stream interpreter)
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        p = self.pos
+        while p < n:
+            c = d[p]
+            if c in _WS:
+                p += 1
+            elif c == 0x25:  # % comment to EOL
+                e = d.find(b"\n", p)
+                p = n if e < 0 else e + 1
+            else:
+                break
+        self.pos = p
+
+    def _regular_run(self) -> bytes:
+        d, n = self.data, len(self.data)
+        p = self.pos
+        q = p
+        while q < n and d[q] not in _REGULAR_STOP:
+            q += 1
+        self.pos = q
+        return d[p:q]
+
+    def next_token(self):
+        """-> (kind, value) | None at EOF.
+
+        kinds: 'num' float|int, 'name' str, 'str' bytes, 'kw' bytes,
+        'arr_open','arr_close','dict_open','dict_close' (value None).
+        """
+        self.skip_ws()
+        d, n = self.data, len(self.data)
+        p = self.pos
+        if p >= n:
+            return None
+        c = d[p]
+        if c == 0x2F:  # /Name
+            self.pos = p + 1
+            raw = self._regular_run()
+            if b"#" in raw:
+                raw = re.sub(
+                    rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw
+                )
+            return ("name", raw.decode("latin-1"))
+        if c == 0x28:  # ( literal string
+            return ("str", self._literal_string())
+        if c == 0x3C:  # < : hex string or <<
+            if p + 1 < n and d[p + 1] == 0x3C:
+                self.pos = p + 2
+                return ("dict_open", None)
+            return ("str", self._hex_string())
+        if c == 0x3E:  # >>
+            if p + 1 < n and d[p + 1] == 0x3E:
+                self.pos = p + 2
+                return ("dict_close", None)
+            self.pos = p + 1  # stray '>' — skip
+            return self.next_token()
+        if c == 0x5B:
+            self.pos = p + 1
+            return ("arr_open", None)
+        if c == 0x5D:
+            self.pos = p + 1
+            return ("arr_close", None)
+        if c in b"{}":  # PostScript procs (type-4 functions) — skip brace
+            self.pos = p + 1
+            return self.next_token()
+        run = self._regular_run()
+        if not run:  # lone delimiter we don't know — step over
+            self.pos = p + 1
+            return self.next_token()
+        if re.fullmatch(rb"[+-]?(\d+\.?\d*|\.\d+)", run):
+            return ("num", float(run) if b"." in run else int(run))
+        return ("kw", run)
+
+    def _literal_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        p = self.pos + 1  # past '('
+        out = bytearray()
+        depth = 1
+        while p < n:
+            c = d[p]
+            if c == 0x5C:  # backslash
+                p += 1
+                if p >= n:
+                    break
+                e = d[p]
+                if e in b"nrtbf":
+                    out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f"}[e]
+                    p += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    p += 1
+                elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                    oct_digits = bytearray([e])
+                    p += 1
+                    while p < n and len(oct_digits) < 3 and 0x30 <= d[p] <= 0x37:
+                        oct_digits.append(d[p])
+                        p += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e == 0x0A:  # line continuation
+                    p += 1
+                elif e == 0x0D:
+                    p += 1
+                    if p < n and d[p] == 0x0A:
+                        p += 1
+                else:  # spec: backslash before other chars is dropped
+                    out.append(e)
+                    p += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                p += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    p += 1
+                    break
+                out.append(c)
+                p += 1
+            else:
+                out.append(c)
+                p += 1
+        self.pos = p
+        return bytes(out)
+
+    def _hex_string(self) -> bytes:
+        d = self.data
+        e = d.find(b">", self.pos + 1)
+        if e < 0:
+            raise PdfError("unterminated hex string")
+        body = re.sub(rb"\s+", b"", d[self.pos + 1 : e])
+        self.pos = e + 1
+        if len(body) % 2:
+            body += b"0"
+        try:
+            return binascii.unhexlify(body)
+        except binascii.Error as exc:
+            raise PdfError(f"bad hex string: {exc}") from exc
+
+
+# ---------------------------------------------------------------------------
+# object-layer value parser (with indirect-reference lookahead)
+
+
+def _parse_value(lex: _Lexer, tok=None):
+    if tok is None:
+        tok = lex.next_token()
+    if tok is None:
+        raise PdfError("unexpected EOF in object")
+    kind, val = tok
+    if kind in ("str",):
+        return val
+    if kind == "name":
+        return "/" + val
+    if kind == "num":
+        # lookahead for `G R` making this an indirect reference
+        if isinstance(val, int) and val >= 0:
+            save = lex.pos
+            t2 = lex.next_token()
+            if t2 and t2[0] == "num" and isinstance(t2[1], int) and t2[1] >= 0:
+                t3 = lex.next_token()
+                if t3 == ("kw", b"R"):
+                    return Ref(val, t2[1])
+            lex.pos = save
+        return val
+    if kind == "arr_open":
+        out = []
+        while True:
+            t = lex.next_token()
+            if t is None:
+                raise PdfError("unterminated array")
+            if t[0] == "arr_close":
+                return out
+            out.append(_parse_value(lex, t))
+    if kind == "dict_open":
+        d = {}
+        while True:
+            t = lex.next_token()
+            if t is None:
+                raise PdfError("unterminated dict")
+            if t[0] == "dict_close":
+                return d
+            if t[0] != "name":
+                # tolerate junk keys by skipping one value
+                _parse_value(lex, t)
+                continue
+            d["/" + t[1]] = _parse_value(lex)
+        return d
+    if kind == "kw":
+        if val == b"true":
+            return True
+        if val == b"false":
+            return False
+        if val == b"null":
+            return None
+        raise PdfError(f"unexpected keyword {val!r} in object")
+    raise PdfError(f"unexpected token {kind}")
+
+
+# ---------------------------------------------------------------------------
+# filters
+
+
+def _apply_filters(raw: bytes, filters, parms) -> bytes:
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, pm in zip(filters, parms):
+        if f == "/FlateDecode" or f == "/Fl":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise PdfError(f"flate: {exc}") from exc
+            if isinstance(pm, dict) and pm.get("/Predictor", 1) != 1:
+                data = _png_unpredict(data, pm)
+        elif f == "/ASCIIHexDecode" or f == "/AHx":
+            body = re.sub(rb"\s+", b"", data)
+            body = body.split(b">", 1)[0]
+            if len(body) % 2:
+                body += b"0"
+            data = binascii.unhexlify(body)
+        elif f == "/ASCII85Decode" or f == "/A85":
+            body = data.split(b"~>", 1)[0]
+            data = base64.a85decode(re.sub(rb"\s+", b"", body), adobe=False)
+        else:
+            raise UnsupportedFilter(str(f))
+    return data
+
+
+def _png_unpredict(data: bytes, parms: dict) -> bytes:
+    pred = parms.get("/Predictor", 1)
+    if pred < 10:
+        return data  # TIFF predictor 2 unsupported; 1 = none
+    colors = parms.get("/Colors", 1)
+    bpc = parms.get("/BitsPerComponent", 8)
+    columns = parms.get("/Columns", 1)
+    bpp = max(1, colors * bpc // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytes(row_len)
+    i = 0
+    while i + 1 + row_len <= len(data) + row_len and i < len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + row_len])
+        i += 1 + row_len
+        for j in range(len(row)):
+            left = row[j - bpp] if j >= bpp else 0
+            up = prev[j]
+            ul = prev[j - bpp] if j >= bpp else 0
+            if ft == 1:
+                row[j] = (row[j] + left) & 0xFF
+            elif ft == 2:
+                row[j] = (row[j] + up) & 0xFF
+            elif ft == 3:
+                row[j] = (row[j] + ((left + up) >> 1)) & 0xFF
+            elif ft == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pr = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                row[j] = (row[j] + pr) & 0xFF
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# document
+
+
+class PdfDocument:
+    def __init__(self, data: bytes):
+        if not data.lstrip()[:5].startswith(b"%PDF-"):
+            raise PdfError("missing %PDF- header")
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self.streams: dict[int, bytes] = {}
+        self._order: list[int] = []
+        self._scan_objects()
+        if not self.objects:
+            raise PdfError("no indirect objects found")
+
+    # -- object layer
+
+    def _scan_objects(self) -> None:
+        data = self.data
+        for m in _RE_OBJ.finditer(data):
+            num = int(m.group(1))
+            lex = _Lexer(data, m.end())
+            try:
+                val = _parse_value(lex)
+            except PdfError:
+                continue
+            raw = None
+            save = lex.pos
+            t = lex.next_token()
+            if t == ("kw", b"stream"):
+                p = lex.pos
+                if data[p : p + 2] == b"\r\n":
+                    p += 2
+                elif data[p : p + 1] in (b"\n", b"\r"):
+                    p += 1
+                raw = self._slice_stream(val, p)
+            else:
+                lex.pos = save
+            if num not in self.objects:
+                self._order.append(num)
+            # last definition wins (incremental updates append re-definitions)
+            self.objects[num] = val
+            if raw is not None:
+                self.streams[num] = raw
+            elif num in self.streams:
+                del self.streams[num]
+
+    def _slice_stream(self, d: object, start: int) -> bytes:
+        data = self.data
+        length = d.get("/Length") if isinstance(d, dict) else None
+        if isinstance(length, Ref):
+            length = self._length_of_ref(length)
+        if isinstance(length, (int, float)):
+            end = start + int(length)
+            tail = data[end : end + 20].lstrip(b"\r\n \t")
+            if tail.startswith(b"endstream"):
+                return data[start:end]
+        e = data.find(b"endstream", start)
+        if e < 0:
+            raise PdfError("unterminated stream")
+        return data[start:e].rstrip(b"\r\n")
+
+    def _length_of_ref(self, ref: Ref):
+        """Resolve an indirect /Length during the scan (the target object
+        may appear later in the file, so parse it directly)."""
+        for m in _RE_OBJ.finditer(self.data):
+            if int(m.group(1)) == ref.num:
+                try:
+                    return _parse_value(_Lexer(self.data, m.end()))
+                except PdfError:
+                    return None
+        return None
+
+    def resolve(self, v, _depth: int = 0):
+        while isinstance(v, Ref):
+            if _depth > 32:
+                raise PdfError("reference cycle")
+            v = self.objects.get(v.num)
+            _depth += 1
+        return v
+
+    def stream_bytes(self, ref_or_num) -> bytes:
+        num = ref_or_num.num if isinstance(ref_or_num, Ref) else ref_or_num
+        d = self.objects.get(num)
+        raw = self.streams.get(num)
+        if raw is None or not isinstance(d, dict):
+            raise PdfError(f"object {num} is not a stream")
+        return _apply_filters(
+            raw, self.resolve(d.get("/Filter")), self.resolve(d.get("/DecodeParms"))
+        )
+
+    # -- page tree
+
+    def catalog(self):
+        root = None
+        for m in _RE_TRAILER.finditer(self.data):
+            lex = _Lexer(self.data, m.end())
+            try:
+                t = _parse_value(lex)
+            except PdfError:
+                continue
+            if isinstance(t, dict) and "/Root" in t:
+                root = t["/Root"]
+        if root is not None:
+            cat = self.resolve(root)
+            if isinstance(cat, dict):
+                return cat
+        for num in self._order:  # xref-stream PDFs / broken trailers
+            v = self.objects[num]
+            if isinstance(v, dict) and v.get("/Type") == "/Catalog":
+                return v
+        return None
+
+    def pages(self) -> list[dict]:
+        cat = self.catalog()
+        out: list[dict] = []
+        if cat is not None:
+            seen: set[int] = set()
+
+            def walk(node_ref):
+                if isinstance(node_ref, Ref):
+                    if node_ref.num in seen:
+                        return
+                    seen.add(node_ref.num)
+                node = self.resolve(node_ref)
+                if not isinstance(node, dict):
+                    return
+                t = node.get("/Type")
+                if t == "/Page":
+                    out.append(node)
+                elif t == "/Pages" or "/Kids" in node:
+                    kids = self.resolve(node.get("/Kids")) or []
+                    for k in kids:
+                        walk(k)
+
+            walk(cat.get("/Pages"))
+        if not out:  # fallback: file order
+            for num in self._order:
+                v = self.objects[num]
+                if isinstance(v, dict) and v.get("/Type") == "/Page":
+                    out.append(v)
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = page.get("/Contents")
+        refs: list[Ref] = []
+        if isinstance(contents, Ref):
+            refs = [contents]
+        else:
+            resolved = self.resolve(contents)
+            if isinstance(resolved, list):
+                refs = [r for r in resolved if isinstance(r, Ref)]
+        return b"\n".join(self.stream_bytes(r) for r in refs)
+
+
+# ---------------------------------------------------------------------------
+# content-stream text interpreter
+
+
+def _decode_text(b: bytes) -> str:
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    if b[:2] == b"\xff\xfe":
+        return b[2:].decode("utf-16-le", "replace")
+    return b.decode("latin-1")
+
+
+_TEXT_OPS = frozenset(
+    b.encode() for b in ("BT", "ET", "Tf", "Td", "TD", "TL", "T*", "Tm", "Tj", "TJ", "'", '"')
+)
+
+
+def _runs_from_content(content: bytes) -> list[tuple[float, float, str]]:
+    """Interpret text operators → [(y, x, text)] in stream order."""
+    lex = _Lexer(content)
+    stack: list = []
+    runs: list[tuple[float, float, str]] = []
+    in_text = False
+    x = y = 0.0
+    leading = 0.0
+    cur: list[str] | None = None
+    cur_xy = (0.0, 0.0)
+
+    def show(s: str) -> None:
+        nonlocal cur, cur_xy
+        if not in_text:
+            return
+        if cur is None or cur_xy != (x, y):
+            cur = [s]
+            cur_xy = (x, y)
+            runs.append((y, x, ""))  # placeholder, patched below via index
+            cur_idx[0] = len(runs) - 1
+        else:
+            cur.append(s)
+        runs[cur_idx[0]] = (y, x, "".join(cur))
+
+    cur_idx = [0]
+
+    def newline() -> None:
+        nonlocal y, cur
+        y -= leading
+        cur = None
+
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind == "kw":
+            op = val
+            if op == b"BT":
+                in_text = True
+                x = y = 0.0
+                cur = None
+            elif op == b"ET":
+                in_text = False
+                cur = None
+            elif op == b"Td" and len(stack) >= 2:
+                x += _num(stack[-2])
+                y += _num(stack[-1])
+                cur = None
+            elif op == b"TD" and len(stack) >= 2:
+                x += _num(stack[-2])
+                ty = _num(stack[-1])
+                y += ty
+                leading = -ty
+                cur = None
+            elif op == b"Tm" and len(stack) >= 6:
+                x = _num(stack[-2])
+                y = _num(stack[-1])
+                cur = None
+            elif op == b"TL" and stack:
+                leading = _num(stack[-1])
+            elif op == b"T*":
+                newline()
+            elif op == b"Tj" and stack:
+                if isinstance(stack[-1], bytes):
+                    show(_decode_text(stack[-1]))
+            elif op == b"'" and stack:
+                newline()
+                if isinstance(stack[-1], bytes):
+                    show(_decode_text(stack[-1]))
+            elif op == b'"' and len(stack) >= 3:
+                newline()
+                if isinstance(stack[-1], bytes):
+                    show(_decode_text(stack[-1]))
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                parts: list[str] = []
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        parts.append(_decode_text(el))
+                    elif isinstance(el, (int, float)) and el <= -SPACE_KERN:
+                        parts.append(" ")
+                show("".join(parts))
+            elif op == b"BI":
+                e = content.find(b"EI", lex.pos)
+                lex.pos = len(content) if e < 0 else e + 2
+            stack.clear()
+        elif kind == "arr_open":
+            # array operand (TJ) — parse inline, refs impossible in content
+            arr: list = []
+            depth = 1
+            while depth:
+                t = lex.next_token()
+                if t is None:
+                    break
+                if t[0] == "arr_close":
+                    depth -= 1
+                elif t[0] == "arr_open":
+                    depth += 1
+                elif depth == 1 and t[0] in ("num", "str"):
+                    arr.append(t[1])
+            stack.append(arr)
+        elif kind == "dict_open":
+            depth = 1
+            while depth:
+                t = lex.next_token()
+                if t is None:
+                    break
+                if t[0] == "dict_close":
+                    depth -= 1
+                elif t[0] == "dict_open":
+                    depth += 1
+            stack.append({})
+        else:
+            stack.append(val)
+    # empty-text runs are kept: a show op marks a line even when its
+    # string is empty (blank source lines round-trip through assembly)
+    return runs
+
+
+def _num(v) -> float:
+    return float(v) if isinstance(v, (int, float)) else 0.0
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def extract_pdf_runs(data: bytes) -> list[tuple[int, float, float, str]]:
+    """[(page_index, y, x, text)] — every text run with its layout origin."""
+    doc = PdfDocument(data)
+    out = []
+    for i, page in enumerate(doc.pages()):
+        for y, x, s in _runs_from_content(doc.page_content(page)):
+            out.append((i, y, x, s))
+    return out
+
+
+def _assemble(run_list: list[tuple[float, float, str]]) -> str:
+    """Group runs into visual lines (y within Y_TOL), top-to-bottom, runs
+    left-to-right within a line. Deterministic for ties (stable sort)."""
+    if not run_list:
+        return ""
+    by_y = sorted(run_list, key=lambda r: -r[0])
+    lines: list[tuple[float, list[tuple[float, str]]]] = []
+    for y, x, s in by_y:
+        if lines and abs(lines[-1][0] - y) <= Y_TOL:
+            lines[-1][1].append((x, s))
+        else:
+            lines.append((y, [(x, s)]))
+    out_lines = []
+    for _, runs in lines:
+        runs.sort(key=lambda r: r[0])
+        out_lines.append("".join(s for _, s in runs))
+    return "\n".join(out_lines)
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """Full-document text in reading order; pages joined by a newline."""
+    doc = PdfDocument(data)
+    pages = []
+    for page in doc.pages():
+        pages.append(_assemble(_runs_from_content(doc.page_content(page))))
+    return "\n".join(pages)

@@ -1,0 +1,141 @@
+"""PDF text/layout extraction as a DataFrame operator.
+
+The north rule's extraction pipeline covers "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics"; this module is the PDF leg, layered
+on the from-scratch parser in :mod:`sax_wasm_spark.kernel.pdftext` the
+same way operators/extract.py layers on the SAX kernel:
+
+* CPU-bound pure-Python work runs inside ``mapInArrow`` (one Arrow batch
+  in, one out — no pandas object-dtype intermediate), so it scales with
+  executor cores exactly like the HTML extract stage and inherits the
+  same repartition-before-Python guidance (see queries._wrapped_docs).
+* Poison documents (truncated files, unsupported filters, non-PDFs)
+  produce a per-row ``status='error:<Type>'`` instead of failing the
+  task — at 10^12 documents some WILL be malformed.
+
+``render_pdf_column`` is the synthesis twin (sources/pdfgen.py) used by
+tests and the oracle query to materialize a deterministic PDF corpus
+from the documents table at small scale; no external data is read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.pdftext import PdfDocument, _runs_from_content
+
+PDF_EXTRACT_FIELDS = [
+    StructField("text", StringType(), True),
+    StructField("n_pages", IntegerType(), False),
+    StructField("n_runs", IntegerType(), False),
+    StructField("status", StringType(), False),
+]
+
+
+def extract_pdf_document(data: bytes) -> tuple[str | None, int, int, str]:
+    """Single document → (text, n_pages, n_runs, status)."""
+    from ..kernel.pdftext import _assemble  # noqa: PLC0415
+
+    try:
+        doc = PdfDocument(data)
+        pages = doc.pages()
+        texts = []
+        n_runs = 0
+        for page in pages:
+            runs = _runs_from_content(doc.page_content(page))
+            n_runs += len(runs)
+            texts.append(_assemble(runs))
+        return "\n".join(texts), len(pages), n_runs, "ok"
+    except Exception as e:  # defensive: poison docs must not kill the task
+        return None, 0, 0, f"error:{type(e).__name__}"
+
+
+def extract_pdf(
+    df: DataFrame, pdf_col: str = "pdf", id_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """pages(id…, pdf:binary) → (id…, text, n_pages, n_runs, status)."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(list(id_fields) + PDF_EXTRACT_FIELDS)
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in out_schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+    src = df.select(*id_cols, pdf_col)
+    n_id = len(id_cols)
+
+    def run(batches):
+        for rb in batches:
+            ids = [rb.column(j).to_pylist() for j in range(n_id)]
+            pdfs = rb.column(n_id).to_pylist()
+            texts, n_pages, n_runs, status = [], [], [], []
+            for data in pdfs:
+                t, p, r, s = extract_pdf_document(data if data is not None else b"")
+                texts.append(t)
+                n_pages.append(p)
+                n_runs.append(r)
+                status.append(s)
+            arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [
+                pa.array(texts, pa.string()),
+                pa.array(n_pages, pa.int32()),
+                pa.array(n_runs, pa.int32()),
+                pa.array(status, pa.string()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return src.mapInArrow(run, schema=out_schema)
+
+
+def render_pdf_column(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    variant_col: str | None = None,
+) -> DataFrame:
+    """(id…, text) → (id…, pdf:binary). Deterministic synthesis — the
+    variant defaults to ``first_id % 4`` so the corpus exercises every
+    generator/parser surface; identical regardless of partitioning."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
+    from ..sources.pdfgen import build_pdf  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(list(id_fields) + [StructField("pdf", BinaryType(), False)])
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in out_schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+    cols = list(id_cols) + [text_col] + ([variant_col] if variant_col else [])
+    src = df.select(*cols)
+    n_id = len(id_cols)
+
+    def run(batches):
+        for rb in batches:
+            ids = [rb.column(j).to_pylist() for j in range(n_id)]
+            texts = rb.column(n_id).to_pylist()
+            if variant_col:
+                variants = rb.column(n_id + 1).to_pylist()
+            else:
+                variants = [int(i) % 4 for i in ids[0]]
+            pdfs = [
+                build_pdf(t if t is not None else "", variant=int(v) % 4)
+                for t, v in zip(texts, variants)
+            ]
+            arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [
+                pa.array(pdfs, pa.binary())
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return src.mapInArrow(run, schema=out_schema)

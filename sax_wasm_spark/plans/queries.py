@@ -906,6 +906,37 @@ def sax_extract_roundtrip_sql():
 
 
 
+def pdf_extract_roundtrip(spark, sf_dir):
+    """The PDF/layout leg of the extraction pipeline (north rule):
+    documents are rendered into deterministic synthetic PDFs —
+    ``doc_id % 4`` cycles the generator variants (uncompressed Tj,
+    Flate + indirect /Length, TJ-kerning + hex strings, split content
+    streams + incremental update) — then parsed back by the from-scratch
+    PDF kernel. Round-trip text equality is the closed-form oracle for
+    the whole object-layer → filter → page-tree → text-operator →
+    layout-assembly chain."""
+    from ..operators.pdf import extract_pdf, render_pdf_column  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    pdfs = render_pdf_column(d.select("doc_id", "text"), id_cols=("doc_id",))
+    ex = extract_pdf(pdfs, pdf_col="pdf", id_cols=("doc_id",))
+    return ex.select(
+        "doc_id",
+        F.col("text").alias("pdf_text"),
+        F.col("n_pages").cast("int").alias("n_pages"),
+        "status",
+    ).orderBy("doc_id")
+
+
+def pdf_extract_roundtrip_sql():
+    return """
+    SELECT doc_id, text AS pdf_text, 1 AS n_pages, 'ok' AS status
+    FROM documents ORDER BY doc_id
+    """
+
+
 def q20_lang_guess(spark, sf_dir):
     """Heuristic language ID: argmax of stopword-marker hit ratios
     (functions/text.py lang_guess) — closed-form SQL twin below."""
@@ -1486,6 +1517,7 @@ QUERIES = {
     "sax_event_counts": sax_event_counts,
     "sax_attributes": sax_attributes,
     "sax_extract_roundtrip": sax_extract_roundtrip,
+    "pdf_extract_roundtrip": pdf_extract_roundtrip,
 }
 
 ORACLES = {
@@ -1530,4 +1562,5 @@ ORACLES = {
     "sax_event_counts": sax_event_counts_sql(),
     "sax_attributes": sax_attributes_sql(),
     "sax_extract_roundtrip": sax_extract_roundtrip_sql(),
+    "pdf_extract_roundtrip": pdf_extract_roundtrip_sql(),
 }

@@ -1,0 +1,197 @@
+"""PDF text/layout extraction: from-scratch parser (kernel/pdftext.py)
+against the deterministic generator (sources/pdfgen.py), plus direct
+object-layer edge cases the generator never emits."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from sax_wasm_spark.kernel.pdftext import (
+    PdfDocument,
+    PdfError,
+    UnsupportedFilter,
+    extract_pdf_runs,
+    extract_pdf_text,
+)
+from sax_wasm_spark.operators.pdf import extract_pdf_document
+from sax_wasm_spark.sources.pdfgen import build_pdf
+
+TEXTS = [
+    "hello world this is a test",
+    "line one\nline two\nline three",
+    "",
+    "unicode: éü☃ \U0001f600 end",
+    "parens (nested (deep)) and back\\slash chars",
+    "multi  space   runs preserved",
+]
+
+
+@pytest.mark.parametrize("variant", [0, 1, 2, 3])
+@pytest.mark.parametrize("text", TEXTS)
+def test_roundtrip_all_variants(variant, text):
+    assert extract_pdf_text(build_pdf(text, variant=variant)) == text
+
+
+def test_two_column_layout_reorder():
+    """Stream order writes column 2 first; reading order must win."""
+    text = "\n".join(f"row {i} content" for i in range(8))
+    pdf = build_pdf(text, variant=0, two_column=True)
+    # prove the stream really is scrambled: raw stream shows row 4 first
+    doc = PdfDocument(pdf)
+    content = doc.page_content(doc.pages()[0])
+    assert content.find(b"row 4") < content.find(b"row 0")
+    assert extract_pdf_text(pdf) == text
+
+
+def test_multi_page_and_split_streams():
+    text = "\n".join(f"para {i} words here" for i in range(10))
+    for variant in (0, 3):
+        pdf = build_pdf(text, variant=variant, lines_per_page=3)
+        doc = PdfDocument(pdf)
+        assert len(doc.pages()) == 4
+        assert extract_pdf_text(pdf) == text
+
+
+def test_runs_carry_layout_positions():
+    runs = extract_pdf_runs(build_pdf("a\nb", variant=0))
+    assert [(p, x) for p, _, x, _ in runs] == [(0, 72.0), (0, 72.0)]
+    assert runs[0][1] > runs[1][1]  # first line higher on the page
+
+
+def test_incremental_update_last_definition_wins():
+    pdf = build_pdf("x", variant=3)
+    doc = PdfDocument(pdf)
+    info_num = max(doc.objects)
+    assert doc.objects[info_num] == {"/Producer": b"gen-b"}
+
+
+def test_broken_xref_still_parses():
+    """Object scan must not trust xref: corrupt every offset digit."""
+    pdf = bytearray(build_pdf("salvaged text", variant=0))
+    i = pdf.find(b"xref")
+    j = pdf.find(b"trailer")
+    pdf[i:j] = pdf[i:j].replace(b"0", b"9")
+    assert extract_pdf_text(bytes(pdf)) == "salvaged text"
+
+
+def test_contents_array_and_indirect_length():
+    pdf = build_pdf("alpha beta", variant=3)  # array /Contents
+    assert extract_pdf_text(pdf) == "alpha beta"
+    pdf = build_pdf("alpha beta", variant=1)  # indirect /Length
+    assert b"/Length" in pdf and extract_pdf_text(pdf) == "alpha beta"
+
+
+def _mini_pdf(content: bytes, stream_dict: bytes = b"") -> bytes:
+    """Hand-rolled single-page PDF around an arbitrary content stream."""
+    sd = b"<< /Length %d %s >>" % (len(content), stream_dict)
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj " + sd + b" stream\n" + content + b"\nendstream endobj\n"
+        b"trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_string_escapes_octal_and_continuation():
+    content = b"BT 1 0 0 1 72 720 Tm (A\\101\\x\\\n B\\)\\() Tj ET"
+    # \101 = 'A'; \x -> 'x' (lone backslash dropped); \<newline> = continuation
+    assert extract_pdf_text(_mini_pdf(content)) == "AAx B)("
+
+
+def test_tj_kerning_space_rule():
+    content = b"BT 1 0 0 1 72 720 Tm [(a) -250 (b) -50 (c)] TJ ET"
+    assert extract_pdf_text(_mini_pdf(content)) == "a bc"
+
+
+def test_td_tstar_quote_newlines():
+    content = b"BT 14 TL 1 0 0 1 72 720 Tm (one) Tj T* (two) Tj (more) ' ET"
+    assert extract_pdf_text(_mini_pdf(content)) == "one\ntwo\nmore"
+
+
+def test_inline_image_skipped():
+    content = b"BT 1 0 0 1 72 720 Tm (keep) Tj ET BI /W 1 /H 1 ID \x00\xff(junk) EI BT 1 0 0 1 72 706 Tm (tail) Tj ET"
+    assert extract_pdf_text(_mini_pdf(content)) == "keep\ntail"
+
+
+def test_ascii_filters():
+    ops = b"BT 1 0 0 1 72 720 Tm (hi there) Tj ET"
+    hexed = ops.hex().encode() + b">"
+    pdf = _mini_pdf(hexed, b"/Filter /ASCIIHexDecode")
+    assert extract_pdf_text(pdf) == "hi there"
+    import base64
+
+    a85 = base64.a85encode(zlib.compress(ops)) + b"~>"
+    pdf = _mini_pdf(a85, b"/Filter [/ASCII85Decode /FlateDecode]")
+    assert extract_pdf_text(pdf) == "hi there"
+
+
+def test_unsupported_filter_raises():
+    pdf = _mini_pdf(b"xxxx", b"/Filter /LZWDecode")
+    with pytest.raises(UnsupportedFilter):
+        extract_pdf_text(pdf)
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"<html>nope</html>")
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"%PDF-1.4\njust a header, no objects")
+
+
+def test_poison_document_status():
+    text, n_pages, n_runs, status = extract_pdf_document(b"garbage")
+    assert text is None and status == "error:PdfError"
+    text, n_pages, n_runs, status = extract_pdf_document(build_pdf("fine", 2))
+    assert (text, n_pages, status) == ("fine", 1, "ok") and n_runs >= 1
+
+
+def test_wrong_stream_length_recovers():
+    """A lying /Length must fall back to endstream scanning."""
+    pdf = build_pdf("resilient", variant=0)
+    doc_ok = extract_pdf_text(pdf)
+    broken = pdf.replace(b"/Length ", b"/Length 9", 1)  # 9-prefix inflates it
+    assert extract_pdf_text(broken) == doc_ok == "resilient"
+
+
+def test_spark_operator_roundtrip(spark):
+    """DataFrame leg: render → extract over the documents table."""
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.operators.pdf import extract_pdf, render_pdf_column
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    pdfs = render_pdf_column(d.select("doc_id", "text"), id_cols=("doc_id",))
+    ex = extract_pdf(pdfs, id_cols=("doc_id",))
+    rows = (
+        ex.join(d.select("doc_id", F.col("text").alias("want")), "doc_id")
+        .select("doc_id", "text", "want", "status", "n_pages")
+        .collect()
+    )
+    assert len(rows) == 40
+    for r in rows:
+        assert r.status == "ok" and r.n_pages == 1
+        assert r.text == r.want, r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trip (hypothesis)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# any printable unicode (no control chars except \n, which is the line break)
+_line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=60
+)
+_doc = st.lists(_line, min_size=1, max_size=8).map("\n".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=_doc, variant=st.integers(0, 3), two_col=st.booleans())
+def test_roundtrip_property(text, variant, two_col):
+    pdf = build_pdf(text, variant=variant, two_column=two_col)
+    assert extract_pdf_text(pdf) == text
