@@ -104,6 +104,29 @@ def main():
         "extract_docs_s": round(len(pages) / we),
         "extract_mb_s": round(page_mb / we, 2),
     }
+
+    # PDF leg: single-core parse throughput over deterministic synthetic
+    # PDFs (all 4 generator variants), separated from render cost
+    from sax_wasm_spark.kernel.pdftext import extract_pdf_text
+    from sax_wasm_spark.sources.pdfgen import build_pdf
+
+    texts = [build_page(i)[3] or "" for i in range(1000)]
+    pdfs = [build_pdf(t, variant=i % 4) for i, t in enumerate(texts)]
+    pdf_mb = sum(len(p) for p in pdfs) / 1e6
+    for p in pdfs[:50]:
+        extract_pdf_text(p)
+    b = 9e9
+    for _ in range(max(rounds - 1, 2)):
+        t = time.perf_counter()
+        for p in pdfs:
+            extract_pdf_text(p)
+        b = min(b, time.perf_counter() - t)
+    result["pdf"] = {
+        "n_docs": len(pdfs),
+        "corpus_mb": round(pdf_mb, 2),
+        "extract_docs_s": round(len(pdfs) / b),
+        "extract_mb_s": round(pdf_mb / b, 2),
+    }
     print(json.dumps(result))
 
 
