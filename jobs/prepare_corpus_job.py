@@ -4,9 +4,10 @@
   1. EXTRACT   raw pages → main-content text, url-hash sharded,
                resumable per shard with lineage (plans/lineage.py;
                positions-off kernel in the Python stage);
-  2. FILTER    language ID + quality score + length gates, all
-               whole-stage-codegen column expressions
-               (functions/text.py) — no Python in this stage;
+  2. FILTER    language ID + quality score + length gates + Gopher-
+               style repetition gates (top-word fraction, duplicate-
+               bigram fraction), all whole-stage-codegen column
+               expressions (functions/text.py) — no Python here;
   3. DEDUP     exact (content-hash) + near (minhash/LSH with the
                hot-bucket guard → Jaccard verify → connected
                components) → surviving representatives
@@ -51,6 +52,8 @@ def run_pipeline(
     num_shards: int = 64,
     min_quality: float = 0.5,
     min_chars: int = 100,
+    max_top_word_frac: float | None = 0.5,
+    max_dup_bigram: float | None = 0.5,
     lang_allow: tuple[str, ...] = (),
     jaccard: float = 0.8,
     max_bucket: int | None = 10_000,
@@ -59,7 +62,13 @@ def run_pipeline(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from jobs.dedup_job import run_dedup  # noqa: PLC0415
-    from sax_wasm_spark.functions.text import lang_guess, quality_score  # noqa: PLC0415
+    from sax_wasm_spark.functions.text import (  # noqa: PLC0415
+        dup_bigram_fraction,
+        lang_guess,
+        quality_score,
+        token_count,
+        top_word_count,
+    )
     from sax_wasm_spark.plans.lineage import read_extracted, run_extraction  # noqa: PLC0415
 
     # ---- 1. extract (resumable; idempotent per shard) ----
@@ -85,6 +94,15 @@ def run_pipeline(
         .where(F.length("text") >= min_chars)
         .where(F.col("quality") >= min_quality)
     )
+    if max_top_word_frac is not None:
+        docs = docs.where(
+            top_word_count(F.col("text")) / token_count(F.col("text"))
+            <= max_top_word_frac
+        )
+    if max_dup_bigram is not None:
+        # NULL (single-token doc) passes: no bigrams = no repetition signal
+        dup = dup_bigram_fraction(F.col("text"))
+        docs = docs.where(dup.isNull() | (dup <= max_dup_bigram))
     if lang_allow:
         docs = docs.where(F.col("lang").isin(*lang_allow))
     docs.write.mode("overwrite").parquet(f"{out_path}/filtered")
@@ -133,6 +151,8 @@ def main():
     ap.add_argument("--num-shards", type=int, default=256)
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-chars", type=int, default=100)
+    ap.add_argument("--max-top-word-frac", type=float, default=0.5)
+    ap.add_argument("--max-dup-bigram", type=float, default=0.5)
     ap.add_argument("--langs", default="", help="comma list; empty = keep all")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--max-bucket", type=int, default=10_000)
@@ -158,6 +178,8 @@ def main():
             num_shards=args.num_shards,
             min_quality=args.min_quality,
             min_chars=args.min_chars,
+            max_top_word_frac=args.max_top_word_frac,
+            max_dup_bigram=args.max_dup_bigram,
             lang_allow=tuple(x for x in args.langs.split(",") if x),
             jaccard=args.jaccard,
             max_bucket=args.max_bucket or None,

@@ -72,3 +72,45 @@ def fingerprint(col: str | Column) -> Column:
     token set — a cheap canonical content id robust to word order."""
     toks = F.array_sort(F.array_distinct(tokens(col)))
     return F.md5(F.array_join(toks, " "))
+
+
+def top_word_count(col: str | Column) -> Column:
+    """Count of the most frequent token, computed IN-ROW with zero
+    shuffle: sort the token array, then a single aggregate fold tracks
+    the longest equal-run (Gopher-style repetition signal — a shuffling
+    groupBy(doc, word) would move one row per word per doc at 100 TB;
+    this moves nothing)."""
+    toks = F.array_sort(tokens(col))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    acc = F.aggregate(
+        toks,
+        init,
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best, F.when(t == a.prev, a.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+    )
+    return acc.best
+
+
+def bigrams(col: str | Column) -> Column:
+    """Adjacent token pairs as 'w1 w2' strings (in-row)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def dup_bigram_fraction(col: str | Column) -> Column:
+    """1 − distinct/total adjacent bigrams; NULL for single-token docs
+    (nullif keeps ANSI mode from raising on the empty-bigram case)."""
+    bi = bigrams(col)
+    return 1 - F.size(F.array_distinct(bi)) / F.nullif(F.size(bi), F.lit(0))

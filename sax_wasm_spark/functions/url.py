@@ -1,0 +1,49 @@
+"""URL normalization — pure column expressions (whole-stage codegen).
+
+Common-Crawl-style pipelines key nearly everything on the url (dedup
+groups, host skew salting, lineage shards), so a canonical url form is
+a first-class operator. Documented normal form:
+
+1. fragment stripped (``#…``),
+2. scheme and authority (up to the first ``/`` or ``?``) lowercased —
+   path/query case is preserved (paths are case-sensitive per RFC 3986;
+   scheme/host are not),
+3. default ports dropped (``:80`` for http, ``:443`` for https).
+
+Strings without a ``scheme://authority`` prefix pass through with only
+the fragment stripped. No UDF, no regex backreferences (the expression
+must evaluate identically under Spark's Java regex and DuckDB's RE2 —
+the q37 oracle's closed form checks exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
+
+
+def url_normalize(col: str | Column) -> Column:
+    u = F.regexp_replace(col, "#.*", "")
+    p = F.regexp_extract(u, _AUTHORITY_RE, 0)
+    rest = F.substr(u, F.length(p) + F.lit(1))
+    pl = F.lower(p)
+    pl = F.when(
+        pl.startswith("http://") & pl.endswith(":80"),
+        F.substr(pl, F.lit(1), F.length(pl) - F.lit(3)),
+    ).otherwise(pl)
+    pl = F.when(
+        pl.startswith("https://") & pl.endswith(":443"),
+        F.substr(pl, F.lit(1), F.length(pl) - F.lit(4)),
+    ).otherwise(pl)
+    return F.when(p == F.lit(""), u).otherwise(F.concat(pl, rest))
+
+
+def url_host(col: str | Column) -> Column:
+    """Lowercased host (no port) of a normalized-or-raw url — the
+    partitioning/salting key for host-skew handling."""
+    norm = url_normalize(col)
+    auth = F.regexp_extract(norm, _AUTHORITY_RE, 0)
+    host = F.regexp_extract(auth, "://([^:/?]*)", 1)
+    return host

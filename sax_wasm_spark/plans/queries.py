@@ -1473,6 +1473,93 @@ def q35_sql():
     """
 
 
+def q36_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals, computed IN-ROW (zero shuffle
+    besides the final orderBy): most-frequent-token fraction via a
+    sorted-array run-length fold, duplicate-bigram fraction via
+    zip_with over shifted slices. The SQL twin recomputes both through
+    an unnest/groupBy formulation — two entirely different plans, same
+    values."""
+    from ..functions.text import dup_bigram_fraction, token_count, top_word_count  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    n = token_count("text")
+    return (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_words"),
+            F.round(top_word_count("text") / n, 6).alias("top_word_frac"),
+            F.round(dup_bigram_fraction("text"), 6).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q36_sql():
+    return """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    top AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_count
+            FROM wc GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text, ' '))),
+                            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS bigrams
+      FROM documents)
+    SELECT t.doc_id, t.n_words,
+           round(CAST(t.top_count AS DOUBLE) / t.n_words, 6) AS top_word_frac,
+           round(1.0 - CAST(len(list_distinct(b.bigrams)) AS DOUBLE)
+                       / nullif(len(b.bigrams), 0), 6) AS dup_bigram_frac
+    FROM top t JOIN bi b USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+def q37_url_normalize(spark, sf_dir):
+    """URL canonicalization (functions/url.py): urls are CONSTRUCTED
+    deterministically from doc_id with deliberately messy case, default
+    ports, and fragments; the oracle states the normalized result in
+    closed form — so the normalizer's regex/case logic is checked
+    against ground truth, not against a SQL re-implementation of
+    itself."""
+    from ..functions.url import url_host, url_normalize  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS"))
+    port = F.when(
+        did % 3 == 0,
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    frag = F.when(did % 4 == 0, F.lit("#Frag")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme,
+        F.lit("://MegaHost"),
+        (did % 5).cast("string"),
+        F.lit(".Example.COM"),
+        port,
+        F.lit("/Path/"),
+        did.cast("string"),
+        frag,
+    )
+    return d.select(
+        "doc_id",
+        url_normalize(url).alias("url_norm"),
+        url_host(url).alias("host"),
+    ).orderBy("doc_id")
+
+
+def q37_sql():
+    return """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+             || '://megahost' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example.com/Path/' || CAST(doc_id AS VARCHAR) AS url_norm,
+           'megahost' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host
+    FROM documents ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1511,6 +1598,8 @@ QUERIES = {
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_ann_int_lsh": q34_ann_int_lsh,
     "q35_token_stats_grouped": q35_token_stats_grouped,
+    "q36_repetition_stats": q36_repetition_stats,
+    "q37_url_normalize": q37_url_normalize,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -1556,6 +1645,8 @@ ORACLES = {
     "q33_bpe_tokens": q33_sql(),
     "q34_ann_int_lsh": q34_sql(),
     "q35_token_stats_grouped": q35_sql(),
+    "q36_repetition_stats": q36_sql(),
+    "q37_url_normalize": q37_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

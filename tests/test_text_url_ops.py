@@ -1,0 +1,122 @@
+"""Repetition-stat and URL-normalization column expressions: value
+checks on hand-computable inputs + plan gates (both are 100 TB hot-path
+candidates, so they must stay in-row / codegen)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _one(spark, expr_col, value: str):
+    return spark.createDataFrame([(value,)], "v string").select(expr_col.alias("r")).head().r
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+
+
+def test_top_word_count_values(spark):
+    from sax_wasm_spark.functions.text import top_word_count
+
+    cases = {
+        "a b a a c a b": 4,
+        "x": 1,
+        "y y y y": 4,
+        "one two three": 1,
+    }
+    for text, want in cases.items():
+        assert _one(spark, top_word_count(F.col("v")), text) == want, text
+
+
+def test_dup_bigram_fraction_values(spark):
+    from sax_wasm_spark.functions.text import dup_bigram_fraction
+
+    r = _one(spark, F.round(dup_bigram_fraction(F.col("v")), 6), "a b a a c a b")
+    assert r == pytest.approx(1 / 6, abs=1e-6)
+    # single token → no bigrams → NULL, not a divide-by-zero crash
+    assert _one(spark, dup_bigram_fraction(F.col("v")), "solo") is None
+
+
+def test_repetition_is_shuffle_free(spark):
+    """Both signals fold within the row; the scan→project plan must
+    contain no Exchange and no Window at all."""
+    from sax_wasm_spark.functions.text import dup_bigram_fraction, top_word_count
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        d.select(
+            "doc_id",
+            top_word_count("text").alias("t"),
+            dup_bigram_fraction("text").alias("b"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+
+
+# ---------------------------------------------------------------------------
+# url normalization
+
+
+URL_CASES = {
+    # scheme+host lowercased, path case kept
+    "HTTP://Example.COM/Path/File": "http://example.com/Path/File",
+    # default ports dropped per scheme
+    "http://example.com:80/a": "http://example.com/a",
+    "HTTPS://Example.com:443/a": "https://example.com/a",
+    # non-default ports kept
+    "http://example.com:8080/a": "http://example.com:8080/a",
+    "https://example.com:80/a": "https://example.com:80/a",
+    # fragment stripped, query kept
+    "http://h.com/a?q=UPPER#frag": "http://h.com/a?q=UPPER",
+    "http://h.com/#only-frag": "http://h.com/",
+    # authority-only urls
+    "HTTP://Host.com": "http://host.com",
+    "http://Host.com:80": "http://host.com",
+    # no scheme → pass through (fragment still stripped)
+    "just a string#frag": "just a string",
+    "relative/path?x=1": "relative/path?x=1",
+}
+
+
+def test_url_normalize_cases(spark):
+    from sax_wasm_spark.functions.url import url_normalize
+
+    rows = (
+        spark.createDataFrame([(k,) for k in URL_CASES], "v string")
+        .select("v", url_normalize(F.col("v")).alias("n"))
+        .collect()
+    )
+    for r in rows:
+        assert r.n == URL_CASES[r.v], r.v
+
+
+def test_url_host(spark):
+    from sax_wasm_spark.functions.url import url_host
+
+    cases = {
+        "HTTP://MegaHost3.Example.COM:80/Path/9#f": "megahost3.example.com",
+        "https://A.B.c:8443/x?y": "a.b.c",
+        "no scheme here": "",
+    }
+    for url, want in cases.items():
+        assert _one(spark, url_host(F.col("v")), url) == want, url
+
+
+def test_url_normalize_is_codegen_only(spark):
+    from sax_wasm_spark.functions.url import url_normalize
+
+    d = spark.createDataFrame([("http://x.com/a",)], "v string")
+    plan = (
+        d.select(url_normalize(F.col("v")).alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
