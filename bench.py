@@ -69,8 +69,11 @@ HEADLINE = [
     "q16_minhash_signature",
     "q17_simhash16",
     "q18_knn_cosine",
+    "q36_repetition_stats",
+    "q38_boilerplate_lines",
     "sax_text_events",
     "sax_extract_roundtrip",
+    "pdf_extract_roundtrip",
 ]
 
 

@@ -54,6 +54,7 @@ def run_pipeline(
     min_chars: int = 100,
     max_top_word_frac: float | None = 0.5,
     max_dup_bigram: float | None = 0.5,
+    line_min_df: int | None = None,
     lang_allow: tuple[str, ...] = (),
     jaccard: float = 0.8,
     max_bucket: int | None = 10_000,
@@ -105,6 +106,19 @@ def run_pipeline(
         docs = docs.where(dup.isNull() | (dup <= max_dup_bigram))
     if lang_allow:
         docs = docs.where(F.col("lang").isin(*lang_allow))
+    if line_min_df is not None:
+        # C4-style cross-corpus line dedup on the extracted text (the
+        # banner/nav lines the per-document DOM classifier cannot see)
+        from sax_wasm_spark.operators.lines import remove_boilerplate_lines  # noqa: PLC0415
+
+        docs = (
+            remove_boilerplate_lines(
+                docs, text_col="text", id_col="doc_id", min_df=line_min_df
+            )
+            .drop("text")
+            .withColumnRenamed("clean_text", "text")
+            .where(F.length("text") > 0)
+        )
     docs.write.mode("overwrite").parquet(f"{out_path}/filtered")
     docs = spark.read.parquet(f"{out_path}/filtered")
     n_filtered = docs.count()
@@ -153,6 +167,7 @@ def main():
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--max-top-word-frac", type=float, default=0.5)
     ap.add_argument("--max-dup-bigram", type=float, default=0.5)
+    ap.add_argument("--line-min-df", type=int, default=0, help="0 = off")
     ap.add_argument("--langs", default="", help="comma list; empty = keep all")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--max-bucket", type=int, default=10_000)
@@ -180,6 +195,7 @@ def main():
             min_chars=args.min_chars,
             max_top_word_frac=args.max_top_word_frac,
             max_dup_bigram=args.max_dup_bigram,
+            line_min_df=args.line_min_df or None,
             lang_allow=tuple(x for x in args.langs.split(",") if x),
             jaccard=args.jaccard,
             max_bucket=args.max_bucket or None,

@@ -1560,6 +1560,40 @@ def q37_sql():
     """
 
 
+def q38_boilerplate_lines(spark, sf_dir):
+    """C4-style cross-corpus line dedup (operators/lines.py): a cookie-
+    banner line is appended to every even doc, then any line whose
+    document frequency ≥ 2 is removed corpus-wide. Closed-form oracle:
+    the banner always dies (df = n/2), and a doc's own text survives
+    iff no other doc has identical text — which the SQL twin states
+    directly with a COUNT() OVER (PARTITION BY text)."""
+    from ..operators.lines import remove_boilerplate_lines  # noqa: PLC0415
+
+    _BP = "ACCEPT COOKIES TO CONTINUE"
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat("text", F.lit("\n" + _BP))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        remove_boilerplate_lines(d, min_df=2)
+        .select("doc_id", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+def q38_sql():
+    return """
+    SELECT doc_id,
+           CASE WHEN count(*) OVER (PARTITION BY text) >= 2 THEN ''
+                ELSE text END AS clean_text
+    FROM documents ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1600,6 +1634,7 @@ QUERIES = {
     "q35_token_stats_grouped": q35_token_stats_grouped,
     "q36_repetition_stats": q36_repetition_stats,
     "q37_url_normalize": q37_url_normalize,
+    "q38_boilerplate_lines": q38_boilerplate_lines,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -1647,6 +1682,7 @@ ORACLES = {
     "q35_token_stats_grouped": q35_sql(),
     "q36_repetition_stats": q36_sql(),
     "q37_url_normalize": q37_sql(),
+    "q38_boilerplate_lines": q38_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -195,3 +195,23 @@ _doc = st.lists(_line, min_size=1, max_size=8).map("\n".join)
 def test_roundtrip_property(text, variant, two_col):
     pdf = build_pdf(text, variant=variant, two_column=two_col)
     assert extract_pdf_text(pdf) == text
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n_mut=st.integers(1, 40),
+)
+def test_mutation_fuzz_never_raises(seed, n_mut):
+    """The operator contract: ANY byte-mutated document returns a
+    status tuple — never an exception, never a hang."""
+    import random
+
+    rng = random.Random(seed)
+    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 4))
+    for _ in range(n_mut):
+        i = rng.randrange(len(base))
+        base[i] = rng.randrange(256)
+    text, n_pages, n_runs, status = extract_pdf_document(bytes(base))
+    assert status == "ok" or status.startswith("error:")
+    assert (text is None) == status.startswith("error:")

@@ -389,6 +389,35 @@ def test_prepare_corpus_pipeline_end_to_end(spark, pages, tmp_path):
     assert stats2["extract"]["skipped_shards"] == 8
     assert spark.read.parquet(f"{out}/kept").count() == n_kept
 
+    # third run with the C4-style line dedup armed: same extract (still
+    # resumes), filtered texts must contain no corpus-repeated line
+    out3 = str(tmp_path / "corpus3")
+    import shutil
+
+    shutil.copytree(f"{out}/extracted", f"{out3}/extracted")
+    shutil.copytree(f"{out}/lineage", f"{out3}/lineage")
+    stats3 = run_pipeline(
+        spark,
+        pages,
+        out3,
+        num_shards=8,
+        min_quality=0.0,
+        min_chars=10,
+        line_min_df=3,
+        run_id="p3",
+    )
+    assert stats3["extract"]["processed_shards"] == 0
+    filtered3 = spark.read.parquet(f"{out3}/filtered")
+    from pyspark.sql import functions as F
+
+    line_df = (
+        filtered3.select(F.explode(F.array_distinct(F.split("text", "\n"))).alias("l"))
+        .groupBy("l")
+        .count()
+    )
+    assert line_df.where(F.col("count") >= 3).count() == 0
+    assert 0 < filtered3.count() <= stats["n_filtered"]
+
 
 def test_multimodal_plumbing(spark):
     rows = [(i, ["image", "audio", "video"][i % 3], bytes([i % 251]) * (100 + i)) for i in range(30)]

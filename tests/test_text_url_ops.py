@@ -120,3 +120,48 @@ def test_url_normalize_is_codegen_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus boilerplate-line removal
+
+
+def test_remove_boilerplate_lines(spark):
+    from sax_wasm_spark.operators.lines import remove_boilerplate_lines
+
+    bp = "ACCEPT COOKIES"
+    rows = [
+        (0, f"unique zero\n{bp}\ntail zero"),
+        (1, f"unique one\n{bp}"),
+        (2, f"{bp}\nunique two"),
+        (3, "no banner here"),
+        (4, "repeated body"),
+        (5, "repeated body"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate_lines(d, min_df=2).collect()
+    }
+    assert got == {
+        0: "unique zero\ntail zero",
+        1: "unique one",
+        2: "unique two",
+        3: "no banner here",
+        4: "",  # whole doc was a corpus-repeated line
+        5: "",
+    }
+
+
+def test_remove_boilerplate_lines_df_counts_docs_not_occurrences(spark):
+    """A line repeated many times WITHIN one doc is not boilerplate."""
+    from sax_wasm_spark.operators.lines import remove_boilerplate_lines
+
+    d = spark.createDataFrame(
+        [(0, "echo\necho\necho"), (1, "other")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate_lines(d, min_df=2).collect()
+    }
+    assert got == {0: "echo\necho\necho", 1: "other"}
