@@ -12,7 +12,10 @@
                hot-bucket guard → Jaccard verify → connected
                components) → surviving representatives
                (jobs/dedup_job.run_dedup);
-  4. STATS     per-language document/byte/token counts of the final
+  4. MIX       optional deterministic per-source sampling (md5 hash
+               gate, functions/sampling.py) — reproducible regardless
+               of partitioning/cluster size/retries;
+  5. STATS     per-language document/byte/token counts of the final
                corpus (one aggregation pass, persisted next to the
                data for the audit trail).
 
@@ -55,6 +58,8 @@ def run_pipeline(
     max_top_word_frac: float | None = 0.5,
     max_dup_bigram: float | None = 0.5,
     line_min_df: int | None = None,
+    mix_weights: dict[str, float] | None = None,
+    mix_default: float = 1.0,
     lang_allow: tuple[str, ...] = (),
     jaccard: float = 0.8,
     max_bucket: int | None = 10_000,
@@ -132,8 +137,20 @@ def run_pipeline(
         max_bucket=max_bucket,
     )
 
-    # ---- 4. final corpus stats (audit trail) ----
+    # ---- 4. optional deterministic mix ----
     kept = spark.read.parquet(f"{out_path}/kept")
+    if mix_weights:
+        from sax_wasm_spark.functions.sampling import mix_corpus  # noqa: PLC0415
+
+        src = "source" if "source" in kept.columns else "lang"
+        kept = mix_corpus(
+            kept, mix_weights, source_col=src, key_col="doc_id",
+            default_weight=mix_default,
+        )
+        kept.write.mode("overwrite").parquet(f"{out_path}/mixed")
+        kept = spark.read.parquet(f"{out_path}/mixed")
+
+    # ---- 5. final corpus stats (audit trail) ----
     stats = (
         kept.groupBy("lang")
         .agg(
@@ -168,6 +185,8 @@ def main():
     ap.add_argument("--max-top-word-frac", type=float, default=0.5)
     ap.add_argument("--max-dup-bigram", type=float, default=0.5)
     ap.add_argument("--line-min-df", type=int, default=0, help="0 = off")
+    ap.add_argument("--mix", default="", help="src=w,src=w per-source sample weights")
+    ap.add_argument("--mix-default", type=float, default=1.0)
     ap.add_argument("--langs", default="", help="comma list; empty = keep all")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--max-bucket", type=int, default=10_000)
@@ -196,6 +215,12 @@ def main():
             max_top_word_frac=args.max_top_word_frac,
             max_dup_bigram=args.max_dup_bigram,
             line_min_df=args.line_min_df or None,
+            mix_weights=(
+                {k: float(v) for k, v in (kv.split("=") for kv in args.mix.split(","))}
+                if args.mix
+                else None
+            ),
+            mix_default=args.mix_default,
             lang_allow=tuple(x for x in args.langs.split(",") if x),
             jaccard=args.jaccard,
             max_bucket=args.max_bucket or None,

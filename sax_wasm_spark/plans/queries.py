@@ -1594,6 +1594,37 @@ def q38_sql():
     """
 
 
+def q39_corpus_mix(spark, sf_dir):
+    """Deterministic corpus mixing (functions/sampling.py): per-source
+    weights gate documents through an md5 hash bucket — reproducible
+    across engines/partitionings, so the oracle can check exact
+    MEMBERSHIP (which doc_ids survive), not just sampled counts."""
+    from ..functions.sampling import mix_corpus  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    mixed = mix_corpus(
+        d,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.1,
+        seed="mix",
+    )
+    return mixed.select("doc_id", "source").orderBy("doc_id")
+
+
+def q39_sql():
+    return """
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000
+          < (CASE source WHEN 'src0' THEN 1000000
+                         WHEN 'src1' THEN 500000
+                         WHEN 'src2' THEN 250000
+                         ELSE 100000 END)
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1635,6 +1666,7 @@ QUERIES = {
     "q36_repetition_stats": q36_repetition_stats,
     "q37_url_normalize": q37_url_normalize,
     "q38_boilerplate_lines": q38_boilerplate_lines,
+    "q39_corpus_mix": q39_corpus_mix,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -1683,6 +1715,7 @@ ORACLES = {
     "q36_repetition_stats": q36_sql(),
     "q37_url_normalize": q37_sql(),
     "q38_boilerplate_lines": q38_sql(),
+    "q39_corpus_mix": q39_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

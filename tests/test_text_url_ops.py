@@ -165,3 +165,38 @@ def test_remove_boilerplate_lines_df_counts_docs_not_occurrences(spark):
         for r in remove_boilerplate_lines(d, min_df=2).collect()
     }
     assert got == {0: "echo\necho\necho", 1: "other"}
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / corpus mixing
+
+
+def test_hash_sampling_is_partitioning_invariant(spark):
+    from sax_wasm_spark.functions.sampling import sample_fraction
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in sample_fraction(d.repartition(1), 0.3, "doc_id").collect()}
+    b = {r.doc_id for r in sample_fraction(d.repartition(16), 0.3, "doc_id").collect()}
+    assert a == b
+    # rate lands near the target on 2000 keys
+    assert 0.25 < len(a) / 2000 < 0.35
+    # different seeds give different (deterministic) samples
+    c = {r.doc_id for r in sample_fraction(d, 0.3, "doc_id", seed="other").collect()}
+    assert c != a
+
+
+def test_mix_corpus_weights(spark):
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.functions.sampling import mix_corpus
+
+    d = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")))
+    )
+    kept = mix_corpus(d, {"s0": 1.0, "s1": 0.5}, default_weight=0.0)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("s0") == 1000          # weight 1.0 keeps all
+    assert 400 < counts.get("s1", 0) < 600   # ~half
+    assert "s2" not in counts                # default 0.0 drops all
