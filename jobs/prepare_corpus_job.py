@@ -58,6 +58,7 @@ def run_pipeline(
     max_top_word_frac: float | None = 0.5,
     max_dup_bigram: float | None = 0.5,
     line_min_df: int | None = None,
+    redact: bool = False,
     mix_weights: dict[str, float] | None = None,
     mix_default: float = 1.0,
     lang_allow: tuple[str, ...] = (),
@@ -72,6 +73,7 @@ def run_pipeline(
         dup_bigram_fraction,
         lang_guess,
         quality_score,
+        redact_pii,
         token_count,
         top_word_count,
     )
@@ -111,6 +113,8 @@ def run_pipeline(
         docs = docs.where(dup.isNull() | (dup <= max_dup_bigram))
     if lang_allow:
         docs = docs.where(F.col("lang").isin(*lang_allow))
+    if redact:
+        docs = docs.withColumn("text", redact_pii(F.col("text")))
     if line_min_df is not None:
         # C4-style cross-corpus line dedup on the extracted text (the
         # banner/nav lines the per-document DOM classifier cannot see)
@@ -185,6 +189,7 @@ def main():
     ap.add_argument("--max-top-word-frac", type=float, default=0.5)
     ap.add_argument("--max-dup-bigram", type=float, default=0.5)
     ap.add_argument("--line-min-df", type=int, default=0, help="0 = off")
+    ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--mix", default="", help="src=w,src=w per-source sample weights")
     ap.add_argument("--mix-default", type=float, default=1.0)
     ap.add_argument("--langs", default="", help="comma list; empty = keep all")
@@ -215,6 +220,7 @@ def main():
             max_top_word_frac=args.max_top_word_frac,
             max_dup_bigram=args.max_dup_bigram,
             line_min_df=args.line_min_df or None,
+            redact=args.redact_pii,
             mix_weights=(
                 {k: float(v) for k, v in (kv.split("=") for kv in args.mix.split(","))}
                 if args.mix

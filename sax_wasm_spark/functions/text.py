@@ -114,3 +114,17 @@ def dup_bigram_fraction(col: str | Column) -> Column:
     (nullif keeps ANSI mode from raising on the empty-bigram case)."""
     bi = bigrams(col)
     return 1 - F.size(F.array_distinct(bi)) / F.nullif(F.size(bi), F.lit(0))
+
+
+# PII scrubbing — curation pipelines redact contact info before training.
+# Patterns are deliberately engine-portable (no backreferences, no
+# lookaround): Spark regexp_replace (Java regex, global by default) and
+# DuckDB regexp_replace(..., 'g') (RE2) interpret them identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}"
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace emails then phone numbers with typed placeholders."""
+    c = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")

@@ -1625,6 +1625,38 @@ def q39_sql():
     """
 
 
+def q40_pii_redaction(spark, sf_dir):
+    """PII scrubbing (functions/text.py redact_pii): emails and phone
+    numbers are INJECTED deterministically into each document (doc_id
+    parity picks the pattern), then redacted. The oracle states the
+    redacted result in closed form — the regexes are checked against
+    ground truth, not against themselves."""
+    from ..functions.text import redact_pii  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    contact = (
+        F.when(did % 3 == 0, F.concat(F.lit(" reach user"), did.cast("string"), F.lit("@example.com now")))
+        .when(did % 3 == 1, F.lit(" call 555-123-4567 today"))
+        .otherwise(F.lit(" fax (555) 987-6543 ok"))
+    )
+    dirty = F.concat("text", contact)
+    return d.select(
+        "doc_id", redact_pii(dirty).alias("clean")
+    ).orderBy("doc_id")
+
+
+def q40_sql():
+    return """
+    SELECT doc_id,
+           text || (CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN ' reach <EMAIL> now'
+                    WHEN 1 THEN ' call <PHONE> today'
+                    ELSE ' fax <PHONE> ok' END) AS clean
+    FROM documents ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1667,6 +1699,7 @@ QUERIES = {
     "q37_url_normalize": q37_url_normalize,
     "q38_boilerplate_lines": q38_boilerplate_lines,
     "q39_corpus_mix": q39_corpus_mix,
+    "q40_pii_redaction": q40_pii_redaction,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -1716,6 +1749,7 @@ ORACLES = {
     "q37_url_normalize": q37_sql(),
     "q38_boilerplate_lines": q38_sql(),
     "q39_corpus_mix": q39_sql(),
+    "q40_pii_redaction": q40_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -200,3 +200,28 @@ def test_mix_corpus_weights(spark):
     assert counts.get("s0") == 1000          # weight 1.0 keeps all
     assert 400 < counts.get("s1", 0) < 600   # ~half
     assert "s2" not in counts                # default 0.0 drops all
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+
+def test_redact_pii_cases(spark):
+    from sax_wasm_spark.functions.text import redact_pii
+
+    cases = {
+        "mail a@b.com now": "mail <EMAIL> now",
+        "first.last+tag@sub.domain.org!": "<EMAIL>!",
+        "call 555-123-4567 or (555) 987-6543": "call <PHONE> or <PHONE>",
+        "(555)987-6543 tight": "<PHONE> tight",
+        "no pii here": "no pii here",
+        "ip 1.2.3.4 not phone 12-34": "ip 1.2.3.4 not phone 12-34",
+        "two a@b.co c@d.io": "two <EMAIL> <EMAIL>",
+    }
+    rows = (
+        spark.createDataFrame([(k,) for k in cases], "v string")
+        .select("v", redact_pii(F.col("v")).alias("r"))
+        .collect()
+    )
+    for r in rows:
+        assert r.r == cases[r.v], r.v
