@@ -12,9 +12,11 @@
                hot-bucket guard → Jaccard verify → connected
                components) → surviving representatives
                (jobs/dedup_job.run_dedup);
-  4. MIX       optional deterministic per-source sampling (md5 hash
-               gate, functions/sampling.py) — reproducible regardless
-               of partitioning/cluster size/retries;
+  4. DECON     optional benchmark decontamination (word-n-gram overlap
+               vs an eval set, operators/decontaminate.py) + optional
+               deterministic per-source sampling (md5 hash gate,
+               functions/sampling.py) — reproducible regardless of
+               partitioning/cluster size/retries;
   5. STATS     per-language document/byte/token counts of the final
                corpus (one aggregation pass, persisted next to the
                data for the audit trail).
@@ -61,6 +63,8 @@ def run_pipeline(
     redact: bool = False,
     mix_weights: dict[str, float] | None = None,
     mix_default: float = 1.0,
+    decon_eval=None,
+    decon_n: int = 13,
     lang_allow: tuple[str, ...] = (),
     jaccard: float = 0.8,
     max_bucket: int | None = 10_000,
@@ -141,8 +145,14 @@ def run_pipeline(
         max_bucket=max_bucket,
     )
 
-    # ---- 4. optional deterministic mix ----
+    # ---- 4. optional decontamination + deterministic mix ----
     kept = spark.read.parquet(f"{out_path}/kept")
+    if decon_eval is not None:
+        from sax_wasm_spark.operators.decontaminate import decontaminate  # noqa: PLC0415
+
+        kept = decontaminate(kept, decon_eval, n=decon_n)
+        kept.write.mode("overwrite").parquet(f"{out_path}/decontaminated")
+        kept = spark.read.parquet(f"{out_path}/decontaminated")
     if mix_weights:
         from sax_wasm_spark.functions.sampling import mix_corpus  # noqa: PLC0415
 
@@ -190,6 +200,8 @@ def main():
     ap.add_argument("--max-dup-bigram", type=float, default=0.5)
     ap.add_argument("--line-min-df", type=int, default=0, help="0 = off")
     ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--eval-path", default="", help="parquet of eval texts for decontamination")
+    ap.add_argument("--decon-n", type=int, default=13)
     ap.add_argument("--mix", default="", help="src=w,src=w per-source sample weights")
     ap.add_argument("--mix-default", type=float, default=1.0)
     ap.add_argument("--langs", default="", help="comma list; empty = keep all")
@@ -227,6 +239,8 @@ def main():
                 else None
             ),
             mix_default=args.mix_default,
+            decon_eval=(spark.read.parquet(args.eval_path) if args.eval_path else None),
+            decon_n=args.decon_n,
             lang_allow=tuple(x for x in args.langs.split(",") if x),
             jaccard=args.jaccard,
             max_bucket=args.max_bucket or None,

@@ -1657,6 +1657,41 @@ def q40_sql():
     """
 
 
+def q41_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): eval set
+    = every 97th document; a training doc survives iff it shares no
+    word 8-gram with any eval doc. The oracle recomputes the overlap
+    through an unnest/anti-join — different plan, same surviving set."""
+    from ..operators.decontaminate import decontaminate  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    eval_df = d.where(F.col("doc_id") % 97 == 0).select("text")
+    return (
+        decontaminate(d, eval_df, n=8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q41_sql():
+    return """
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text,' ')) - 8 + 2),
+               i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS g
+      FROM documents
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM grams JOIN eval_grams USING (g)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1700,6 +1735,7 @@ QUERIES = {
     "q38_boilerplate_lines": q38_boilerplate_lines,
     "q39_corpus_mix": q39_corpus_mix,
     "q40_pii_redaction": q40_pii_redaction,
+    "q41_decontaminate": q41_decontaminate,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -1750,6 +1786,7 @@ ORACLES = {
     "q38_boilerplate_lines": q38_sql(),
     "q39_corpus_mix": q39_sql(),
     "q40_pii_redaction": q40_sql(),
+    "q41_decontaminate": q41_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

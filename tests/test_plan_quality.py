@@ -140,13 +140,19 @@ def test_no_cartesian_anywhere_in_battery(spark):
       broadcast-the-query kNN shape) — BroadcastNestedLoopJoin over
       exactly one build-side row is a constant, not a blow-up. (q34,
       the ANN twin, folds the query to literals and needs no exemption.)
-    - q38: broadcast of the GLOBAL-aggregate hot-line set — also exactly
-      one build-side row by construction (Catalyst folds the constant
-      join key, so the 1-row broadcast plans as BNLJ; same shape as q18).
+    - q38/q41: broadcast of a GLOBAL-aggregate set (hot lines / eval
+      n-grams) — also exactly one build-side row by construction
+      (Catalyst folds the constant join key, so the 1-row broadcast
+      plans as BNLJ; same shape as q18).
     """
     from sax_wasm_spark.plans.queries import QUERIES
 
-    exempt = {"q25_embedding_neardup", "q18_knn_cosine", "q38_boilerplate_lines"}
+    exempt = {
+        "q25_embedding_neardup",
+        "q18_knn_cosine",
+        "q38_boilerplate_lines",
+        "q41_decontaminate",
+    }
     bad = {}
     for name, fn in QUERIES.items():
         if name in exempt:

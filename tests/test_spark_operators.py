@@ -396,6 +396,13 @@ def test_prepare_corpus_pipeline_end_to_end(spark, pages, tmp_path):
 
     shutil.copytree(f"{out}/extracted", f"{out3}/extracted")
     shutil.copytree(f"{out}/lineage", f"{out3}/lineage")
+    eval_df = spark.createDataFrame(
+        [
+            (r.text,)
+            for r in spark.read.parquet(f"{out}/kept").select("text").limit(2).collect()
+        ],
+        "text string",
+    )
     stats3 = run_pipeline(
         spark,
         pages,
@@ -404,9 +411,18 @@ def test_prepare_corpus_pipeline_end_to_end(spark, pages, tmp_path):
         min_quality=0.0,
         min_chars=10,
         line_min_df=3,
+        decon_eval=eval_df,
+        decon_n=8,
+        mix_weights={"en": 1.0},
+        mix_default=1.0,
         run_id="p3",
     )
     assert stats3["extract"]["processed_shards"] == 0
+    # decontamination: no surviving doc shares an 8-gram with the eval set
+    decon = spark.read.parquet(f"{out3}/decontaminated")
+    eval_texts = {r.text for r in eval_df.collect()}
+    assert all(r.text not in eval_texts for r in decon.select("text").collect())
+    assert (tmp_path / "corpus3" / "mixed").exists()
     filtered3 = spark.read.parquet(f"{out3}/filtered")
     from pyspark.sql import functions as F
 

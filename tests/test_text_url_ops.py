@@ -225,3 +225,35 @@ def test_redact_pii_cases(spark):
     )
     for r in rows:
         assert r.r == cases[r.v], r.v
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def test_decontaminate(spark):
+    from sax_wasm_spark.operators.decontaminate import decontaminate, ngrams
+
+    ev = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "prefix words the quick brown fox jumps more tail"),  # shares 5-gram
+            (1, "the quick brown cat naps"),                          # only 3-gram prefix
+            (2, "completely unrelated text entirely"),
+            (3, "tiny"),                                              # shorter than n
+        ],
+        "doc_id int, text string",
+    )
+    kept = {r.doc_id for r in decontaminate(corpus, ev, n=5).collect()}
+    assert kept == {1, 2, 3}
+    # n larger than the overlap keeps everything
+    kept7 = {r.doc_id for r in decontaminate(corpus, ev, n=7).collect()}
+    assert kept7 == {0, 1, 2, 3}
+    # ngram builder: short doc -> empty array, exact doc -> size-n+1 grams
+    import pyspark.sql.functions as F
+
+    g = corpus.select("doc_id", F.size(ngrams("text", 5)).alias("k")).collect()
+    got = {r.doc_id: r.k for r in g}
+    assert got[3] == 0 and got[2] == 0 and got[1] == 1 and got[0] == 5
