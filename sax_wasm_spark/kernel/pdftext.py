@@ -374,6 +374,7 @@ class PdfDocument:
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
         self._order: list[int] = []
+        self._obj_pos: dict[int, int] | None = None
         self._scan_objects()
         if not self.objects:
             raise PdfError("no indirect objects found")
@@ -382,7 +383,10 @@ class PdfDocument:
 
     def _scan_objects(self) -> None:
         data = self.data
+        skip_until = 0  # matches inside a sliced stream body are not objects
         for m in _RE_OBJ.finditer(data):
+            if m.start() < skip_until:
+                continue
             num = int(m.group(1))
             lex = _Lexer(data, m.end())
             try:
@@ -399,6 +403,7 @@ class PdfDocument:
                 elif data[p : p + 1] in (b"\n", b"\r"):
                     p += 1
                 raw = self._slice_stream(val, p)
+                skip_until = p + len(raw)
             else:
                 lex.pos = save
             if num not in self.objects:
@@ -427,14 +432,20 @@ class PdfDocument:
 
     def _length_of_ref(self, ref: Ref):
         """Resolve an indirect /Length during the scan (the target object
-        may appear later in the file, so parse it directly)."""
-        for m in _RE_OBJ.finditer(self.data):
-            if int(m.group(1)) == ref.num:
-                try:
-                    return _parse_value(_Lexer(self.data, m.end()))
-                except PdfError:
-                    return None
-        return None
+        may appear later in the file, so parse it directly). Offsets are
+        indexed once — without the cache every indirect /Length costs a
+        full-file rescan (quadratic in stream count)."""
+        if self._obj_pos is None:
+            self._obj_pos = {}
+            for m in _RE_OBJ.finditer(self.data):
+                self._obj_pos[int(m.group(1))] = m.end()  # last wins
+        end = self._obj_pos.get(ref.num)
+        if end is None:
+            return None
+        try:
+            return _parse_value(_Lexer(self.data, end))
+        except PdfError:
+            return None
 
     def resolve(self, v, _depth: int = 0):
         while isinstance(v, Ref):

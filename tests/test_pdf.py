@@ -10,6 +10,7 @@ import pytest
 
 from sax_wasm_spark.kernel.pdftext import (
     PdfDocument,
+    Ref,
     PdfError,
     UnsupportedFilter,
     extract_pdf_runs,
@@ -215,3 +216,15 @@ def test_mutation_fuzz_never_raises(seed, n_mut):
     text, n_pages, n_runs, status = extract_pdf_document(bytes(base))
     assert status == "ok" or status.startswith("error:")
     assert (text is None) == status.startswith("error:")
+
+
+def test_obj_marker_inside_stream_is_not_an_object():
+    """Binary stream bytes can contain 'N 0 obj' sequences; the object
+    scan must not let them shadow or invent objects."""
+    # uncompressed stream whose CONTENT contains a fake object marker
+    # that would redefine the catalog (object 1) if scanned naively
+    content = b"BT 1 0 0 1 72 720 Tm (real text) Tj ET\n% 1 0 obj << /Type /Nope >> endobj"
+    pdf = _mini_pdf(content)
+    doc = PdfDocument(pdf)
+    assert doc.objects[1] == {"/Type": "/Catalog", "/Pages": Ref(2, 0)}
+    assert extract_pdf_text(pdf) == "real text"
