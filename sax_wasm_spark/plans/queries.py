@@ -1692,6 +1692,63 @@ def q41_sql():
     """
 
 
+def q42_sessionize(spark, sf_dir):
+    """Sessionization — the canonical composite window pattern (lag →
+    gap flag → cumulative sum = session id) over the events table with
+    a 30-minute inactivity timeout; then one aggregate row per session.
+    A crawl pipeline uses the identical shape to sessionize fetches per
+    host for politeness auditing."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # interval comparison, not epoch arithmetic: TIMESTAMP_NTZ has no
+    # epoch without a zone, and interval semantics match DuckDB exactly
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def q42_sql():
+    return """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           min(event_id) AS first_event,
+           round(sum(value), 4) AS session_value
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1736,6 +1793,7 @@ QUERIES = {
     "q39_corpus_mix": q39_corpus_mix,
     "q40_pii_redaction": q40_pii_redaction,
     "q41_decontaminate": q41_decontaminate,
+    "q42_sessionize": q42_sessionize,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -1787,6 +1845,7 @@ ORACLES = {
     "q39_corpus_mix": q39_sql(),
     "q40_pii_redaction": q40_sql(),
     "q41_decontaminate": q41_sql(),
+    "q42_sessionize": q42_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),
