@@ -83,6 +83,7 @@ _REGULAR_STOP = _WS + _DELIM
 
 _RE_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _RE_TRAILER = re.compile(rb"trailer\b")
+_RE_NUM = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +164,7 @@ class _Lexer:
         if not run:  # lone delimiter we don't know — step over
             self.pos = p + 1
             return self.next_token()
-        if re.fullmatch(rb"[+-]?(\d+\.?\d*|\.\d+)", run):
+        if _RE_NUM.fullmatch(run):
             return ("num", float(run) if b"." in run else int(run))
         return ("kw", run)
 
