@@ -22,3 +22,10 @@ def spark():
 
     s = get_spark(app_name="sax-wasm-spark-tests", cores=4, shuffle_partitions=8)
     yield s
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias for hypothesis @given tests: the underlying fixture is
+    session-scoped, so reuse across examples is safe and intended."""
+    return spark

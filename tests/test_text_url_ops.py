@@ -257,3 +257,49 @@ def test_decontaminate(spark):
     g = corpus.select("doc_id", F.size(ngrams("text", 5)).alias("k")).collect()
     got = {r.doc_id: r.k for r in g}
     assert got[3] == 0 and got[2] == 0 and got[1] == 1 and got[0] == 5
+
+
+# ---------------------------------------------------------------------------
+# idempotence properties (hypothesis): normalizers must be fixpoints
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_urlish = st.text(
+    alphabet=st.sampled_from(list("abcXYZ019:/?#.@%-+ ")), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(raw=st.lists(_urlish, min_size=1, max_size=8))
+def test_url_normalize_idempotent(spark_global, raw):
+    from sax_wasm_spark.functions.url import url_normalize
+
+    df = spark_global.createDataFrame([(u,) for u in raw], "v string")
+    rows = df.select(
+        url_normalize(F.col("v")).alias("once"),
+        url_normalize(url_normalize(F.col("v"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice, raw
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    raw=st.lists(
+        st.text(alphabet=st.sampled_from(list("abz ._@-0123456789()")), max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_redact_pii_idempotent(spark_global, raw):
+    from sax_wasm_spark.functions.text import redact_pii
+
+    df = spark_global.createDataFrame([(u,) for u in raw], "v string")
+    rows = df.select(
+        redact_pii(F.col("v")).alias("once"),
+        redact_pii(redact_pii(F.col("v"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice, raw
