@@ -369,7 +369,12 @@ def main():
             shutil.rmtree(corpus_dir, ignore_errors=True)
 
     result["value"] = round(time.perf_counter() - t_all, 3)
-    print(json.dumps(result))
+    # Contract: the JSON line is the ONLY stdout line (sessions run with
+    # spark.ui.showConsoleProgress=false so nothing interleaves with it);
+    # a copy goes to stderr as a recovery channel if stdout is truncated.
+    line = json.dumps(result)
+    print(line, flush=True)
+    print(line, file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

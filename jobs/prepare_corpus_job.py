@@ -65,6 +65,8 @@ def run_pipeline(
     mix_default: float = 1.0,
     decon_eval=None,
     decon_n: int = 13,
+    line_broadcast_limit: int = 1_000_000,
+    decon_broadcast_limit: int = 5_000_000,
     lang_allow: tuple[str, ...] = (),
     jaccard: float = 0.8,
     max_bucket: int | None = 10_000,
@@ -97,9 +99,13 @@ def run_pipeline(
             F.col("shard"),
             F.col("title"),
             F.col("text"),
-            # a stable numeric id for the dedup stage (deterministic
-            # in url — survives re-runs and cluster-size changes)
-            F.xxhash64(F.sha2(F.col("url"), 256)).alias("doc_id"),
+            # a stable id for the dedup stage (deterministic in url —
+            # survives re-runs and cluster-size changes). 128 bits: at
+            # the 10^12-document scale this pipeline targets, a 64-bit
+            # key expects ~27k birthday collisions (n^2/2^65), silently
+            # conflating distinct documents in dedup/cluster/sampling
+            # keys; 128 bits puts the expectation at ~10^-15.
+            F.substring(F.sha2(F.col("url"), 256), 1, 32).alias("doc_id"),
         )
         .withColumn("lang", lang_guess(F.col("text")))
         .withColumn("quality", F.round(quality_score(F.col("text")), 4))
@@ -126,7 +132,15 @@ def run_pipeline(
 
         docs = (
             remove_boilerplate_lines(
-                docs, text_col="text", id_col="doc_id", min_df=line_min_df
+                docs,
+                text_col="text",
+                id_col="doc_id",
+                min_df=line_min_df,
+                # auto: broadcast the hot set while it fits, fall back
+                # to the left-anti join once it cannot (driver-OOM
+                # escape hatch for low min_df / adversarial corpora)
+                strategy="auto",
+                broadcast_limit=line_broadcast_limit,
             )
             .drop("text")
             .withColumnRenamed("clean_text", "text")
@@ -150,7 +164,14 @@ def run_pipeline(
     if decon_eval is not None:
         from sax_wasm_spark.operators.decontaminate import decontaminate  # noqa: PLC0415
 
-        kept = decontaminate(kept, decon_eval, n=decon_n)
+        kept = decontaminate(
+            kept,
+            decon_eval,
+            n=decon_n,
+            strategy="auto",
+            broadcast_limit=decon_broadcast_limit,
+            id_col="doc_id",
+        )
         kept.write.mode("overwrite").parquet(f"{out_path}/decontaminated")
         kept = spark.read.parquet(f"{out_path}/decontaminated")
     if mix_weights:
@@ -202,6 +223,10 @@ def main():
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--eval-path", default="", help="parquet of eval texts for decontamination")
     ap.add_argument("--decon-n", type=int, default=13)
+    ap.add_argument("--line-broadcast-limit", type=int, default=1_000_000,
+                    help="hot-line rows above which line dedup switches to anti-join")
+    ap.add_argument("--decon-broadcast-limit", type=int, default=5_000_000,
+                    help="eval grams above which decontamination switches to anti-join")
     ap.add_argument("--mix", default="", help="src=w,src=w per-source sample weights")
     ap.add_argument("--mix-default", type=float, default=1.0)
     ap.add_argument("--langs", default="", help="comma list; empty = keep all")
@@ -241,6 +266,8 @@ def main():
             mix_default=args.mix_default,
             decon_eval=(spark.read.parquet(args.eval_path) if args.eval_path else None),
             decon_n=args.decon_n,
+            line_broadcast_limit=args.line_broadcast_limit,
+            decon_broadcast_limit=args.decon_broadcast_limit,
             lang_allow=tuple(x for x in args.langs.split(",") if x),
             jaccard=args.jaccard,
             max_bucket=args.max_bucket or None,

@@ -53,8 +53,19 @@ def _guard_hot_buckets(
     testdata bucket comes near any sane threshold)."""
     if max_bucket is None:
         return buckets
-    counts = buckets.groupBy(*keys).agg(F.count("*").alias("_n"))
-    hot = counts.where(F.col("_n") > max_bucket)
+    # Persist the HOT-bucket frame (≤ a handful of rows by construction —
+    # one row per over-full bucket), so the logging job and the anti-join
+    # share one aggregation of the bucket lineage instead of rebuilding
+    # the signature stage once per consumer (ADVICE r3: the guard ran the
+    # minhash build ~3x when armed). The raw buckets frame itself is NOT
+    # cached — at corpus scale it is n_bands × n rows and belongs in the
+    # shuffle, not in storage memory.
+    hot = (
+        buckets.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .persist()
+    )
     hot_stats = hot.agg(
         F.count("*").alias("buckets"), F.coalesce(F.sum("_n"), F.lit(0)).alias("rows")
     ).collect()[0]
@@ -66,7 +77,13 @@ def _guard_hot_buckets(
             hot_stats.rows,
             max_bucket,
         )
-    return buckets.join(hot.select(*keys), list(keys), "left_anti")
+        return buckets.join(
+            F.broadcast(hot.select(*keys)), list(keys), "left_anti"
+        )
+    # nothing hot: skip the anti-join entirely — the common case costs
+    # one aggregation job and zero extra plan nodes
+    hot.unpersist()
+    return buckets
 
 
 def _tokens(text_col: str):
