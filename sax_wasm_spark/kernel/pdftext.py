@@ -17,19 +17,23 @@ Scope (documented contract, enforced by tests/test_pdf.py):
   parse; incremental updates (the same object number redefined later in
   the file) resolve to the LAST definition, matching xref-chain
   semantics for append-only updates.
-* **Filters**: FlateDecode (zlib), ASCIIHexDecode, ASCII85Decode, and
-  filter chains thereof. LZW/DCT/CCITT raise :class:`UnsupportedFilter`
-  (the DataFrame operator maps that to a per-row error status — a poison
-  document never kills the task).
+* **Filters**: FlateDecode (zlib), LZWDecode (from-scratch variable-width
+  codec per ISO 32000-1 §7.4.4, /EarlyChange honored, PNG predictors),
+  ASCIIHexDecode, ASCII85Decode, and filter chains thereof. DCT/CCITT/JBIG2
+  raise :class:`UnsupportedFilter` (the DataFrame operator maps that to a
+  per-row error status — a poison document never kills the task).
 * **Page tree**: Catalog → /Pages → /Kids walk (cycle-guarded); when the
   trailer/catalog is missing or broken, falls back to every
   ``/Type /Page`` object in file order. /Contents may be one stream or
   an array of streams (concatenated with a newline, per spec).
 * **Text operators**: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ, ', ".
   Graphics operators are skipped; inline images (BI..ID..EI) are skipped
-  bodily. Strings decode as UTF-16 when BOM-tagged, else Latin-1 (a
-  documented approximation of PDFDocEncoding for the printable range;
-  no embedded-font /ToUnicode CMaps — out of scope, flagged in status).
+  bodily. When the current font (tracked via ``Tf`` against the page's
+  /Resources /Font dict) carries a /ToUnicode CMap, show-strings decode
+  through it (codespacerange-derived code width, bfchar + bfrange incl.
+  the array form — the CID-font path real crawled PDFs use constantly);
+  otherwise strings decode as UTF-16 when BOM-tagged, else Latin-1 (a
+  documented approximation of PDFDocEncoding for the printable range).
 * **Layout**: the text matrix is tracked as a position (e, f translation
   of Tm; Td/TD/T* line moves). Each show op appends to the run at the
   current line origin; runs are grouped into lines by y (±``Y_TOL``),
@@ -69,7 +73,7 @@ class PdfError(ValueError):
 
 
 class UnsupportedFilter(PdfError):
-    """Stream uses a filter outside {Flate, AHx, A85}."""
+    """Stream uses a filter outside {Flate, LZW, AHx, A85}."""
 
 
 class Ref(NamedTuple):
@@ -297,6 +301,52 @@ def _parse_value(lex: _Lexer, tok=None):
 # filters
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode per ISO 32000-1 §7.4.4: MSB-first bit packing, variable
+    code width 9→12 bits, 256 = ClearTable, 257 = EOD, /EarlyChange
+    (default 1) widens the code one entry before the table fills. The
+    inverse encoder lives in sources/pdfgen.py (``lzw_encode``); the pair
+    is round-trip-property-tested and checked against the spec's own
+    worked example (tests/test_pdf.py)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError("bad LZW start code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and code < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError("bad LZW code")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # tolerate missing EOD (real files sometimes omit it)
+
+
 def _apply_filters(raw: bytes, filters, parms) -> bytes:
     if filters is None:
         return raw
@@ -304,6 +354,11 @@ def _apply_filters(raw: bytes, filters, parms) -> bytes:
         filters = [filters]
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    if len(parms) < len(filters):
+        # a malformed shorter /DecodeParms list must not silently truncate
+        # the filter chain (ADVICE r3) — pad so every declared filter is
+        # applied or raises
+        parms = list(parms) + [None] * (len(filters) - len(parms))
     data = raw
     for f, pm in zip(filters, parms):
         if f == "/FlateDecode" or f == "/Fl":
@@ -311,6 +366,15 @@ def _apply_filters(raw: bytes, filters, parms) -> bytes:
                 data = zlib.decompress(data)
             except zlib.error as exc:
                 raise PdfError(f"flate: {exc}") from exc
+            if isinstance(pm, dict) and pm.get("/Predictor", 1) != 1:
+                data = _png_unpredict(data, pm)
+        elif f == "/LZWDecode" or f == "/LZW":
+            early = 1
+            if isinstance(pm, dict):
+                e = pm.get("/EarlyChange", 1)
+                if isinstance(e, (int, float)):
+                    early = int(e)
+            data = _lzw_decode(data, early)
             if isinstance(pm, dict) and pm.get("/Predictor", 1) != 1:
                 data = _png_unpredict(data, pm)
         elif f == "/ASCIIHexDecode" or f == "/AHx":
@@ -375,7 +439,7 @@ class PdfDocument:
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
         self._order: list[int] = []
-        self._obj_pos: dict[int, int] | None = None
+        self._obj_pos: dict[int, list[int]] | None = None
         self._scan_objects()
         if not self.objects:
             raise PdfError("no indirect objects found")
@@ -419,34 +483,46 @@ class PdfDocument:
     def _slice_stream(self, d: object, start: int) -> bytes:
         data = self.data
         length = d.get("/Length") if isinstance(d, dict) else None
-        if isinstance(length, Ref):
-            length = self._length_of_ref(length)
-        if isinstance(length, (int, float)):
-            end = start + int(length)
-            tail = data[end : end + 20].lstrip(b"\r\n \t")
-            if tail.startswith(b"endstream"):
-                return data[start:end]
+        candidates: list[object] = (
+            self._length_candidates(length)
+            if isinstance(length, Ref)
+            else [length]
+        )
+        for cand in candidates:
+            if isinstance(cand, (int, float)):
+                end = start + int(cand)
+                tail = data[end : end + 20].lstrip(b"\r\n \t")
+                if tail.startswith(b"endstream"):
+                    return data[start:end]
         e = data.find(b"endstream", start)
         if e < 0:
             raise PdfError("unterminated stream")
         return data[start:e].rstrip(b"\r\n")
 
-    def _length_of_ref(self, ref: Ref):
-        """Resolve an indirect /Length during the scan (the target object
-        may appear later in the file, so parse it directly). Offsets are
-        indexed once — without the cache every indirect /Length costs a
-        full-file rescan (quadratic in stream count)."""
+    def _length_candidates(self, ref: Ref) -> list[object]:
+        """Candidate values for an indirect /Length during the scan (the
+        target object may appear later in the file, so parse directly).
+        The raw ``N G obj`` scan CANNOT use the stream-body skip the main
+        scan uses (the needed lengths are exactly what is being resolved),
+        so bytes like ``7 0 obj`` INSIDE an uncompressed content stream
+        can shadow the real definition (ADVICE r3). Instead of trusting
+        one 'last-wins' offset, every match position is kept and the
+        caller validates each candidate, newest first, against the
+        ``endstream`` tail — a shadowed garbage length fails validation
+        and the real one is used. Offsets are indexed once — without the
+        cache every indirect /Length costs a full-file rescan (quadratic
+        in stream count)."""
         if self._obj_pos is None:
             self._obj_pos = {}
             for m in _RE_OBJ.finditer(self.data):
-                self._obj_pos[int(m.group(1))] = m.end()  # last wins
-        end = self._obj_pos.get(ref.num)
-        if end is None:
-            return None
-        try:
-            return _parse_value(_Lexer(self.data, end))
-        except PdfError:
-            return None
+                self._obj_pos.setdefault(int(m.group(1)), []).append(m.end())
+        out = []
+        for end in reversed(self._obj_pos.get(ref.num, ())):
+            try:
+                out.append(_parse_value(_Lexer(self.data, end)))
+            except PdfError:
+                continue
+        return out
 
     def resolve(self, v, _depth: int = 0):
         while isinstance(v, Ref):
@@ -529,6 +605,148 @@ class PdfDocument:
                 refs = [r for r in resolved if isinstance(r, Ref)]
         return b"\n".join(self.stream_bytes(r) for r in refs)
 
+    def page_fonts(self, page: dict) -> dict[str, "_CMap"]:
+        """Resource-name → /ToUnicode CMap for every font of the page
+        that carries one (fonts without a CMap fall back to the default
+        string decoding). Resource name is WITHOUT the leading slash, to
+        match how ``Tf`` operands surface in the content interpreter."""
+        out: dict[str, _CMap] = {}
+        res = self.resolve(page.get("/Resources"))
+        if not isinstance(res, dict):
+            return out
+        fonts = self.resolve(res.get("/Font"))
+        if not isinstance(fonts, dict):
+            return out
+        for name, fref in fonts.items():
+            font = self.resolve(fref)
+            if not isinstance(font, dict):
+                continue
+            tu = font.get("/ToUnicode")
+            if not isinstance(tu, Ref):
+                continue
+            try:
+                cmap = _parse_tounicode(self.stream_bytes(tu))
+            except PdfError:
+                continue
+            if cmap is not None:
+                out[name.lstrip("/")] = cmap
+        return out
+
+
+# ---------------------------------------------------------------------------
+# /ToUnicode CMaps (the CID-font text path)
+
+
+class _CMap:
+    """code-int → unicode-str mapping with a fixed code byte width."""
+
+    __slots__ = ("width", "map")
+
+    def __init__(self, width: int, mapping: dict[int, str]):
+        self.width = width
+        self.map = mapping
+
+    def decode(self, b: bytes) -> str:
+        w = self.width
+        m = self.map
+        out: list[str] = []
+        for i in range(0, len(b) - w + 1, w):
+            code = int.from_bytes(b[i : i + w], "big")
+            s = m.get(code)
+            out.append(s if s is not None else chr(code))
+        return "".join(out)
+
+
+def _parse_tounicode(data: bytes) -> _CMap | None:
+    """Parse the bfchar/bfrange sections of a ToUnicode CMap stream
+    (ISO 32000-1 §9.10.3). Supports 1- and 2-byte code spaces, bfchar
+    pairs, bfrange with an incrementing destination, and bfrange with an
+    explicit destination array. CMap/PostScript framing keywords are
+    skipped as unknown tokens, so a full CIDInit prologue parses fine."""
+    lex = _Lexer(data)
+    width: int | None = None
+    mapping: dict[int, str] = {}
+
+    def _dst_str(b: bytes) -> str:
+        return b.decode("utf-16-be", "replace") if b else ""
+
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind == "kw":
+            if val == b"begincodespacerange":
+                pair: list[bytes] = []
+                while True:
+                    t = lex.next_token()
+                    if t is None or t == ("kw", b"endcodespacerange"):
+                        break
+                    if t[0] == "str":
+                        pair.append(t[1])
+                if pair and width is None:
+                    width = max(1, len(pair[0]))
+            elif val == b"beginbfchar":
+                pair = []
+                while True:
+                    t = lex.next_token()
+                    if t is None or t == ("kw", b"endbfchar"):
+                        break
+                    if t[0] == "str":
+                        pair.append(t[1])
+                        if len(pair) == 2:
+                            src, dst = pair
+                            pair = []
+                            if width is None:
+                                width = max(1, len(src))
+                            mapping[int.from_bytes(src, "big")] = _dst_str(dst)
+            elif val == b"beginbfrange":
+                triple: list = []
+                while True:
+                    t = lex.next_token()
+                    if t is None or t == ("kw", b"endbfrange"):
+                        break
+                    if t[0] == "str":
+                        triple.append(t[1])
+                    elif t[0] == "arr_open":
+                        arr: list[bytes] = []
+                        while True:
+                            t2 = lex.next_token()
+                            if t2 is None or t2[0] == "arr_close":
+                                break
+                            if t2[0] == "str":
+                                arr.append(t2[1])
+                        triple.append(arr)
+                    else:
+                        continue
+                    if len(triple) == 3:
+                        lo_b, hi_b, dst = triple
+                        triple = []
+                        if not isinstance(lo_b, bytes) or not isinstance(hi_b, bytes):
+                            continue
+                        lo = int.from_bytes(lo_b, "big")
+                        hi = int.from_bytes(hi_b, "big")
+                        if width is None:
+                            width = max(1, len(lo_b))
+                        if hi < lo or hi - lo > 0xFFFF:
+                            continue  # malformed range — skip, never hang
+                        if isinstance(dst, list):
+                            for i, d in enumerate(dst):
+                                if lo + i > hi:
+                                    break
+                                mapping[lo + i] = _dst_str(d)
+                        elif isinstance(dst, bytes) and dst:
+                            base = int.from_bytes(dst, "big")
+                            n = len(dst)
+                            for i in range(hi - lo + 1):
+                                mapping[lo + i] = _dst_str(
+                                    (base + i).to_bytes(n, "big")
+                                )
+
+    if width is None or not mapping:
+        return None
+    return _CMap(width, mapping)
+
 
 # ---------------------------------------------------------------------------
 # content-stream text interpreter
@@ -547,8 +765,12 @@ _TEXT_OPS = frozenset(
 )
 
 
-def _runs_from_content(content: bytes) -> list[tuple[float, float, str]]:
-    """Interpret text operators → [(y, x, text)] in stream order."""
+def _runs_from_content(
+    content: bytes, fonts: dict[str, _CMap] | None = None
+) -> list[tuple[float, float, str]]:
+    """Interpret text operators → [(y, x, text)] in stream order. When
+    ``fonts`` maps the current ``Tf`` resource name to a /ToUnicode CMap,
+    show-strings decode through it instead of the Latin-1/UTF-16 default."""
     lex = _Lexer(content)
     stack: list = []
     runs: list[tuple[float, float, str]] = []
@@ -557,6 +779,10 @@ def _runs_from_content(content: bytes) -> list[tuple[float, float, str]]:
     leading = 0.0
     cur: list[str] | None = None
     cur_xy = (0.0, 0.0)
+    cmap: _CMap | None = None
+
+    def decode(b: bytes) -> str:
+        return cmap.decode(b) if cmap is not None else _decode_text(b)
 
     def show(s: str) -> None:
         nonlocal cur, cur_xy
@@ -610,22 +836,25 @@ def _runs_from_content(content: bytes) -> list[tuple[float, float, str]]:
                 leading = _num(stack[-1])
             elif op == b"T*":
                 newline()
+            elif op == b"Tf" and len(stack) >= 2:
+                fname = stack[-2]
+                cmap = (fonts or {}).get(fname) if isinstance(fname, str) else None
             elif op == b"Tj" and stack:
                 if isinstance(stack[-1], bytes):
-                    show(_decode_text(stack[-1]))
+                    show(decode(stack[-1]))
             elif op == b"'" and stack:
                 newline()
                 if isinstance(stack[-1], bytes):
-                    show(_decode_text(stack[-1]))
+                    show(decode(stack[-1]))
             elif op == b'"' and len(stack) >= 3:
                 newline()
                 if isinstance(stack[-1], bytes):
-                    show(_decode_text(stack[-1]))
+                    show(decode(stack[-1]))
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 parts: list[str] = []
                 for el in stack[-1]:
                     if isinstance(el, bytes):
-                        parts.append(_decode_text(el))
+                        parts.append(decode(el))
                     elif isinstance(el, (int, float)) and el <= -SPACE_KERN:
                         parts.append(" ")
                 show("".join(parts))
@@ -679,7 +908,8 @@ def extract_pdf_runs(data: bytes) -> list[tuple[int, float, float, str]]:
     doc = PdfDocument(data)
     out = []
     for i, page in enumerate(doc.pages()):
-        for y, x, s in _runs_from_content(doc.page_content(page)):
+        fonts = doc.page_fonts(page)
+        for y, x, s in _runs_from_content(doc.page_content(page), fonts):
             out.append((i, y, x, s))
     return out
 
@@ -708,5 +938,6 @@ def extract_pdf_text(data: bytes) -> str:
     doc = PdfDocument(data)
     pages = []
     for page in doc.pages():
-        pages.append(_assemble(_runs_from_content(doc.page_content(page))))
+        fonts = doc.page_fonts(page)
+        pages.append(_assemble(_runs_from_content(doc.page_content(page), fonts)))
     return "\n".join(pages)

@@ -49,7 +49,8 @@ def extract_pdf_document(data: bytes) -> tuple[str | None, int, int, str]:
         texts = []
         n_runs = 0
         for page in pages:
-            runs = _runs_from_content(doc.page_content(page))
+            fonts = doc.page_fonts(page)
+            runs = _runs_from_content(doc.page_content(page), fonts)
             n_runs += len(runs)
             texts.append(_assemble(runs))
         return "\n".join(texts), len(pages), n_runs, "ok"
@@ -103,13 +104,15 @@ def render_pdf_column(
     variant_col: str | None = None,
 ) -> DataFrame:
     """(id…, text) → (id…, pdf:binary). Deterministic synthesis — the
-    variant defaults to ``first_id % 4`` so the corpus exercises every
-    generator/parser surface; identical regardless of partitioning."""
+    variant defaults to ``first_id % N_VARIANTS`` so the corpus exercises
+    every generator/parser surface (uncompressed, flate+indirect-length,
+    TJ/hex, split streams+incremental update, LZW, ToUnicode CID);
+    identical regardless of partitioning."""
     import pyarrow as pa  # noqa: PLC0415
 
     from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
 
-    from ..sources.pdfgen import build_pdf  # noqa: PLC0415
+    from ..sources.pdfgen import N_VARIANTS, build_pdf  # noqa: PLC0415
 
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = StructType(list(id_fields) + [StructField("pdf", BinaryType(), False)])
@@ -128,9 +131,9 @@ def render_pdf_column(
             if variant_col:
                 variants = rb.column(n_id + 1).to_pylist()
             else:
-                variants = [int(i) % 4 for i in ids[0]]
+                variants = [int(i) % N_VARIANTS for i in ids[0]]
             pdfs = [
-                build_pdf(t if t is not None else "", variant=int(v) % 4)
+                build_pdf(t if t is not None else "", variant=int(v) % N_VARIANTS)
                 for t, v in zip(texts, variants)
             ]
             arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [

@@ -909,9 +909,10 @@ def sax_extract_roundtrip_sql():
 def pdf_extract_roundtrip(spark, sf_dir):
     """The PDF/layout leg of the extraction pipeline (north rule):
     documents are rendered into deterministic synthetic PDFs —
-    ``doc_id % 4`` cycles the generator variants (uncompressed Tj,
+    ``doc_id % 6`` cycles the generator variants (uncompressed Tj,
     Flate + indirect /Length, TJ-kerning + hex strings, split content
-    streams + incremental update) — then parsed back by the from-scratch
+    streams + incremental update, LZWDecode, /ToUnicode CID-font
+    2-byte codes) — then parsed back by the from-scratch
     PDF kernel. Round-trip text equality is the closed-form oracle for
     the whole object-layer → filter → page-tree → text-operator →
     layout-assembly chain."""

@@ -17,6 +17,14 @@ Variants exercise distinct parser surfaces so one query covers them all:
 * 3 — two content streams (``/Contents`` as an array) split mid-page +
   an incremental-update tail that redefines the info object (exercises
   last-definition-wins).
+* 4 — LZWDecode-compressed content stream (``lzw_encode`` below is the
+  exact inverse of the kernel's from-scratch decoder; round-trip
+  property + the ISO 32000-1 worked example in tests/test_pdf.py).
+* 5 — a /ToUnicode CID-style font: every show string is 2-byte codes
+  from a deterministic per-document code assignment, mapped back by a
+  CMap that exercises bfchar, incrementing bfrange, AND array-form
+  bfrange (consecutive charset runs become ranges, pairs become array
+  ranges, singletons become bfchars).
 
 Non-Latin-1 text is emitted as BOM-tagged UTF-16BE hex strings (the
 spec's text-string encoding), so any Unicode round-trips.
@@ -36,6 +44,61 @@ from ..kernel.pdftext import SPACE_KERN  # noqa: F401  (doc cross-link)
 
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
+
+N_VARIANTS = 6
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode-compatible encoder (ISO 32000-1 §7.4.4): MSB-first,
+    9→12-bit variable width, ClearTable at start and on table overflow,
+    EOD at end, /EarlyChange widens one entry before the width's last
+    code. Inverse of kernel.pdftext._lzw_decode."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    # Width sync with the decoder (whose table lags the encoder's by one
+    # entry): encoder widens when next_code + early > 2^width AFTER its
+    # eager append; the decoder widens when len(table) + early >= 2^width
+    # after its lagged append — both switch between the same two codes.
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for i in range(len(data)):
+        ch = data[i : i + 1]
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 3800:
+            # clear well below the 12-bit ceiling — spec-legal at any
+            # point, and it keeps both ends away from the 4096 edge
+            emit(256, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+        w = ch
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
 
 
 def _lit(s: str) -> bytes:
@@ -66,8 +129,87 @@ def _tj_array(line: str) -> bytes:
     return b"[" + b" ".join(parts) + b"] TJ"
 
 
-def _content_ops(lines: list[str], variant: int, two_column: bool) -> list[bytes]:
-    ops = [b"BT", b"/F1 12 Tf", b"%.1f TL" % _LEAD]
+def _cid_codes(text: str) -> dict[str, int]:
+    """Deterministic char → 2-byte code assignment for variant 5: sorted
+    charset, codes from 1 (0 left unused). Newlines never reach show
+    strings (lines are split first) but are harmless if present."""
+    return {ch: i + 1 for i, ch in enumerate(sorted(set(text)))}
+
+
+def _tounicode_cmap(codes: dict[str, int]) -> bytes:
+    """CMap stream exercising all three mapping shapes: consecutive
+    BMP runs (len ≥ 3) → incrementing bfrange, len-2 runs → array-form
+    bfrange, singletons and non-BMP chars → bfchar. Sections chunked at
+    100 entries per spec."""
+    items = sorted(codes.items(), key=lambda kv: kv[1])
+    runs: list[list[tuple[str, int]]] = []
+    for ch, code in items:
+        if (
+            runs
+            and ord(ch) == ord(runs[-1][-1][0]) + 1
+            and code == runs[-1][-1][1] + 1
+            and ord(ch) <= 0xFFFF
+            and ord(runs[-1][0][0]) <= 0xFFFF
+            # spec: a bfrange must not cross a high-byte boundary
+            and (code >> 8) == (runs[-1][0][1] >> 8)
+        ):
+            runs[-1].append((ch, code))
+        else:
+            runs.append([(ch, code)])
+
+    def _hx(v: int) -> bytes:
+        return b"<%04X>" % v
+
+    def _uhx(s: str) -> bytes:
+        return b"<" + s.encode("utf-16-be").hex().upper().encode() + b">"
+
+    bfchars: list[bytes] = []
+    bfranges: list[bytes] = []
+    for run in runs:
+        if len(run) == 1 or ord(run[0][0]) > 0xFFFF:
+            bfchars.extend(_hx(c) + b" " + _uhx(ch) for ch, c in run)
+        elif len(run) == 2:
+            (c1, k1), (c2, k2) = run
+            bfranges.append(
+                _hx(k1) + b" " + _hx(k2) + b" [" + _uhx(c1) + b" " + _uhx(c2) + b"]"
+            )
+        else:
+            bfranges.append(
+                _hx(run[0][1]) + b" " + _hx(run[-1][1]) + b" " + _uhx(run[0][0])
+            )
+
+    out = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /SaxGen-UCS def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    for kind, rows in ((b"bfchar", bfchars), (b"bfrange", bfranges)):
+        for i in range(0, len(rows), 100):
+            chunk = rows[i : i + 100]
+            out.append(b"%d begin" % len(chunk) + kind)
+            out.extend(chunk)
+            out.append(b"end" + kind)
+    out += [b"endcmap", b"CMapName currentdict /CMap defineresource pop", b"end", b"end"]
+    return b"\n".join(out)
+
+
+def _cid_hex(line: str, codes: dict[str, int]) -> bytes:
+    raw = b"".join(codes[ch].to_bytes(2, "big") for ch in line)
+    return b"<" + raw.hex().upper().encode() + b">"
+
+
+def _content_ops(
+    lines: list[str],
+    variant: int,
+    two_column: bool,
+    codes: dict[str, int] | None = None,
+) -> list[bytes]:
+    font = b"/F2 12 Tf" if codes is not None else b"/F1 12 Tf"
+    ops = [b"BT", font, b"%.1f TL" % _LEAD]
     order: list[tuple[int, float, str]] = []
     if two_column:
         half = (len(lines) + 1) // 2
@@ -80,7 +222,9 @@ def _content_ops(lines: list[str], variant: int, two_column: bool) -> list[bytes
             order.append((_X0, _Y0 - _LEAD * i, ln))
     for x, y, ln in order:
         ops.append(b"1 0 0 1 %d %.1f Tm" % (x, y))
-        if variant == 2:
+        if codes is not None:
+            ops.append(_cid_hex(ln, codes) + b" Tj")
+        elif variant == 2:
             ops.append(_tj_array(ln))
         else:
             ops.append(_lit(ln) + b" Tj")
@@ -114,8 +258,28 @@ def build_pdf(
     next_num += 1
 
     streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, raw)
+
+    codes: dict[str, int] | None = None
+    font_res = b"<< /F1 %d 0 R >>" % font_num
+    if variant == 5:
+        codes = _cid_codes("".join(lines))
+        cmap_raw = zlib.compress(_tounicode_cmap(codes))
+        cmap_num = next_num
+        next_num += 1
+        streams[cmap_num] = (
+            b"<< /Length %d /Filter /FlateDecode >>" % len(cmap_raw),
+            cmap_raw,
+        )
+        cid_font_num = next_num
+        next_num += 1
+        objs[cid_font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SaxGen "
+            b"/Encoding /Identity-H /ToUnicode %d 0 R >>" % cmap_num
+        )
+        font_res = b"<< /F1 %d 0 R /F2 %d 0 R >>" % (font_num, cid_font_num)
+
     for pi, plines in enumerate(page_lines):
-        ops = _content_ops(plines, variant, two_column)
+        ops = _content_ops(plines, variant, two_column, codes)
         if variant == 3 and len(ops) > 4:
             split = len(ops) // 2
             chunks = [b"\n".join(ops[:split]), b"\n".join(ops[split:])]
@@ -135,6 +299,12 @@ def build_pdf(
                     sd = b"<< /Length %d 0 R /Filter /FlateDecode >>" % len_num
                 else:
                     sd = b"<< /Length %d /Filter /FlateDecode >>" % len(raw)
+            elif variant == 4:
+                raw = lzw_encode(chunk)
+                sd = (
+                    b"<< /Length %d /Filter /LZWDecode "
+                    b"/DecodeParms << /EarlyChange 1 >> >>" % len(raw)
+                )
             else:
                 raw = chunk
                 sd = b"<< /Length %d >>" % len(raw)
@@ -145,7 +315,9 @@ def build_pdf(
         objs[3 + pi] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents "
             + contents
-            + b" /Resources << /Font << /F1 %d 0 R >> >> >>" % font_num
+            + b" /Resources << /Font "
+            + font_res
+            + b" >> >>"
         )
 
     # serialize body

@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", [0, 1, 2, 3])
+@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4, 5])
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -131,7 +131,7 @@ def test_ascii_filters():
 
 
 def test_unsupported_filter_raises():
-    pdf = _mini_pdf(b"xxxx", b"/Filter /LZWDecode")
+    pdf = _mini_pdf(b"xxxx", b"/Filter /DCTDecode")
     with pytest.raises(UnsupportedFilter):
         extract_pdf_text(pdf)
 
@@ -192,7 +192,7 @@ _doc = st.lists(_line, min_size=1, max_size=8).map("\n".join)
 
 
 @settings(max_examples=150, deadline=None)
-@given(text=_doc, variant=st.integers(0, 3), two_col=st.booleans())
+@given(text=_doc, variant=st.integers(0, 5), two_col=st.booleans())
 def test_roundtrip_property(text, variant, two_col):
     pdf = build_pdf(text, variant=variant, two_column=two_col)
     assert extract_pdf_text(pdf) == text
@@ -209,7 +209,7 @@ def test_mutation_fuzz_never_raises(seed, n_mut):
     import random
 
     rng = random.Random(seed)
-    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 4))
+    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 6))
     for _ in range(n_mut):
         i = rng.randrange(len(base))
         base[i] = rng.randrange(256)
@@ -228,3 +228,176 @@ def test_obj_marker_inside_stream_is_not_an_object():
     doc = PdfDocument(pdf)
     assert doc.objects[1] == {"/Type": "/Catalog", "/Pages": Ref(2, 0)}
     assert extract_pdf_text(pdf) == "real text"
+
+
+# ---------------------------------------------------------------------------
+# LZW codec (round 4)
+
+
+def test_lzw_spec_worked_example():
+    """ISO 32000-1 §7.4.4.2's worked example is bit-exact in BOTH
+    directions (the '-----A---B' / 80 0B 60 50 22 0C 0C 85 01 pair)."""
+    from sax_wasm_spark.kernel.pdftext import _lzw_decode
+    from sax_wasm_spark.sources.pdfgen import lzw_encode
+
+    spec_bytes = bytes.fromhex("800B6050220C0C8501")
+    assert _lzw_decode(spec_bytes) == b"-----A---B"
+    assert lzw_encode(b"-----A---B") == spec_bytes
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(max_size=4000), early=st.integers(0, 1))
+def test_lzw_roundtrip_property(data, early):
+    from sax_wasm_spark.kernel.pdftext import _lzw_decode
+    from sax_wasm_spark.sources.pdfgen import lzw_encode
+
+    assert _lzw_decode(lzw_encode(data, early=early), early=early) == data
+
+
+def test_lzw_width_boundaries_and_table_clear():
+    """Cross the 9→10→11→12-bit switches and the encoder's table clear
+    (incompressible input grows the table ~1 entry/byte)."""
+    import random
+
+    from sax_wasm_spark.kernel.pdftext import _lzw_decode
+    from sax_wasm_spark.sources.pdfgen import lzw_encode
+
+    rng = random.Random(42)
+    data = bytes(rng.randrange(256) for _ in range(8000))
+    assert _lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_variant_stream_is_actually_lzw():
+    pdf = build_pdf("lzw compressed page", variant=4)
+    assert b"/LZWDecode" in pdf
+    assert b"lzw compressed page" not in pdf  # really encoded
+    assert extract_pdf_text(pdf) == "lzw compressed page"
+
+
+# ---------------------------------------------------------------------------
+# /ToUnicode CMaps (round 4)
+
+
+def _cmap_pdf(cmap_body: bytes, show_hex: bytes) -> bytes:
+    """Single-page PDF with a /ToUnicode font and one hex show string."""
+    content = b"BT /F9 12 Tf 1 0 0 1 72 720 Tm <" + show_hex + b"> Tj ET"
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >> endobj\n"
+        + (b"6 0 obj << /Length %d >> stream\n" % len(cmap_body)) + cmap_body
+        + b"\nendstream endobj\n"
+        b"trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_tounicode_bfchar_multichar_dst():
+    """A bfchar may map one code to SEVERAL unicode chars (ligatures)."""
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <00660069>\n<0002> <0058>\nendbfchar\nendcmap"
+    )
+    assert extract_pdf_text(_cmap_pdf(cmap, b"000100020001")) == "fiXfi"
+
+
+def test_tounicode_bfrange_incrementing():
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0010> <0012> <0041>\nendbfrange\nendcmap"
+    )
+    # codes 0x10..0x12 -> 'A','B','C'
+    assert extract_pdf_text(_cmap_pdf(cmap, b"001000110012")) == "ABC"
+
+
+def test_tounicode_bfrange_array_form():
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0005> <0006> [<005A> <0059>]\nendbfrange\nendcmap"
+    )
+    assert extract_pdf_text(_cmap_pdf(cmap, b"00050006")) == "ZY"
+
+
+def test_tounicode_one_byte_codespace():
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<41> <0061>\n<42> <00E9>\nendbfchar\nendcmap"
+    )
+    # 1-byte codes: 0x41->'a', 0x42->'é', unmapped 0x43 falls back to chr
+    assert extract_pdf_text(_cmap_pdf(cmap, b"414243")) == "aéC"
+
+
+def test_tounicode_surrogate_pair_dst():
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0007> <D83DDE00>\nendbfchar\nendcmap"
+    )
+    assert extract_pdf_text(_cmap_pdf(cmap, b"0007")) == "\U0001f600"
+
+
+def test_tounicode_malformed_range_skipped():
+    """hi < lo and oversized ranges are skipped, never hang or raise."""
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfrange\n<0012> <0010> <0041>\n<0001> <0001> <0062>\nendbfrange\nendcmap"
+    )
+    assert extract_pdf_text(_cmap_pdf(cmap, b"0001")) == "b"
+
+
+def test_variant5_exercises_all_three_cmap_shapes():
+    """The generator's charset grouping must emit bfchar AND both
+    bfrange forms for a text with consecutive runs, pairs, singletons."""
+    import zlib as _z
+
+    # charset sorted: ' .abcd km z' -> runs: 'abcd'(4, range), 'km'? not
+    # consecutive; craft: 'abcd' run, 'xy' pair, 'q' singleton
+    text = "abcd xy q\ndcba"
+    pdf = build_pdf(text, variant=5)
+    doc = PdfDocument(pdf)
+    cmap_num = next(
+        n for n, v in doc.objects.items()
+        if isinstance(v, dict) and n in doc.streams and b"bfchar" in _z.decompress(doc.streams[n])
+    )
+    body = _z.decompress(doc.streams[cmap_num])
+    assert b"beginbfchar" in body and b"beginbfrange" in body and b"[" in body
+    assert extract_pdf_text(pdf) == text
+
+
+# ---------------------------------------------------------------------------
+# indirect /Length shadowing (ADVICE r3)
+
+
+def test_shadowed_indirect_length_with_endstream_inside():
+    """A fake 'N G obj' marker INSIDE an uncompressed stream body used to
+    shadow the real indirect /Length (last-wins raw scan); with the body
+    also containing the literal 'endstream', the fallback scan cannot
+    rescue it. Candidate validation must pick the real length."""
+    content = (
+        b"BT 1 0 0 1 72 720 Tm (real text with endstream inside) Tj ET\n"
+        b"% 5 0 obj 7 endobj shadow attempt"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 5 0 R >> stream\n" + content + b"\nendstream endobj\n"
+        + (b"5 0 obj %d endobj\n" % len(content))
+        + b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    # the poisoned marker sits inside the stream AND the text contains
+    # 'endstream' — naive last-wins length (7) would truncate the stream
+    assert "real text with endstream inside" in extract_pdf_text(pdf)
+
+
+def test_decodeparms_shorter_than_filter_chain():
+    """A malformed /DecodeParms list shorter than /Filter must not
+    silently truncate the chain (ADVICE r3): both filters apply."""
+    ops = b"BT 1 0 0 1 72 720 Tm (chained) Tj ET"
+    hexed = zlib.compress(ops).hex().encode() + b">"
+    pdf = _mini_pdf(hexed, b"/Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms [null]")
+    assert extract_pdf_text(pdf) == "chained"
