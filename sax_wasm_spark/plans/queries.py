@@ -1422,6 +1422,68 @@ def q34_sql():
     """
 
 
+def q43_ann_int_lsh_tuned(spark, sf_dir):
+    """q34's bucket-probe ANN at the TUNED configuration the recall
+    sweep (bench.py recall block / BENCH_BASELINE.md) recommends:
+    24 planes in 8 bands of 3 bits — recall@10 ≈ 0.9 on the synthetic
+    embeddings vs 0.44 for the 16/4 default. q34 keeps the default
+    literals for continuity; this query pins the tuned config with its
+    own regenerated oracle (VERDICT r3 item 6), so retuning is
+    oracle-guarded on both engines."""
+    from ..operators.similarity import ann_int_lsh  # noqa: PLC0415
+
+    e = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return ann_int_lsh(
+        e, query, k=10, n_planes=24, band_bits=3, exclude_ids=(0,)
+    )
+
+
+def _ann_int_lsh_sql(n_planes: int, band_bits: int) -> str:
+    from ..operators.similarity import int_planes  # noqa: PLC0415
+
+    planes = int_planes(_EMB_DIM, n_planes, seed=7)
+    n_bands = n_planes // band_bits
+
+    def dot(p, col):
+        lit = "[" + ", ".join(str(v) for v in planes[p]) + "]"
+        return f"list_dot_product({col}, {lit})"
+
+    def bucket(b, col):
+        return " + ".join(
+            f"(CASE WHEN {dot(band_bits * b + j, col)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+
+    cond = " OR ".join(
+        f"({bucket(b, 'v.qe')}) = ({bucket(b, 'q.qq')})" for b in range(n_bands)
+    )
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS eq,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024)) AS qq
+      FROM embeddings WHERE vec_id = 0
+    ), v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024)) AS qe
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_dot_product(v.e, q.eq)
+                 / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.eq, q.eq))),
+                 6) AS cosine
+    FROM v, q
+    WHERE vec_id <> 0 AND ({cond})
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+def q43_sql():
+    return _ann_int_lsh_sql(24, 3)
+
+
 def q35_token_stats_grouped(spark, sf_dir):
     """Grouped-map applyInPandas surface (SURVEY §2.4 UDF/UDAF/UDTF
     row) on a BOUNDED group: each pandas frame is ONE document's
@@ -1750,6 +1812,78 @@ def q42_sql():
     """
 
 
+def q44_host_politeness(spark, sf_dir):
+    """Crawl-politeness audit (VERDICT r3 item 8): the events table is
+    read as a fetch log — each event's URL is CONSTRUCTED
+    deterministically (messy case, default port, and credentials, so
+    ``url_host``'s userinfo handling is oracle-proven end-to-end), keyed
+    by host via ``url_host``, then q42's lag-window pattern yields per-
+    host fetch gaps. Output per host: fetch count, gap violations
+    (< 5 s between consecutive fetches) and crawl sessions (30-min
+    inactivity split). At 10^12 scale this is one sort-shuffle on the
+    host key (both windows share it) + a partial-agg groupBy."""
+    from ..functions.url import url_host  # noqa: PLC0415
+
+    e = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("HTTPS://bot:pw@Crawl"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/p/"),
+        F.col("event_id").cast("string"),
+    )
+    d = e.select(url_host(url).alias("host"), "ts", "event_id")
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = d.select(
+        "host",
+        F.when(
+            prev.isNotNull() & (F.col("ts") < prev + F.expr("INTERVAL 5 SECONDS")), 1
+        )
+        .otherwise(0)
+        .alias("violation"),
+        F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum("violation").alias("n_violations"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+        .orderBy("host")
+    )
+
+
+def q44_sql():
+    return """
+    WITH d AS (
+      SELECT 'crawl' || CAST(user_id % 7 AS VARCHAR) || '.example.com' AS host,
+             ts, event_id
+      FROM events
+    ), flagged AS (
+      SELECT host,
+             CASE WHEN lag(ts) OVER w IS NOT NULL
+                       AND ts < lag(ts) OVER w + INTERVAL 5 SECOND
+                  THEN 1 ELSE 0 END AS violation,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM d
+      WINDOW w AS (PARTITION BY host ORDER BY ts, event_id)
+    )
+    SELECT host, count(*) AS n_fetches,
+           CAST(sum(violation) AS BIGINT) AS n_violations,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM flagged
+    GROUP BY host
+    ORDER BY host
+    """
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1795,6 +1929,8 @@ QUERIES = {
     "q40_pii_redaction": q40_pii_redaction,
     "q41_decontaminate": q41_decontaminate,
     "q42_sessionize": q42_sessionize,
+    "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
+    "q44_host_politeness": q44_host_politeness,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -1847,6 +1983,8 @@ ORACLES = {
     "q40_pii_redaction": q40_sql(),
     "q41_decontaminate": q41_sql(),
     "q42_sessionize": q42_sql(),
+    "q43_ann_int_lsh_tuned": q43_sql(),
+    "q44_host_politeness": q44_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),
