@@ -213,6 +213,33 @@ def salt_skewed_key(df: DataFrame, key_col: str, buckets: int, id_col: str = "ur
     )
 
 
+def repartition_by_host(
+    pages: DataFrame,
+    num_partitions: int,
+    salt_buckets: int | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Co-locate pages by host for host-affine stages (per-host rate
+    bookkeeping, politeness audits, per-host models). On a real crawl a
+    mega-host (50 % of pages on one domain is common in CC snapshots)
+    makes the plain repartition THE scale bottleneck: one partition —
+    one core — receives that host's entire corpus while the rest of the
+    cluster idles. ``salt_buckets`` spreads every host across that many
+    deterministic sub-keys (salt = url-hash, never random, so retries
+    are stable); a host-affine consumer then sees each host in
+    ``salt_buckets`` partitions instead of one, which is the standard
+    trade for throughput-bound stages. Measured at bench scale in
+    bench.py's ``skew`` block; partition-spread asserted in
+    tests/test_skew.py."""
+    from ..functions.url import url_host  # noqa: PLC0415
+
+    hosted = pages.withColumn("host", url_host(F.col(url_col)))
+    if salt_buckets:
+        salted = salt_skewed_key(hosted, "host", salt_buckets, id_col=url_col)
+        return salted.repartition(num_partitions, "salted_key").drop("salted_key")
+    return hosted.repartition(num_partitions, "host")
+
+
 def host_stats_salted(pages: DataFrame, buckets: int = 16) -> DataFrame:
     """Per-host page/byte counts via two-phase salted aggregation —
     robust to mega-hosts that would otherwise hot-spot one reducer."""
