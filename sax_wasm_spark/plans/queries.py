@@ -938,6 +938,42 @@ def pdf_extract_roundtrip_sql():
     """
 
 
+def warc_roundtrip(spark, sf_dir):
+    """Crawl-ingestion leg (sources/warc.py, operators/warc.py):
+    documents are rendered into deterministic 3-record gzipped WARC
+    files — ``doc_id % 3`` cycles the HTTP body encoding (identity /
+    chunked / Content-Encoding gzip) — then parsed back into pages
+    rows. Round-trip equality (url, body text, HTTP status, and
+    exactly ONE page per file despite the warcinfo/request records) is
+    the closed-form oracle for the record framing, multi-member gzip,
+    header grammar, chunked decoding, and body decompression."""
+    from ..operators.warc import render_warc_column, warc_to_pages  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    shards = render_warc_column(d.select("doc_id", "text"), id_cols=("doc_id",))
+    pages = warc_to_pages(shards, warc_col="warc", id_cols=("doc_id",))
+    return pages.select(
+        "doc_id",
+        "url",
+        F.col("html").cast("string").alias("page_text"),
+        F.col("http_status").cast("int").alias("http_status"),
+        "status",
+    ).orderBy("doc_id")
+
+
+def warc_roundtrip_sql():
+    return """
+    SELECT doc_id,
+           'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           text AS page_text,
+           200 AS http_status,
+           'ok' AS status
+    FROM documents ORDER BY doc_id
+    """
+
+
 def q20_lang_guess(spark, sf_dir):
     """Heuristic language ID: argmax of stopword-marker hit ratios
     (functions/text.py lang_guess) — closed-form SQL twin below."""
@@ -1938,6 +1974,7 @@ QUERIES = {
     "sax_attributes": sax_attributes,
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
+    "warc_roundtrip": warc_roundtrip,
 }
 
 ORACLES = {
@@ -1992,4 +2029,5 @@ ORACLES = {
     "sax_attributes": sax_attributes_sql(),
     "sax_extract_roundtrip": sax_extract_roundtrip_sql(),
     "pdf_extract_roundtrip": pdf_extract_roundtrip_sql(),
+    "warc_roundtrip": warc_roundtrip_sql(),
 }

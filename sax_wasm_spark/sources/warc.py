@@ -1,0 +1,275 @@
+"""From-scratch WARC/1.0 reader + deterministic writer (stdlib only).
+
+Common-Crawl-style corpora arrive as WARC files (ISO 28500): gzip
+members, one per record, each record = CRLF header block + body framed
+by ``Content-Length``. A pipeline over "Common-Crawl-style web pages"
+(the north rule's input) therefore needs a crawl-ingestion leg that
+turns WARC bytes into the pages table. This module is that leg's
+kernel, built from the public WARC 1.0 spec and RFC 9112 (HTTP/1.1
+message framing) — the reference repo has no counterpart (sax-wasm is
+a tokenizer), and no WARC library exists in the container.
+
+Reader scope (``parse_warc``):
+
+* plain or gzip input; multi-member gzip (the Common Crawl layout —
+  one member per record) and single-stream gzip both handled;
+* record header block parsed case-insensitively; body framed by
+  ``Content-Length`` (mandatory per spec) with the trailing CRLFCRLF
+  record separator consumed;
+* only ``WARC-Type: response`` records yield pages — warcinfo /
+  request / metadata records are skipped (but must parse, since they
+  share the stream);
+* the HTTP response inside a response record is split into status
+  line + headers + body; ``Transfer-Encoding: chunked`` is de-chunked
+  (RFC 9112 §7.1) and ``Content-Encoding: gzip`` is decompressed —
+  both appear constantly in real crawls;
+* malformed records raise :class:`WarcError`; the DataFrame operator
+  maps that to a per-row error status (poison files never kill a task).
+
+Writer scope (``build_warc``): the deterministic synthesis twin used by
+tests and the ``warc_roundtrip`` oracle — per document it emits a
+warcinfo record, a request record, and a response record (so the
+reader's type filtering is always exercised), each its own gzip member
+with ``mtime=0`` for byte-determinism.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from typing import NamedTuple
+
+__all__ = ["WarcError", "WarcPage", "build_warc", "parse_warc"]
+
+_CRLF = b"\r\n"
+
+
+class WarcError(ValueError):
+    """Input is not parseable as WARC within this module's scope."""
+
+
+class WarcPage(NamedTuple):
+    url: str
+    warc_date: str  # ISO-8601 string as recorded (e.g. 2024-01-01T00:00:00Z)
+    status: int
+    content_type: str  # HTTP Content-Type of the payload ('' if absent)
+    body: bytes  # decoded payload (de-chunked, de-gzipped)
+
+
+# ---------------------------------------------------------------------------
+# reader
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a possibly multi-member gzip stream (CC layout)."""
+    out = bytearray()
+    d = zlib.decompressobj(wbits=31)
+    buf = data
+    while buf:
+        out += d.decompress(buf)
+        buf = d.unused_data
+        if not d.eof and not buf:
+            raise WarcError("truncated gzip stream")
+        if buf:
+            d = zlib.decompressobj(wbits=31)
+    return bytes(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """CRLF-separated Name: Value lines, case-insensitive names, with
+    obs-fold continuation lines joined (both WARC and HTTP use this
+    grammar)."""
+    headers: dict[str, str] = {}
+    last: str | None = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise WarcError(f"malformed header line {line[:40]!r}")
+        last = name.strip().decode("latin-1").lower()
+        headers[last] = value.strip().decode("latin-1")
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding (trailers discarded)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise WarcError("chunked: missing size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise WarcError(f"chunked: bad size {size_tok[:16]!r}") from exc
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) discarded per scope
+        if pos + size > n:
+            raise WarcError("chunked: truncated chunk")
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] != _CRLF:
+            raise WarcError("chunked: missing chunk CRLF")
+        pos += 2
+
+
+def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
+    """(status, content_type, decoded body) from a raw HTTP response."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise WarcError("http: no header/body separator")
+    head, body = payload[:sep], payload[sep + 4 :]
+    status_line, _, header_block = head.partition(b"\r\n")
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise WarcError(f"http: bad status line {status_line[:40]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError as exc:
+        raise WarcError("http: bad status code") from exc
+    headers = _parse_headers(header_block) if header_block else {}
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except OSError as exc:
+            raise WarcError(f"http: bad gzip body: {exc}") from exc
+    elif enc in ("", "identity"):
+        pass
+    else:
+        raise WarcError(f"http: unsupported content-encoding {enc!r}")
+    return status, headers.get("content-type", ""), body
+
+
+def parse_warc(data: bytes) -> list[WarcPage]:
+    """Every ``WARC-Type: response`` record of a WARC file as a
+    :class:`WarcPage`; other record types are parsed and skipped."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    if not data.startswith(b"WARC/"):
+        raise WarcError("missing WARC/ version line")
+    pages: list[WarcPage] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 5] != b"WARC/":
+            raise WarcError(f"expected record at byte {pos}")
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise WarcError("truncated record header")
+        version_line, _, header_block = data[pos:head_end].partition(b"\r\n")
+        if not version_line.startswith(b"WARC/1."):
+            raise WarcError(f"unsupported version {version_line[:20]!r}")
+        headers = _parse_headers(header_block)
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise WarcError("record missing Content-Length") from exc
+        body_start = head_end + 4
+        if body_start + length > n:
+            raise WarcError("record body exceeds file")
+        body = data[body_start : body_start + length]
+        pos = body_start + length
+        if data[pos : pos + 4] != b"\r\n\r\n":
+            raise WarcError("record missing CRLFCRLF separator")
+        pos += 4
+        if headers.get("warc-type", "").lower() == "response":
+            status, ctype, decoded = _parse_http_response(body)
+            pages.append(
+                WarcPage(
+                    url=headers.get("warc-target-uri", ""),
+                    warc_date=headers.get("warc-date", ""),
+                    status=status,
+                    content_type=ctype,
+                    body=decoded,
+                )
+            )
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# deterministic writer (synthesis twin)
+
+
+def _record(warc_type: str, headers: list[tuple[str, str]], body: bytes) -> bytes:
+    lines = [b"WARC/1.0", b"WARC-Type: " + warc_type.encode()]
+    lines += [f"{k}: {v}".encode() for k, v in headers]
+    lines.append(b"Content-Length: %d" % len(body))
+    return b"\r\n".join(lines) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _http_response(
+    body: bytes, content_type: str, variant: int
+) -> bytes:
+    """variant 0: identity; 1: chunked (two chunks); 2: gzip body."""
+    headers = [b"HTTP/1.1 200 OK", b"Content-Type: " + content_type.encode()]
+    if variant == 1:
+        half = len(body) // 2
+        chunks = b""
+        for part in (body[:half], body[half:]):
+            if part:
+                chunks += b"%X\r\n" % len(part) + part + b"\r\n"
+        payload = chunks + b"0\r\n\r\n"
+        headers.append(b"Transfer-Encoding: chunked")
+    elif variant == 2:
+        payload = gzip.compress(body, mtime=0)
+        headers.append(b"Content-Encoding: gzip")
+        headers.append(b"Content-Length: %d" % len(payload))
+    else:
+        payload = body
+        headers.append(b"Content-Length: %d" % len(payload))
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload
+
+
+def build_warc(
+    url: str,
+    date: str,
+    body: bytes,
+    variant: int = 0,
+    content_type: str = "text/html",
+    gzipped: bool = True,
+) -> bytes:
+    """One document as a 3-record WARC file (warcinfo + request +
+    response), each record its own deterministic gzip member when
+    ``gzipped`` (the Common Crawl layout). ``variant`` picks the HTTP
+    body encoding: 0 identity, 1 chunked, 2 gzip."""
+    info = _record(
+        "warcinfo",
+        [("WARC-Record-ID", f"<urn:det:{url}#info>"), ("WARC-Date", date)],
+        b"software: sax-wasm-spark-synth\r\n",
+    )
+    req = _record(
+        "request",
+        [
+            ("WARC-Record-ID", f"<urn:det:{url}#req>"),
+            ("WARC-Date", date),
+            ("WARC-Target-URI", url),
+        ],
+        b"GET / HTTP/1.1\r\nHost: synthetic\r\n\r\n",
+    )
+    resp = _record(
+        "response",
+        [
+            ("WARC-Record-ID", f"<urn:det:{url}#resp>"),
+            ("WARC-Date", date),
+            ("WARC-Target-URI", url),
+        ],
+        _http_response(body, content_type, variant),
+    )
+    if not gzipped:
+        return info + req + resp
+    out = io.BytesIO()
+    for rec in (info, req, resp):
+        out.write(gzip.compress(rec, mtime=0))
+    return out.getvalue()
