@@ -1894,6 +1894,61 @@ def q44_host_politeness(spark, sf_dir):
     )
 
 
+def q45_sequence_pack(spark, sf_dir):
+    """Training-sequence packing — the standard last step before
+    tokenizer/trainer handoff: documents are packed into fixed
+    token-budget sequences. Deterministic contiguous-fill semantics:
+    within each shard (doc_id % 8 here; url-hash shard in production),
+    docs are laid out in doc_id order and a document belongs to the
+    sequence where its LAST token lands (floor((cumsum-1)/budget)).
+    Scale shape: the window is partitioned BY SHARD — packing is
+    embarrassingly parallel across shards and no global sort exists;
+    one sort-shuffle on (shard) then a partial-agg groupBy. Output:
+    per-sequence doc/token counts."""
+    from ..functions.text import token_count  # noqa: PLC0415
+
+    budget = 512
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count(F.col("text")).alias("tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    packed = d.withColumn("seq_no", F.floor((cum - 1) / budget))
+    return (
+        packed.groupBy("shard", "seq_no")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "seq_no")
+    )
+
+
+def q45_sql():
+    return """
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, tok,
+             CAST(floor((sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - 1)
+                        / 512.0) AS BIGINT) AS seq_no
+      FROM d
+    )
+    SELECT shard, seq_no, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc
+    FROM packed
+    GROUP BY shard, seq_no
+    ORDER BY shard, seq_no
+    """
+
+
 def q44_sql():
     return """
     WITH d AS (
@@ -1967,6 +2022,7 @@ QUERIES = {
     "q42_sessionize": q42_sessionize,
     "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
     "q44_host_politeness": q44_host_politeness,
+    "q45_sequence_pack": q45_sequence_pack,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -2022,6 +2078,7 @@ ORACLES = {
     "q42_sessionize": q42_sql(),
     "q43_ann_int_lsh_tuned": q43_sql(),
     "q44_host_politeness": q44_sql(),
+    "q45_sequence_pack": q45_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),
