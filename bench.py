@@ -71,9 +71,12 @@ HEADLINE = [
     "q18_knn_cosine",
     "q36_repetition_stats",
     "q38_boilerplate_lines",
+    "q44_host_politeness",
+    "q45_sequence_pack",
     "sax_text_events",
     "sax_extract_roundtrip",
     "pdf_extract_roundtrip",
+    "warc_roundtrip",
 ]
 
 

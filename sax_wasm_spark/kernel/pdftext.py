@@ -52,7 +52,9 @@ from __future__ import annotations
 
 import base64
 import binascii
+import functools
 import re
+import struct
 import zlib
 from typing import NamedTuple
 
@@ -647,20 +649,34 @@ class _CMap:
         self.map = mapping
 
     def decode(self, b: bytes) -> str:
-        w = self.width
         m = self.map
-        out: list[str] = []
-        for i in range(0, len(b) - w + 1, w):
-            code = int.from_bytes(b[i : i + w], "big")
-            s = m.get(code)
-            out.append(s if s is not None else chr(code))
-        return "".join(out)
+        get = m.get
+        if self.width == 2:
+            # bulk-unpack the code units (the dominant CID case) — one
+            # struct call instead of a python slice+from_bytes per code
+            k = len(b) // 2
+            codes = struct.unpack(">%dH" % k, b[: 2 * k])
+        elif self.width == 1:
+            codes = b
+        else:
+            w = self.width
+            codes = [
+                int.from_bytes(b[i : i + w], "big")
+                for i in range(0, len(b) - w + 1, w)
+            ]
+        return "".join(
+            [s if (s := get(c)) is not None else chr(c) for c in codes]
+        )
 
 
+@functools.lru_cache(maxsize=256)
 def _parse_tounicode(data: bytes) -> _CMap | None:
     """Parse the bfchar/bfrange sections of a ToUnicode CMap stream
-    (ISO 32000-1 §9.10.3). Supports 1- and 2-byte code spaces, bfchar
-    pairs, bfrange with an incrementing destination, and bfrange with an
+    (memoized on the decoded stream bytes: real corpora repeat the same
+    font subsets across thousands of pages, so the parse runs once per
+    distinct font per worker, not once per document).
+    ISO 32000-1 §9.10.3: 1- and 2-byte code spaces, bfchar pairs,
+    bfrange with an incrementing destination, and bfrange with an
     explicit destination array. CMap/PostScript framing keywords are
     skipped as unknown tokens, so a full CIDInit prologue parses fine."""
     lex = _Lexer(data)

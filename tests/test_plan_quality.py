@@ -192,3 +192,29 @@ def test_whole_stage_codegen_present(spark):
     assert "== Final Plan ==" in plan
     # '*' marks operators inside WholeStageCodegen subtrees
     assert "* HashAggregate" in plan and "* Filter" in plan, plan[:3000]
+
+
+def test_q44_windows_share_one_sort_shuffle(spark):
+    """q44 computes two lag-derived flags and a groupBy over the SAME
+    (host) key: the two windows must share ONE hashpartitioning
+    exchange, and the groupBy must reuse that partitioning instead of
+    adding its own — total exchanges ≤ 2 (window hash + final orderBy
+    range)."""
+    from sax_wasm_spark.plans.queries import q44_host_politeness
+
+    plan = plan_of(q44_host_politeness(spark, SF))
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 1, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:3000]
+
+
+def test_q45_window_is_shard_partitioned(spark):
+    """Sequence packing must never plan a GLOBAL window (single-task
+    sort of the corpus): the cumsum window is partitioned by shard."""
+    from sax_wasm_spark.plans.queries import q45_sequence_pack
+
+    plan = plan_of(q45_sequence_pack(spark, SF))
+    assert "Window" in plan
+    assert re.search(r"hashpartitioning\(shard", plan), plan[:3000]
+    # a window with an empty partition spec would show SinglePartition
+    # feeding the Window node
+    assert "SinglePartition" not in plan.split("Sort")[0], plan[:3000]
