@@ -14,9 +14,11 @@ Scope (documented contract, enforced by tests/test_pdf.py):
   numbers, booleans, null, arrays, dictionaries, indirect references,
   streams. Objects are discovered by scanning for ``N G obj`` rather than
   trusting the xref table, so documents with broken/absent xref still
-  parse; incremental updates (the same object number redefined later in
-  the file) resolve to the LAST definition, matching xref-chain
-  semantics for append-only updates.
+  parse; PDF 1.5 object streams (``/Type /ObjStm`` — where modern
+  writers keep the catalog/page dicts) are expanded after the scan;
+  incremental updates (the same object number redefined later in the
+  file, directly or via a later object stream) resolve to the LAST
+  definition, matching xref-chain semantics for append-only updates.
 * **Filters**: FlateDecode (zlib), LZWDecode (from-scratch variable-width
   codec per ISO 32000-1 §7.4.4, /EarlyChange honored, PNG predictors),
   ASCIIHexDecode, ASCII85Decode, and filter chains thereof. DCT/CCITT/JBIG2
@@ -442,7 +444,9 @@ class PdfDocument:
         self.streams: dict[int, bytes] = {}
         self._order: list[int] = []
         self._obj_pos: dict[int, list[int]] | None = None
+        self._def_pos: dict[int, int] = {}
         self._scan_objects()
+        self._expand_object_streams()
         if not self.objects:
             raise PdfError("no indirect objects found")
 
@@ -477,10 +481,68 @@ class PdfDocument:
                 self._order.append(num)
             # last definition wins (incremental updates append re-definitions)
             self.objects[num] = val
+            self._def_pos[num] = m.start()
             if raw is not None:
                 self.streams[num] = raw
             elif num in self.streams:
                 del self.streams[num]
+
+    def _expand_object_streams(self) -> None:
+        """Register the members of every ``/Type /ObjStm`` stream (PDF 1.5
+        object streams, ISO 32000-1 §7.5.7) — modern writers keep the
+        catalog/page dicts INSIDE compressed object streams, so a scan
+        that only sees top-level ``N G obj`` markers misses the entire
+        document structure. Stream layout: ``/N`` pairs of
+        ``objnum offset`` integers in the first ``/First`` bytes, then
+        the serialized objects at ``First + offset``. Last-definition-
+        wins ordering is preserved by position: a member only overrides
+        a direct definition that appears EARLIER in the file than its
+        containing stream (and vice versa), matching the incremental-
+        update semantics of the direct scan. Malformed object streams
+        are skipped (poison-tolerance, same policy as the rest of the
+        scan)."""
+        for num in list(self._order):
+            d = self.objects.get(num)
+            if not (
+                isinstance(d, dict)
+                and d.get("/Type") == "/ObjStm"
+                and num in self.streams
+            ):
+                continue
+            stm_pos = self._def_pos.get(num, 0)
+            try:
+                body = self.stream_bytes(num)
+                n_objs = int(self.resolve(d.get("/N")))
+                first = int(self.resolve(d.get("/First")))
+            except (PdfError, TypeError, ValueError):
+                continue
+            lex = _Lexer(body[:first])
+            pairs: list[tuple[int, int]] = []
+            ok = True
+            for _ in range(n_objs):
+                t1 = lex.next_token()
+                t2 = lex.next_token()
+                if not (t1 and t2 and t1[0] == "num" and t2[0] == "num"):
+                    ok = False
+                    break
+                pairs.append((int(t1[1]), int(t2[1])))
+            if not ok:
+                continue
+            for onum, off in pairs:
+                if first + off >= len(body):
+                    continue
+                try:
+                    val = _parse_value(_Lexer(body, first + off))
+                except PdfError:
+                    continue
+                prev_pos = self._def_pos.get(onum)
+                if prev_pos is not None and prev_pos > stm_pos:
+                    continue  # a later direct definition wins
+                if onum not in self.objects:
+                    self._order.append(onum)
+                self.objects[onum] = val
+                self._def_pos[onum] = stm_pos
+                self.streams.pop(onum, None)
 
     def _slice_stream(self, d: object, start: int) -> bytes:
         data = self.data

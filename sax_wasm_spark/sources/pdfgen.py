@@ -25,6 +25,10 @@ Variants exercise distinct parser surfaces so one query covers them all:
   CMap that exercises bfchar, incrementing bfrange, AND array-form
   bfrange (consecutive charset runs become ranges, pairs become array
   ranges, singletons become bfchars).
+* 6 — PDF 1.5 object streams: EVERY non-stream object (catalog, page
+  tree, pages, font) lives inside one Flate-compressed ``/Type /ObjStm``
+  — the modern-writer layout where a top-level ``N G obj`` scan finds
+  no document structure at all.
 
 Non-Latin-1 text is emitted as BOM-tagged UTF-16BE hex strings (the
 spec's text-string encoding), so any Unicode round-trips.
@@ -45,7 +49,7 @@ from ..kernel.pdftext import SPACE_KERN  # noqa: F401  (doc cross-link)
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 6
+N_VARIANTS = 7
 
 
 def lzw_encode(data: bytes, early: int = 1) -> bytes:
@@ -320,8 +324,28 @@ def build_pdf(
             + b" >> >>"
         )
 
+    if variant == 6:
+        # move every non-stream object into one compressed object stream
+        items = sorted(objs.items())
+        body = bytearray()
+        offsets = []
+        for num, ser in items:
+            offsets.append((num, len(body)))
+            body += ser + b"\n"
+        header = b" ".join(b"%d %d" % p for p in offsets) + b"\n"
+        raw = zlib.compress(bytes(header) + bytes(body))
+        objstm_num = next_num
+        next_num += 1
+        streams[objstm_num] = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+            % (len(items), len(header), len(raw)),
+            raw,
+        )
+        objs = {}
+
     # serialize body
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if variant == 6
+                    else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(set(objs) | set(streams)):
         offsets[num] = len(out)

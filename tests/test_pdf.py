@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4, 5, 6])
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -192,7 +192,7 @@ _doc = st.lists(_line, min_size=1, max_size=8).map("\n".join)
 
 
 @settings(max_examples=150, deadline=None)
-@given(text=_doc, variant=st.integers(0, 5), two_col=st.booleans())
+@given(text=_doc, variant=st.integers(0, 6), two_col=st.booleans())
 def test_roundtrip_property(text, variant, two_col):
     pdf = build_pdf(text, variant=variant, two_column=two_col)
     assert extract_pdf_text(pdf) == text
@@ -209,7 +209,7 @@ def test_mutation_fuzz_never_raises(seed, n_mut):
     import random
 
     rng = random.Random(seed)
-    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 6))
+    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 7))
     for _ in range(n_mut):
         i = rng.randrange(len(base))
         base[i] = rng.randrange(256)
@@ -401,3 +401,42 @@ def test_decodeparms_shorter_than_filter_chain():
     hexed = zlib.compress(ops).hex().encode() + b">"
     pdf = _mini_pdf(hexed, b"/Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms [null]")
     assert extract_pdf_text(pdf) == "chained"
+
+
+# ---------------------------------------------------------------------------
+# object streams (round 4)
+
+
+def test_objstm_holds_all_structure():
+    """Variant 6: the catalog/pages/page/font dicts exist ONLY inside
+    the compressed object stream — no direct 'N G obj' definition."""
+    import re as _re
+
+    pdf = build_pdf("inside objstm", variant=6)
+    assert b"/ObjStm" in pdf
+    assert not _re.search(rb"1 0 obj", pdf)  # catalog not top-level
+    doc = PdfDocument(pdf)
+    assert doc.objects[1] == {"/Type": "/Catalog", "/Pages": Ref(2, 0)}
+    assert extract_pdf_text(pdf) == "inside objstm"
+
+
+def test_objstm_member_overridden_by_later_direct_def():
+    """Incremental-update semantics across the ObjStm boundary: a direct
+    redefinition APPENDED AFTER the object stream must win over the
+    member object (and the reverse — the ObjStm member must win over
+    nothing, i.e. still resolve)."""
+    pdf = bytearray(build_pdf("x", variant=6))
+    # find the font object number via the parsed doc, then append a
+    # direct redefinition of the catalog (object 1)
+    pdf += b"1 0 obj << /Type /Catalog /Pages 2 0 R /Version /1.7 >> endobj\n"
+    doc = PdfDocument(bytes(pdf))
+    assert doc.objects[1].get("/Version") == "/1.7"
+    assert extract_pdf_text(bytes(pdf)) == "x"
+
+
+def test_malformed_objstm_is_skipped_not_fatal():
+    pdf = build_pdf("resilient", variant=0, lines_per_page=None)
+    # append a bogus ObjStm whose body is not valid
+    bogus = b"9 0 obj << /Type /ObjStm /N 2 /First 8 /Length 5 >> stream\njunk!\nendstream endobj\n"
+    doc = PdfDocument(pdf + bogus)
+    assert extract_pdf_text(pdf + bogus) == "resilient"
