@@ -685,16 +685,124 @@ class PdfDocument:
             font = self.resolve(fref)
             if not isinstance(font, dict):
                 continue
+            cmap = None
             tu = font.get("/ToUnicode")
-            if not isinstance(tu, Ref):
-                continue
-            try:
-                cmap = _parse_tounicode(self.stream_bytes(tu))
-            except PdfError:
-                continue
+            if isinstance(tu, Ref):
+                # /ToUnicode is authoritative for text extraction (§9.10.2)
+                try:
+                    cmap = _parse_tounicode(self.stream_bytes(tu))
+                except PdfError:
+                    cmap = None
+            if cmap is None:
+                enc = self.resolve(font.get("/Encoding"))
+                if isinstance(enc, dict):
+                    diffs = self.resolve(enc.get("/Differences"))
+                    if isinstance(diffs, list):
+                        cmap = _differences_cmap(diffs)
             if cmap is not None:
                 out[name.lstrip("/")] = cmap
         return out
+
+
+# ---------------------------------------------------------------------------
+# glyph names (the /Encoding /Differences simple-font text path)
+
+# Adobe Glyph List subset: ASCII coverage + the accented Latin names real
+# simple-font subsets use. Arbitrary characters arrive as uniXXXX /
+# uXXXXX names, handled in _glyph_to_unicode.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "section": "§",
+    "copyright": "©", "guillemotleft": "«", "registered": "®",
+    "degree": "°", "plusminus": "±", "mu": "µ",
+    "paragraph": "¶", "guillemotright": "»",
+    "questiondown": "¿", "Agrave": "À", "Aacute": "Á",
+    "Acircumflex": "Â", "Atilde": "Ã", "Adieresis": "Ä",
+    "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê",
+    "Edieresis": "Ë", "Igrave": "Ì", "Iacute": "Í",
+    "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö",
+    "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú",
+    "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý",
+    "germandbls": "ß", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "atilde": "ã", "adieresis": "ä",
+    "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "igrave": "ì", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "divide": "÷",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "ydieresis": "ÿ", "bullet": "•", "endash": "–",
+    "emdash": "—", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "trademark": "™", "Euro": "€",
+    "fi": "ﬁ", "fl": "ﬂ",
+}
+# single ASCII letters map to themselves
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL[_c] = _c
+del _c
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """Glyph name (with or without the leading slash) → unicode string,
+    per the Adobe Glyph List conventions: table lookup, then the
+    ``uniXXXX[XXXX…]`` and ``uXXXX[XX]`` algorithmic forms."""
+    g = name.lstrip("/")
+    hit = _AGL.get(g)
+    if hit is not None:
+        return hit
+    if g.startswith("uni") and len(g) >= 7 and (len(g) - 3) % 4 == 0:
+        try:
+            cps = [int(g[i : i + 4], 16) for i in range(3, len(g), 4)]
+        except ValueError:
+            return None
+        if any(0xD800 <= c <= 0xDFFF for c in cps):
+            return None
+        return "".join(chr(c) for c in cps)
+    if g.startswith("u") and 5 <= len(g) <= 7:
+        try:
+            c = int(g[1:], 16)
+        except ValueError:
+            return None
+        if 0xD800 <= c <= 0xDFFF or c > 0x10FFFF:
+            return None
+        return chr(c)
+    return None
+
+
+def _differences_cmap(diffs: list) -> "_CMap | None":
+    """/Encoding /Differences array → 1-byte decoder: an integer sets
+    the next code, each following name assigns consecutive codes.
+    Unknown glyph names are left unmapped (they fall back to Latin-1
+    via _CMap.decode's chr())."""
+    mapping: dict[int, str] = {}
+    code = 0
+    for el in diffs:
+        if isinstance(el, (int, float)):
+            code = int(el)
+        elif isinstance(el, str):
+            u = _glyph_to_unicode(el)
+            if u is not None and 0 <= code <= 255:
+                mapping[code] = u
+            code += 1
+    return _CMap(1, mapping) if mapping else None
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,12 @@ Variants exercise distinct parser surfaces so one query covers them all:
   tree, pages, font) lives inside one Flate-compressed ``/Type /ObjStm``
   — the modern-writer layout where a top-level ``N G obj`` scan finds
   no document structure at all.
+* 7 — a simple font with an ``/Encoding /Differences`` array: every
+  show string is 1-byte codes mapped back through Adobe-Glyph-List
+  names (table names for ASCII/Latin, ``uniXXXX``/``uXXXXX`` for the
+  rest) — the subset-font path of real scanned/office PDFs. Falls back
+  to variant-0 literal strings when a document's charset exceeds the
+  224 assignable codes.
 
 Non-Latin-1 text is emitted as BOM-tagged UTF-16BE hex strings (the
 spec's text-string encoding), so any Unicode round-trips.
@@ -44,12 +50,56 @@ from __future__ import annotations
 
 import zlib
 
-from ..kernel.pdftext import SPACE_KERN  # noqa: F401  (doc cross-link)
+from ..kernel.pdftext import _AGL, SPACE_KERN  # noqa: F401  (doc cross-link)
+
+# unicode char -> canonical glyph name (first AGL entry wins)
+_AGL_REV: dict[str, str] = {}
+for _k, _v in _AGL.items():
+    if len(_v) == 1 and _v not in _AGL_REV:
+        _AGL_REV[_v] = _k
+del _k, _v
+
+
+def _glyph_name(ch: str) -> bytes | None:
+    name = _AGL_REV.get(ch)
+    if name is not None:
+        return b"/" + name.encode("ascii")
+    cp = ord(ch)
+    if 0xD800 <= cp <= 0xDFFF:
+        return None
+    if cp <= 0xFFFF:
+        return b"/uni%04X" % cp
+    return b"/u%05X" % cp
+
+
+def _diff_codes(text: str) -> dict[str, int] | None:
+    """char -> 1-byte code (32..255) for variant 7; None when the
+    charset does not fit (caller falls back to literal strings)."""
+    charset = sorted(set(text) - {"\n"})
+    if len(charset) > 224:
+        return None
+    if any(_glyph_name(c) is None for c in charset):
+        return None
+    return {c: 32 + i for i, c in enumerate(charset)}
+
+
+def _differences_array(codes: dict[str, int]) -> bytes:
+    """/Differences with a restart integer every 16 names (codes are
+    consecutive, so the restarts are redundant-but-legal — they exercise
+    the parser's code-reset handling)."""
+    items = sorted(codes.items(), key=lambda kv: kv[1])
+    parts: list[bytes] = []
+    for i, (ch, code) in enumerate(items):
+        if i % 16 == 0:
+            parts.append(b"%d" % code)
+        parts.append(_glyph_name(ch))
+    return b"[ " + b" ".join(parts) + b" ]"
+
 
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 7
+N_VARIANTS = 8
 
 
 def lzw_encode(data: bytes, early: int = 1) -> bytes:
@@ -201,8 +251,8 @@ def _tounicode_cmap(codes: dict[str, int]) -> bytes:
     return b"\n".join(out)
 
 
-def _cid_hex(line: str, codes: dict[str, int]) -> bytes:
-    raw = b"".join(codes[ch].to_bytes(2, "big") for ch in line)
+def _cid_hex(line: str, codes: dict[str, int], width: int = 2) -> bytes:
+    raw = b"".join(codes[ch].to_bytes(width, "big") for ch in line)
     return b"<" + raw.hex().upper().encode() + b">"
 
 
@@ -211,8 +261,12 @@ def _content_ops(
     variant: int,
     two_column: bool,
     codes: dict[str, int] | None = None,
+    code_width: int = 2,
 ) -> list[bytes]:
-    font = b"/F2 12 Tf" if codes is not None else b"/F1 12 Tf"
+    if codes is None:
+        font = b"/F1 12 Tf"
+    else:
+        font = b"/F3 12 Tf" if code_width == 1 else b"/F2 12 Tf"
     ops = [b"BT", font, b"%.1f TL" % _LEAD]
     order: list[tuple[int, float, str]] = []
     if two_column:
@@ -227,7 +281,7 @@ def _content_ops(
     for x, y, ln in order:
         ops.append(b"1 0 0 1 %d %.1f Tm" % (x, y))
         if codes is not None:
-            ops.append(_cid_hex(ln, codes) + b" Tj")
+            ops.append(_cid_hex(ln, codes, code_width) + b" Tj")
         elif variant == 2:
             ops.append(_tj_array(ln))
         else:
@@ -264,7 +318,21 @@ def build_pdf(
     streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, raw)
 
     codes: dict[str, int] | None = None
+    code_width = 2
     font_res = b"<< /F1 %d 0 R >>" % font_num
+    if variant == 7:
+        codes = _diff_codes("".join(lines))
+        if codes is not None:
+            code_width = 1
+            diff_font_num = next_num
+            next_num += 1
+            objs[diff_font_num] = (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding << /Type /Encoding /Differences "
+                + _differences_array(codes)
+                + b" >> >>"
+            )
+            font_res = b"<< /F1 %d 0 R /F3 %d 0 R >>" % (font_num, diff_font_num)
     if variant == 5:
         codes = _cid_codes("".join(lines))
         cmap_raw = zlib.compress(_tounicode_cmap(codes))
@@ -283,7 +351,7 @@ def build_pdf(
         font_res = b"<< /F1 %d 0 R /F2 %d 0 R >>" % (font_num, cid_font_num)
 
     for pi, plines in enumerate(page_lines):
-        ops = _content_ops(plines, variant, two_column, codes)
+        ops = _content_ops(plines, variant, two_column, codes, code_width)
         if variant == 3 and len(ops) > 4:
             split = len(ops) // 2
             chunks = [b"\n".join(ops[:split]), b"\n".join(ops[split:])]

@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4, 5, 6])
+@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4, 5, 6, 7])
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -192,7 +192,7 @@ _doc = st.lists(_line, min_size=1, max_size=8).map("\n".join)
 
 
 @settings(max_examples=150, deadline=None)
-@given(text=_doc, variant=st.integers(0, 6), two_col=st.booleans())
+@given(text=_doc, variant=st.integers(0, 7), two_col=st.booleans())
 def test_roundtrip_property(text, variant, two_col):
     pdf = build_pdf(text, variant=variant, two_column=two_col)
     assert extract_pdf_text(pdf) == text
@@ -209,7 +209,7 @@ def test_mutation_fuzz_never_raises(seed, n_mut):
     import random
 
     rng = random.Random(seed)
-    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 7))
+    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 8))
     for _ in range(n_mut):
         i = rng.randrange(len(base))
         base[i] = rng.randrange(256)
@@ -440,3 +440,73 @@ def test_malformed_objstm_is_skipped_not_fatal():
     bogus = b"9 0 obj << /Type /ObjStm /N 2 /First 8 /Length 5 >> stream\njunk!\nendstream endobj\n"
     doc = PdfDocument(pdf + bogus)
     assert extract_pdf_text(pdf + bogus) == "resilient"
+
+
+# ---------------------------------------------------------------------------
+# /Encoding /Differences simple fonts (round 4)
+
+
+def test_glyph_name_resolution():
+    from sax_wasm_spark.kernel.pdftext import _glyph_to_unicode
+
+    assert _glyph_to_unicode("/eacute") == "é"
+    assert _glyph_to_unicode("parenleft") == "("
+    assert _glyph_to_unicode("/uni4E2D") == "中"
+    assert _glyph_to_unicode("/uni00660069") == "fi"  # multi-group form
+    assert _glyph_to_unicode("/u1F600") == "\U0001f600"
+    assert _glyph_to_unicode("/uniD800") is None  # surrogate rejected
+    assert _glyph_to_unicode("/notaglyphname") is None
+
+
+def test_differences_font_via_minipdf():
+    """Hand-rolled font: codes 65/66 remapped to eacute/uni4E2D — the
+    bytes 'AB' must NOT come back as 'AB'."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F7 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length 44 >> stream\n"
+        b"BT /F7 12 Tf 1 0 0 1 72 720 Tm (ABC) Tj ET\n"
+        b"endstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /Encoding "
+        b"<< /Type /Encoding /Differences [ 65 /eacute /uni4E2D ] >> >> endobj\n"
+        b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    # code 67 ('C') is not in Differences -> Latin-1 fallback
+    assert extract_pdf_text(pdf) == "é中C"
+
+
+def test_tounicode_takes_precedence_over_differences():
+    """A font carrying BOTH must decode through /ToUnicode (§9.10.2)."""
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <005A>\nendbfchar\nendcmap"
+    )
+    content = b"BT /F9 12 Tf 1 0 0 1 72 720 Tm (A) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Encoding "
+        b"<< /Differences [ 65 /eacute ] >> /ToUnicode 6 0 R >> endobj\n"
+        + (b"6 0 obj << /Length %d >> stream\n" % len(cmap)) + cmap
+        + b"\nendstream endobj\n"
+        b"trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "Z"  # ToUnicode wins over Differences
+
+
+def test_variant7_emits_differences_and_falls_back_when_oversized():
+    pdf = build_pdf("accents é and 漢", variant=7)
+    assert b"/Differences" in pdf
+    assert extract_pdf_text(pdf) == "accents é and 漢"
+    big = "".join(chr(0x4E00 + i) for i in range(300))
+    pdf = build_pdf(big, variant=7)
+    assert b"/Differences" not in pdf  # fell back to literal strings
+    assert extract_pdf_text(pdf) == big
