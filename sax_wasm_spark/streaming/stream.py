@@ -14,6 +14,7 @@ state store is only used for the url dedup, bounded by the watermark
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.extract import extract_main_content
 from ..sources.pages import PAGES_SCHEMA
@@ -32,6 +33,27 @@ def dedup_latest_capture(pages: DataFrame, watermark: str = "1 hour") -> DataFra
     dropDuplicates keeps the first-seen row per key; late rows beyond
     the watermark are dropped."""
     return pages.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
+def read_warc_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    """Streaming crawl ingestion: WARC shard files landing in ``path``
+    become pages rows continuously. The ``binaryFile`` source streams
+    whole files (one row per shard — CC shards are single blobs);
+    record explosion happens inside the mapInArrow stage exactly as in
+    batch (operators/warc.py), so this is the batch operator lifted
+    unchanged. Error rows (status='error:*') flow to the sink rather
+    than failing the query — a truncated shard never wedges the stream."""
+    from ..operators.warc import warc_to_pages  # noqa: PLC0415
+
+    shards = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is fixed
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+        .select(F.col("path").alias("shard_path"), F.col("content").alias("warc"))
+    )
+    return warc_to_pages(shards, warc_col="warc", id_cols=("shard_path",))
 
 
 def extract_stream(

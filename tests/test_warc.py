@@ -103,3 +103,39 @@ def test_spark_operator_roundtrip_and_poison(spark):
     got = warc_to_pages(poison, id_cols=("shard_id",)).collect()
     assert len(got) == 2
     assert all(r.status.startswith("error:") and r.html is None for r in got)
+
+
+def test_streaming_warc_ingestion(spark, tmp_path):
+    """WARC shards landing in a directory stream into pages rows via
+    the binaryFile source + the batch operator lifted unchanged."""
+    from sax_wasm_spark.streaming.stream import read_warc_stream
+
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    for i in range(3):
+        blob = b"".join(
+            build_warc(f"https://s{i}.com/{j}", DATE, b"doc %d-%d" % (i, j), variant=j % 3)
+            for j in range(4)
+        )
+        (in_dir / f"shard-{i}.warc.gz").write_bytes(blob)
+    (in_dir / "poison.warc.gz").write_bytes(b"not a warc")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        read_warc_stream(spark, str(in_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    ok = got.where(got.status == "ok")
+    assert ok.count() == 12
+    bodies = {bytes(r.html) for r in ok.collect()}
+    assert b"doc 2-3" in bodies
+    err = got.where(got.status != "ok").collect()
+    assert len(err) == 1 and err[0].shard_path.endswith("poison.warc.gz")
