@@ -66,13 +66,16 @@ def _gunzip_members(data: bytes) -> bytes:
     out = bytearray()
     d = zlib.decompressobj(wbits=31)
     buf = data
-    while buf:
-        out += d.decompress(buf)
-        buf = d.unused_data
-        if not d.eof and not buf:
-            raise WarcError("truncated gzip stream")
-        if buf:
-            d = zlib.decompressobj(wbits=31)
+    try:
+        while buf:
+            out += d.decompress(buf)
+            buf = d.unused_data
+            if not d.eof and not buf:
+                raise WarcError("truncated gzip stream")
+            if buf:
+                d = zlib.decompressobj(wbits=31)
+    except zlib.error as exc:  # corrupt member / trailing garbage
+        raise WarcError(f"bad gzip member: {exc}") from exc
     return bytes(out)
 
 
