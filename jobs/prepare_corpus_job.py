@@ -130,7 +130,7 @@ def run_pipeline(
         # banner/nav lines the per-document DOM classifier cannot see)
         from sax_wasm_spark.operators.lines import remove_boilerplate_lines  # noqa: PLC0415
 
-        docs = (
+        cleaned = (
             remove_boilerplate_lines(
                 docs,
                 text_col="text",
@@ -142,11 +142,17 @@ def run_pipeline(
                 strategy="auto",
                 broadcast_limit=line_broadcast_limit,
             )
-            .drop("text")
+        )
+        docs = (
+            cleaned.drop("text")
             .withColumnRenamed("clean_text", "text")
             .where(F.length("text") > 0)
         )
     docs.write.mode("overwrite").parquet(f"{out_path}/filtered")
+    if line_min_df is not None:
+        cached = getattr(cleaned, "_sax_persisted", None)
+        if cached is not None:  # free the auto-strategy sizing cache
+            cached.unpersist()
     docs = spark.read.parquet(f"{out_path}/filtered")
     n_filtered = docs.count()
 
@@ -173,6 +179,9 @@ def run_pipeline(
             id_col="doc_id",
         )
         kept.write.mode("overwrite").parquet(f"{out_path}/decontaminated")
+        cached = getattr(kept, "_sax_persisted", None)
+        if cached is not None:  # free the auto-strategy sizing cache
+            cached.unpersist()
         kept = spark.read.parquet(f"{out_path}/decontaminated")
     if mix_weights:
         from sax_wasm_spark.functions.sampling import mix_corpus  # noqa: PLC0415

@@ -445,6 +445,7 @@ class PdfDocument:
         self._order: list[int] = []
         self._obj_pos: dict[int, list[int]] | None = None
         self._def_pos: dict[int, int] = {}
+        self._font_cmap_cache: dict[int, "_CMap | None"] = {}
         self._scan_objects()
         self._expand_object_streams()
         if not self.objects:
@@ -688,11 +689,17 @@ class PdfDocument:
             cmap = None
             tu = font.get("/ToUnicode")
             if isinstance(tu, Ref):
-                # /ToUnicode is authoritative for text extraction (§9.10.2)
-                try:
-                    cmap = _parse_tounicode(self.stream_bytes(tu))
-                except PdfError:
-                    cmap = None
+                # /ToUnicode is authoritative for text extraction (§9.10.2).
+                # Cache per object number: a 1000-page doc with one CID
+                # font must inflate+parse its CMap once, not per page.
+                if tu.num in self._font_cmap_cache:
+                    cmap = self._font_cmap_cache[tu.num]
+                else:
+                    try:
+                        cmap = _parse_tounicode(self.stream_bytes(tu))
+                    except PdfError:
+                        cmap = None
+                    self._font_cmap_cache[tu.num] = cmap
             if cmap is None:
                 enc = self.resolve(font.get("/Encoding"))
                 if isinstance(enc, dict):
@@ -924,7 +931,10 @@ def _parse_tounicode(data: bytes) -> _CMap | None:
                         elif isinstance(dst, bytes) and dst:
                             base = int.from_bytes(dst, "big")
                             n = len(dst)
+                            top = 1 << (8 * n)
                             for i in range(hi - lo + 1):
+                                if base + i >= top:
+                                    break  # dst width exhausted — stop, not crash
                                 mapping[lo + i] = _dst_str(
                                     (base + i).to_bytes(n, "big")
                                 )

@@ -73,8 +73,11 @@ def decontaminate(
         F.explode(ngrams(eval_text_col, n)).alias("_g")
     ).distinct()
 
+    persisted = None
     if strategy == "auto":
-        eval_gram_df = eval_gram_df.persist()
+        # cache survives until the returned frame executes; exposed as
+        # ``_sax_persisted`` for callers to unpersist after materializing
+        eval_gram_df = persisted = eval_gram_df.persist()
         strategy = (
             "broadcast" if eval_gram_df.count() <= broadcast_limit else "anti_join"
         )
@@ -83,7 +86,7 @@ def decontaminate(
         eval_grams = eval_gram_df.agg(
             F.collect_set("_g").alias("_eval_grams")
         ).withColumn("_k", F.lit(1))
-        return (
+        out = (
             corpus.withColumn("_k", F.lit(1))
             .join(F.broadcast(eval_grams), "_k")
             .where(
@@ -94,6 +97,8 @@ def decontaminate(
             )
             .drop("_k", "_eval_grams")
         )
+        out._sax_persisted = persisted
+        return out
 
     if id_col is None:
         raise ValueError("strategy='anti_join' requires id_col")
@@ -106,4 +111,6 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
-    return corpus.join(contaminated, id_col, "left_anti")
+    out = corpus.join(contaminated, id_col, "left_anti")
+    out._sax_persisted = persisted
+    return out

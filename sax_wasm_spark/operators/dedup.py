@@ -77,9 +77,15 @@ def _guard_hot_buckets(
             hot_stats.rows,
             max_bucket,
         )
-        return buckets.join(
-            F.broadcast(hot.select(*keys)), list(keys), "left_anti"
-        )
+        # broadcast only when the hot frame is provably small — its size
+        # is bounded by n_bands*n/max_bucket, which an adversarial corpus
+        # can push to millions of rows; past the threshold let Spark pick
+        # a shuffled anti-join (the count is already in hand, so the
+        # decision is free)
+        hot_keys = hot.select(*keys)
+        if hot_stats.buckets <= 1_000_000:
+            hot_keys = F.broadcast(hot_keys)
+        return buckets.join(hot_keys, list(keys), "left_anti")
     # nothing hot: skip the anti-join entirely — the common case costs
     # one aggregation job and zero extra plan nodes
     hot.unpersist()

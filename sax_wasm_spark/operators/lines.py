@@ -67,6 +67,7 @@ def remove_boilerplate_lines(
     """
     if strategy not in ("broadcast", "anti_join", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    persisted = None
     lines = F.split(F.col(text_col), "\n")
     line_df = (
         df.select(F.col(id_col), F.explode(F.array_distinct(lines)).alias("line"))
@@ -77,15 +78,20 @@ def remove_boilerplate_lines(
 
     if strategy == "auto":
         # persist the reduced hot frame so the sizing count and the
-        # chosen path share one aggregation of the corpus
-        hot_lines = hot_lines.persist()
+        # chosen path share one aggregation of the corpus. The cache is
+        # still needed when the returned (lazy) frame executes, so it
+        # cannot be unpersisted here — it is exposed on the result as
+        # ``_sax_persisted`` and callers that materialize the output
+        # (e.g. prepare_corpus_job, which writes it to parquet
+        # immediately) unpersist it afterwards.
+        hot_lines = persisted = hot_lines.persist()
         strategy = "broadcast" if hot_lines.count() <= broadcast_limit else "anti_join"
 
     if strategy == "broadcast":
         hot = hot_lines.agg(F.collect_set("line").alias("_hot")).withColumn(
             "_k", F.lit(1)
         )
-        return (
+        out = (
             df.withColumn("_k", F.lit(1))
             .join(F.broadcast(hot), "_k")
             .withColumn(
@@ -96,6 +102,8 @@ def remove_boilerplate_lines(
             )
             .drop("_k", "_hot")
         )
+        out._sax_persisted = persisted
+        return out
 
     # anti_join path: (id, pos, line) rows survive the anti join, then are
     # reassembled in original order; docs whose every line was hot come
@@ -116,9 +124,20 @@ def remove_boilerplate_lines(
             ).alias(out_col)
         )
     )
-    return (
+    out = (
         df.join(survivors, id_col, "left")
-        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        # NULL-text rows produce no exploded lines, so they miss the
+        # survivors frame; the broadcast path yields NULL for them
+        # (filter/array_join of NULL), so keep NULL here too — both
+        # strategies must stay byte-identical (differential tests)
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col(out_col), F.lit(""))
+            ),
+        )
         # restore the broadcast path's column order (join moves the key first)
         .select(*df.columns, out_col)
     )
+    out._sax_persisted = persisted
+    return out

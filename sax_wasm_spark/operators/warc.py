@@ -39,6 +39,9 @@ WARC_PAGE_FIELDS = [
     StructField("content_type", StringType(), True),
     StructField("html", BinaryType(), True),
     StructField("status", StringType(), False),
+    # malformed records skipped while parsing this row's shard (lenient
+    # mode: one junk record must not discard a ~1 GB shard's good pages)
+    StructField("n_bad_records", IntegerType(), False),
 ]
 
 
@@ -52,7 +55,7 @@ def warc_to_pages(
 
     from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
 
-    from ..sources.warc import parse_warc  # noqa: PLC0415
+    from ..sources.warc import parse_warc_lenient  # noqa: PLC0415
 
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = StructType(list(id_fields) + WARC_PAGE_FIELDS)
@@ -68,11 +71,15 @@ def warc_to_pages(
             ids = [rb.column(j).to_pylist() for j in range(n_id)]
             blobs = rb.column(n_id).to_pylist()
             out_ids: list[list] = [[] for _ in range(n_id)]
-            urls, dates, statuses, ctypes, htmls, row_status = [], [], [], [], [], []
+            urls, dates, statuses, ctypes, htmls, row_status, bad = (
+                [], [], [], [], [], [], [],
+            )
             for r, blob in enumerate(blobs):
                 try:
-                    pages = parse_warc(blob if blob is not None else b"")
-                except Exception as e:  # poison shard → one error row
+                    pages, n_skipped = parse_warc_lenient(
+                        blob if blob is not None else b""
+                    )
+                except Exception as e:  # wholly unreadable shard → one error row
                     for j in range(n_id):
                         out_ids[j].append(ids[j][r])
                     urls.append(None)
@@ -81,6 +88,7 @@ def warc_to_pages(
                     ctypes.append(None)
                     htmls.append(None)
                     row_status.append(f"error:{type(e).__name__}")
+                    bad.append(1)
                     continue
                 for p in pages:
                     for j in range(n_id):
@@ -91,6 +99,7 @@ def warc_to_pages(
                     ctypes.append(p.content_type)
                     htmls.append(p.body)
                     row_status.append("ok")
+                    bad.append(n_skipped)
             arrays = [
                 pa.array(out_ids[j], type=arrow_fields[j].type) for j in range(n_id)
             ] + [
@@ -100,6 +109,7 @@ def warc_to_pages(
                 pa.array(ctypes, pa.string()),
                 pa.array(htmls, pa.binary()),
                 pa.array(row_status, pa.string()),
+                pa.array(bad, pa.int32()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 

@@ -1932,7 +1932,7 @@ def q45_sql():
     return """
     WITH d AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             len(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+             len(string_split(text, ' ')) AS tok
       FROM documents
     ), packed AS (
       SELECT shard, doc_id, tok,

@@ -40,7 +40,7 @@ import io
 import zlib
 from typing import NamedTuple
 
-__all__ = ["WarcError", "WarcPage", "build_warc", "parse_warc"]
+__all__ = ["WarcError", "WarcPage", "build_warc", "parse_warc", "parse_warc_lenient"]
 
 _CRLF = b"\r\n"
 
@@ -155,40 +155,61 @@ def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     return status, headers.get("content-type", ""), body
 
 
-def parse_warc(data: bytes) -> list[WarcPage]:
-    """Every ``WARC-Type: response`` record of a WARC file as a
-    :class:`WarcPage`; other record types are parsed and skipped."""
+def _parse_records(data: bytes, strict: bool) -> tuple[list[WarcPage], int]:
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     if not data.startswith(b"WARC/"):
         raise WarcError("missing WARC/ version line")
     pages: list[WarcPage] = []
+    skipped = 0
     pos = 0
     n = len(data)
     while pos < n:
-        if data[pos : pos + 5] != b"WARC/":
-            raise WarcError(f"expected record at byte {pos}")
-        head_end = data.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            raise WarcError("truncated record header")
-        version_line, _, header_block = data[pos:head_end].partition(b"\r\n")
-        if not version_line.startswith(b"WARC/1."):
-            raise WarcError(f"unsupported version {version_line[:20]!r}")
-        headers = _parse_headers(header_block)
+        rec_start = pos
         try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError) as exc:
-            raise WarcError("record missing Content-Length") from exc
-        body_start = head_end + 4
-        if body_start + length > n:
-            raise WarcError("record body exceeds file")
-        body = data[body_start : body_start + length]
-        pos = body_start + length
-        if data[pos : pos + 4] != b"\r\n\r\n":
-            raise WarcError("record missing CRLFCRLF separator")
-        pos += 4
+            if data[pos : pos + 5] != b"WARC/":
+                raise WarcError(f"expected record at byte {pos}")
+            head_end = data.find(b"\r\n\r\n", pos)
+            if head_end < 0:
+                raise WarcError("truncated record header")
+            version_line, _, header_block = data[pos:head_end].partition(b"\r\n")
+            if not version_line.startswith(b"WARC/1."):
+                raise WarcError(f"unsupported version {version_line[:20]!r}")
+            headers = _parse_headers(header_block)
+            try:
+                length = int(headers["content-length"])
+            except (KeyError, ValueError) as exc:
+                raise WarcError("record missing Content-Length") from exc
+            body_start = head_end + 4
+            if body_start + length > n:
+                raise WarcError("record body exceeds file")
+            body = data[body_start : body_start + length]
+            pos = body_start + length
+            if data[pos : pos + 4] != b"\r\n\r\n":
+                raise WarcError("record missing CRLFCRLF separator")
+            pos += 4
+        except WarcError:
+            # framing broken: in lenient mode resync to the next record
+            # marker so one junk/truncated record costs one record, not
+            # the whole ~1 GB shard (crawl shards contain bad records
+            # routinely)
+            if strict:
+                raise
+            skipped += 1
+            nxt = data.find(b"WARC/1.", rec_start + 5)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         if headers.get("warc-type", "").lower() == "response":
-            status, ctype, decoded = _parse_http_response(body)
+            try:
+                status, ctype, decoded = _parse_http_response(body)
+            except WarcError:
+                # framing was fine — skip just this record's payload
+                if strict:
+                    raise
+                skipped += 1
+                continue
             pages.append(
                 WarcPage(
                     url=headers.get("warc-target-uri", ""),
@@ -198,7 +219,22 @@ def parse_warc(data: bytes) -> list[WarcPage]:
                     body=decoded,
                 )
             )
-    return pages
+    return pages, skipped
+
+
+def parse_warc(data: bytes) -> list[WarcPage]:
+    """Every ``WARC-Type: response`` record of a WARC file as a
+    :class:`WarcPage`; other record types are parsed and skipped.
+    Strict: the first malformed record raises (test/oracle mode)."""
+    return _parse_records(data, strict=True)[0]
+
+
+def parse_warc_lenient(data: bytes) -> tuple[list[WarcPage], int]:
+    """(pages, n_skipped): malformed records are skipped with a resync
+    to the next ``WARC/1.`` marker instead of aborting the shard — the
+    production ingestion mode (operators/warc.py). A wholly unreadable
+    input (bad gzip, no WARC header) still raises."""
+    return _parse_records(data, strict=False)
 
 
 # ---------------------------------------------------------------------------

@@ -144,3 +144,18 @@ def test_decontaminate_auto_switches(spark):
     hi = decontaminate(corpus, ev, n=5, strategy="auto", broadcast_limit=10**9)
     key = lambda df: {r.doc_id for r in df.collect()}
     assert key(lo) == key(hi) == {1, 2}
+
+
+def test_lines_paths_agree_on_null_text(spark):
+    """NULL text must yield NULL clean_text on BOTH strategies (round-4
+    self-review: the anti-join path used to coalesce NULL-text docs to
+    '' while the broadcast path kept NULL)."""
+    d = spark.createDataFrame(
+        [(0, "hot\nkeep", "x"), (1, None, "y"), (2, "hot\nother", "z")],
+        "doc_id int, text string, extra string",
+    )
+    a = remove_boilerplate_lines(d, id_col="doc_id", min_df=2, strategy="broadcast")
+    b = remove_boilerplate_lines(d, id_col="doc_id", min_df=2, strategy="anti_join")
+    ca, cb = _collect_clean(a), _collect_clean(b)
+    assert ca == cb
+    assert ca[(1, "y")] is None

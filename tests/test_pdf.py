@@ -510,3 +510,17 @@ def test_variant7_emits_differences_and_falls_back_when_oversized():
     pdf = build_pdf(big, variant=7)
     assert b"/Differences" not in pdf  # fell back to literal strings
     assert extract_pdf_text(pdf) == big
+
+
+def test_tounicode_bfrange_dst_overflow_is_clamped():
+    """A bfrange whose incrementing destination overflows its byte
+    width (base near 0xFFFF) must clamp, not raise OverflowError
+    (found by round-4 self-review; previously escaped the PdfError
+    poison guards and crashed extract_pdf_text)."""
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0001> <0003> <FFFF>\nendbfrange\nendcmap"
+    )
+    # code 1 -> U+FFFF; codes 2,3 would overflow -> unmapped chr fallback
+    got = extract_pdf_text(_cmap_pdf(cmap, b"000100020003"))
+    assert got == "￿\x02\x03"

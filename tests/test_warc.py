@@ -139,3 +139,52 @@ def test_streaming_warc_ingestion(spark, tmp_path):
     assert b"doc 2-3" in bodies
     err = got.where(got.status != "ok").collect()
     assert len(err) == 1 and err[0].shard_path.endswith("poison.warc.gz")
+
+
+def test_lenient_parse_skips_bad_records_keeps_good():
+    """One corrupted record mid-shard must cost one record, not the
+    shard (round-4 self-review): strict raises, lenient salvages."""
+    from sax_wasm_spark.sources.warc import parse_warc_lenient
+
+    recs = [
+        build_warc(f"https://ex.com/{i}", DATE, b"doc%d" % i, gzipped=False)
+        for i in range(5)
+    ]
+    # corrupt doc 2's records: mangle Content-Length so framing breaks
+    recs[2] = recs[2].replace(b"Content-Length", b"Content-Lxngth")
+    blob = b"".join(recs)
+    with pytest.raises(WarcError):
+        parse_warc(blob)  # strict mode still raises
+    pages, skipped = parse_warc_lenient(blob)
+    assert [p.body for p in pages] == [b"doc0", b"doc1", b"doc3", b"doc4"]
+    assert skipped >= 1  # doc2's three broken records
+    # payload-level corruption: bad chunked framing skips just that record
+    recs2 = [
+        build_warc(f"https://ex.com/{i}", DATE, b"chunked doc %d" % i, variant=1, gzipped=False)
+        for i in range(3)
+    ]
+    recs2[1] = recs2[1].replace(b"Transfer-Encoding: chunked", b"Transfer-Encoding: chunkex")
+    pages, skipped = parse_warc_lenient(b"".join(recs2))
+    # record 1 now parses as identity encoding with chunk framing bytes
+    # left in the body OR fails — either way records 0 and 2 survive
+    bodies = [p.body for p in pages]
+    assert b"chunked doc 0" in bodies[0] and any(b"chunked doc 2" in b for b in bodies)
+
+
+def test_operator_reports_n_bad_records(spark):
+    from sax_wasm_spark.operators.warc import warc_to_pages
+
+    good = b"".join(
+        build_warc(f"https://ex.com/{i}", DATE, b"ok%d" % i, gzipped=False)
+        for i in range(3)
+    )
+    i1 = good.find(b"ok1")  # corrupt only doc 1's region
+    bad_mid = good[:i1] + good[i1:].replace(b"ok1", b"o", 1)  # shrink body vs Content-Length
+    df = spark.createDataFrame([(0, good), (1, bad_mid)], "shard_id long, warc binary")
+    rows = warc_to_pages(df, id_cols=("shard_id",)).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert len(by_shard[0]) == 3 and all(r.n_bad_records == 0 for r in by_shard[0])
+    assert len(by_shard[1]) == 2 and all(r.n_bad_records == 1 for r in by_shard[1])
+    assert all(r.status == "ok" for r in by_shard[1])
