@@ -1950,6 +1950,67 @@ def q45_sql():
     """
 
 
+def q46_robots_gate(spark, sf_dir):
+    """robots.txt fetch gating (functions/robots.py — RFC 9309 parser,
+    wildcards + $ anchors + longest-match/Allow-ties): urls are
+    CONSTRUCTED deterministically across five hosts with three robots
+    policies (a path/extension policy, a deny-all host, and a missing
+    robots → allow-all), and the oracle states the expected verdicts in
+    closed form — so the evaluator is checked against ground truth, not
+    a SQL reimplementation of itself. Scale shape: per-host robots dim
+    broadcast onto the url corpus + one vectorized pandas UDF."""
+    from ..functions.robots import with_robots_allowed  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 5).cast("string"), F.lit(".example.com"))
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/private/p"), did.cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("/cgi/c"), did.cast("string"), F.lit(".php")))
+        .when(did % 4 == 2, F.concat(F.lit("/files/f"), did.cast("string"), F.lit(".html")))
+        .otherwise(F.concat(F.lit("/open/o"), did.cast("string")))
+    )
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    policy = "User-agent: GoodBot\nDisallow: /private/\nDisallow: /*.php$\nAllow: /files/\n"
+    robots = spark.createDataFrame(
+        [
+            ("h0.example.com", policy),
+            ("h2.example.com", policy),
+            ("h4.example.com", policy),
+            ("h1.example.com", "User-agent: *\nDisallow: /\n"),
+            # h3: no robots.txt row → allow-all via the left join
+        ],
+        "host string, robots_txt string",
+    )
+    return (
+        with_robots_allowed(urls, robots, user_agent="GoodBot/1.0")
+        .select("doc_id", "url", "robots_allowed")
+        .orderBy("doc_id")
+    )
+
+
+def q46_sql():
+    return """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ||
+           (CASE doc_id % 4
+              WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/cgi/c' || CAST(doc_id AS VARCHAR) || '.php'
+              WHEN 2 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.html'
+              ELSE '/open/o' || CAST(doc_id AS VARCHAR) END) AS url,
+           (CASE
+              WHEN doc_id % 5 = 1 THEN FALSE                -- deny-all host
+              WHEN doc_id % 5 = 3 THEN TRUE                 -- no robots.txt
+              WHEN doc_id % 4 = 0 THEN FALSE                -- /private/ prefix rule
+              WHEN doc_id % 4 = 1 THEN FALSE                -- /*.php$ wildcard rule
+              ELSE TRUE
+            END) AS robots_allowed
+    FROM documents ORDER BY doc_id
+    """
+
+
 def q44_sql():
     return """
     WITH d AS (
@@ -2024,6 +2085,7 @@ QUERIES = {
     "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
     "q44_host_politeness": q44_host_politeness,
     "q45_sequence_pack": q45_sequence_pack,
+    "q46_robots_gate": q46_robots_gate,
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
     "sax_text_events": sax_text_events,
@@ -2080,6 +2142,7 @@ ORACLES = {
     "q43_ann_int_lsh_tuned": q43_sql(),
     "q44_host_politeness": q44_sql(),
     "q45_sequence_pack": q45_sql(),
+    "q46_robots_gate": q46_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

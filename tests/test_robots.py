@@ -1,0 +1,114 @@
+"""RFC 9309 robots.txt evaluator (functions/robots.py): match semantics,
+group selection, precedence — pinned against the RFC's own §2.2.2/§5
+style examples. The Spark integration is oracle-checked by q46."""
+
+from __future__ import annotations
+
+from sax_wasm_spark.functions.robots import _match, compile_robots, robots_allowed
+
+BODY = """
+# example file
+User-agent: GoodBot
+Disallow: /private/
+Allow: /private/open*
+
+User-agent: *
+Disallow: /secret/
+Crawl-delay: 3
+
+User-agent: OtherBot
+Disallow: /
+"""
+
+
+def test_match_wildcards_and_anchors():
+    cases = {
+        ("/", "/anything"): 1,
+        ("/fish", "/fishheads"): 5,
+        ("/fish*", "/fish/salmon.html"): 6,
+        ("/fish*.php", "/fishheads/catfish.php?x"): 10,
+        ("/*.php$", "/filename.php"): 7,
+        ("/*.php$", "/filename.php?x"): -1,
+        ("/*.php$", "/filename.phpX"): -1,
+        ("/fish$", "/fish"): 6,
+        ("/fish$", "/fishy"): -1,
+        ("/p*q*r", "/pXXqYYr-more"): 6,
+        ("/a*b$", "/aXXXb"): 5,
+        ("/a*b$", "/aXXXbc"): -1,
+        ("/x", "/y"): -1,
+    }
+    for (pat, path), want in cases.items():
+        assert _match(pat, path) == want, (pat, path)
+
+
+def test_group_selection_most_specific_wins():
+    r = compile_robots(BODY, "GoodBot/2.1")
+    assert robots_allowed(r, "/private/x") is False
+    assert robots_allowed(r, "/private/open-page") is True  # longer Allow
+    # a crawler obeys ONLY its most specific group: GoodBot ignores the
+    # '*' group's /secret/ rule
+    assert robots_allowed(r, "/secret/x") is True
+
+
+def test_star_group_applies_to_unknown_agents():
+    r = compile_robots(BODY, "RandomCrawler")
+    assert robots_allowed(r, "/secret/x") is False
+    assert robots_allowed(r, "/public") is True
+
+
+def test_agent_match_is_case_insensitive_substring():
+    r = compile_robots(BODY, "Mozilla-compatible otherbot v9")
+    assert robots_allowed(r, "/anything") is False
+
+
+def test_allow_wins_length_ties():
+    r = compile_robots("User-agent: *\nDisallow: /page\nAllow: /page", "b")
+    assert robots_allowed(r, "/page1") is True
+
+
+def test_missing_or_empty_robots_allows_all():
+    assert compile_robots(None, "x") == ()
+    assert compile_robots("", "x") == ()
+    assert robots_allowed((), "/x") is True
+    # empty Disallow value = allow-all, not deny-all
+    r = compile_robots("User-agent: *\nDisallow:", "x")
+    assert robots_allowed(r, "/anything") is True
+
+
+def test_consecutive_user_agent_lines_share_rules():
+    body = "User-agent: A\nUser-agent: B\nDisallow: /x\n"
+    assert robots_allowed(compile_robots(body, "A"), "/x/1") is False
+    assert robots_allowed(compile_robots(body, "B"), "/x/1") is False
+    assert robots_allowed(compile_robots(body, "C"), "/x/1") is True
+
+
+def test_spark_operator_and_missing_host(spark):
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.functions.robots import with_robots_allowed
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://a.com/private/x"),
+            (1, "https://a.com/ok"),
+            (2, "https://norobots.com/anything"),
+        ],
+        "id int, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    got = {
+        r.id: r.robots_allowed
+        for r in with_robots_allowed(urls, robots).collect()
+    }
+    assert got == {0: False, 1: True, 2: True}
+    # the robots dim must be broadcast in the plan
+    plan = (
+        with_robots_allowed(urls, robots)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
