@@ -137,6 +137,60 @@ def robots_allowed(rules: tuple, path: str) -> bool:
     return best_allow if best_len >= 0 else True
 
 
+@lru_cache(maxsize=4096)
+def crawl_delay(body: str | None, user_agent: str = "*") -> float | None:
+    """``Crawl-delay`` seconds declared for the most specific group
+    matching ``user_agent`` (a de-facto extension most crawlers honor;
+    not part of RFC 9309's normative rules). None when absent/invalid —
+    callers fall back to their politeness default. Pairs with q44's
+    fetch-gap audit: the audit measures actual gaps, this supplies each
+    host's declared minimum."""
+    if not body:
+        return None
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_delay: float | None = None
+    agents_open = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not agents_open:
+                if cur_agents:
+                    groups.append((cur_agents, cur_delay))
+                cur_agents = []
+                cur_delay = None
+                agents_open = True
+            cur_agents.append(val.lower())
+        else:
+            agents_open = False
+            if key == "crawl-delay" and cur_agents:
+                try:
+                    cur_delay = float(val)
+                except ValueError:
+                    pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delay))
+
+    star: float | None = None
+    best: float | None = None
+    best_len = -1
+    for agents, delay in groups:
+        for a in agents:
+            if a == "*":
+                if star is None:
+                    star = delay
+            elif a and a in ua and len(a) > best_len:
+                best = delay
+                best_len = len(a)
+    return best if best_len >= 0 else star
+
+
 def url_path(col: str | Column) -> Column:
     """Path+query of a url (the robots match target): everything from
     the first '/' after the authority; '/' when absent."""

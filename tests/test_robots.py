@@ -112,3 +112,19 @@ def test_spark_operator_and_missing_host(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_crawl_delay_per_group():
+    from sax_wasm_spark.functions.robots import crawl_delay
+
+    body = (
+        "User-agent: GoodBot\nCrawl-delay: 1.5\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 10\n\n"
+        "User-agent: NoDelayBot\nDisallow: /y\n"
+    )
+    assert crawl_delay(body, "GoodBot/1.0") == 1.5
+    assert crawl_delay(body, "SomeoneElse") == 10.0
+    # a bot with its own group but no delay does NOT inherit '*'
+    assert crawl_delay(body, "NoDelayBot") is None
+    assert crawl_delay(None, "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon\n", "x") is None
