@@ -5,34 +5,126 @@ be fetched at all).
 Parser/evaluator scope, per the RFC:
 
 * groups: consecutive ``User-agent`` lines share the following rules;
-  matching is case-insensitive substring-free product-token match with
-  ``*`` as the catch-all group; a crawler obeys the MOST SPECIFIC
-  matching group only (its own token if present, else ``*``);
-* rules: ``Allow`` / ``Disallow`` with percent-decoding left to the
-  caller, ``*`` wildcards and ``$`` end-anchor inside paths;
+  the crawler's PRODUCT TOKEN (the leading ``[A-Za-z_-]`` run of its
+  user-agent string) is matched case-insensitively and EXACTLY against
+  group tokens (§2.2.1 — a one-letter group ``o`` must not hijack
+  ``GoodBot``); ALL groups matching the token are COMBINED into one
+  rule set (§2.2.1 MUST); if none match, all ``*`` groups combine;
+* rules: ``Allow`` / ``Disallow`` with ``*`` wildcards and ``$``
+  end-anchors; percent-encoded octets are normalized on BOTH sides
+  before comparison (``%2F`` is kept encoded per the RFC's special
+  case, and ``%2A``/``%24`` are kept encoded inside rules so encoded
+  literals are not misread as metacharacters);
 * precedence: the longest-match rule wins; on a length tie Allow wins
-  (RFC 9309 §2.2.2); empty ``Disallow:`` means allow-all; no matching
-  rule means allowed;
+  (§2.2.2); empty ``Disallow:`` means allow-all; no matching rule
+  means allowed;
 * unknown directives and comments (``#``) are ignored; a missing or
   unparseable robots.txt means allow-all (the RFC's unavailable rule
-  for 4xx).
+  for 4xx); ``Crawl-delay`` (a de-facto extension, not RFC-normative)
+  is surfaced per group via :func:`crawl_delay`.
 
 Scale shape: robots bodies are a PER-HOST dim table (tiny next to the
 url corpus). ``with_robots_allowed`` joins urls to their host's robots
 text (broadcast — millions of hosts ≈ a few GB at most, and the join
 key is the url_host salting key the pipeline already uses), then a
-vectorized pandas UDF COMPILES each distinct robots body once per
-Arrow batch (memoized) and evaluates paths against the compiled rule
-list — regex-free matching, no per-row Python reparse.
+vectorized pandas UDF COMPILES each distinct robots body once
+(memoized) and evaluates paths against the compiled rule list —
+regex-free matching, no per-row Python reparse.
 """
 
 from __future__ import annotations
 
+import re as _re
 from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_RE_PCT = _re.compile("%([0-9A-Fa-f]{2})")
+_RE_TOKEN = _re.compile(r"[A-Za-z_-]+")
+
+
+def _pct_norm(s: str, keep: frozenset = frozenset({0x2F})) -> str:
+    """Decode %XX octets for octet comparison (§2.2.2), keeping the
+    octets in ``keep`` encoded (uppercased): %2F always (an encoded
+    slash is not a path separator), plus %2A/%24 inside RULES so an
+    encoded literal ``*``/``$`` is not misread as a metacharacter."""
+
+    def sub(m):
+        v = int(m.group(1), 16)
+        if v in keep:
+            return "%" + m.group(1).upper()
+        return chr(v)
+
+    return _RE_PCT.sub(sub, s)
+
+
+_RULE_KEEP = frozenset({0x2F, 0x2A, 0x24})
+
+
+def _product_token(user_agent: str) -> str:
+    """Leading product token of a crawler user-agent string, lowercased
+    ('GoodBot/1.0 (+http://…)' → 'goodbot')."""
+    m = _RE_TOKEN.match(user_agent.strip())
+    return m.group(0).lower() if m else ""
+
+
+def _parse_groups(body: str) -> list[tuple[list[str], list[tuple[bool, str]], float | None]]:
+    """body → [(agent_tokens, [(is_allow, pattern)], crawl_delay)] —
+    the ONE parser shared by rule evaluation and crawl-delay lookup."""
+    groups: list[tuple[list[str], list[tuple[bool, str]], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    cur_delay: float | None = None
+    agents_open = False  # consecutive UA lines accumulate into one group
+
+    def close():
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents = []
+        cur_rules = []
+        cur_delay = None
+
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not agents_open:
+                close()
+                agents_open = True
+            # group tokens are product tokens too — normalize the same way
+            cur_agents.append("*" if val == "*" else _product_token(val))
+        elif key in ("allow", "disallow"):
+            agents_open = False
+            if cur_agents:
+                cur_rules.append((key == "allow", _pct_norm(val, _RULE_KEEP)))
+        elif key == "crawl-delay":
+            agents_open = False
+            if cur_agents:
+                try:
+                    cur_delay = float(val)
+                except ValueError:
+                    pass
+        else:
+            agents_open = False  # sitemap/etc close the UA run
+    close()
+    return groups
+
+
+def _select_groups(groups, user_agent: str):
+    """ALL groups matching the crawler's product token exactly (§2.2.1
+    MUST combine them); else all ``*`` groups."""
+    token = _product_token(user_agent)
+    exact = [g for g in groups if token and token in g[0]]
+    if exact:
+        return exact
+    return [g for g in groups if "*" in g[0]]
 
 
 def _match(pattern: str, path: str) -> int:
@@ -72,57 +164,39 @@ def _match(pattern: str, path: str) -> int:
 
 @lru_cache(maxsize=4096)
 def compile_robots(body: str | None, user_agent: str = "*") -> tuple:
-    """robots.txt body → tuple of (is_allow, pattern) rules for the most
-    specific group matching ``user_agent``. Memoized: a crawl evaluates
-    millions of urls against thousands of distinct robots bodies."""
+    """robots.txt body → tuple of (is_allow, pattern) rules: the
+    COMBINED rules of every group governing ``user_agent``. Memoized: a
+    crawl evaluates millions of urls against thousands of distinct
+    robots bodies."""
     if not body:
         return ()
-    ua = user_agent.lower()
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
-    cur_agents: list[str] = []
-    cur_rules: list[tuple[bool, str]] = []
-    agents_open = False  # consecutive UA lines accumulate into one group
-    for raw in body.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        key, _, val = line.partition(":")
-        key = key.strip().lower()
-        val = val.strip()
-        if key == "user-agent":
-            if not agents_open:
-                if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents = []
-                cur_rules = []
-                agents_open = True
-            cur_agents.append(val.lower())
-        elif key in ("allow", "disallow"):
-            agents_open = False
-            if cur_agents:
-                cur_rules.append((key == "allow", val))
-        else:
-            agents_open = False  # crawl-delay/sitemap/etc close the UA run
-    if cur_agents:
-        groups.append((cur_agents, cur_rules))
+    out: list[tuple[bool, str]] = []
+    for _, rules, _ in _select_groups(_parse_groups(body), user_agent):
+        out.extend(rules)
+    return tuple(out)
 
-    star_rules: list[tuple[bool, str]] | None = None
-    best: list[tuple[bool, str]] | None = None
-    best_len = -1
-    for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                if star_rules is None:
-                    star_rules = rules
-            elif a and a in ua and len(a) > best_len:
-                best = rules
-                best_len = len(a)
-    chosen = best if best is not None else star_rules
-    return tuple(chosen) if chosen else ()
+
+@lru_cache(maxsize=4096)
+def crawl_delay(body: str | None, user_agent: str = "*") -> float | None:
+    """``Crawl-delay`` seconds for the groups governing ``user_agent``
+    (most conservative — the MAX — when combined groups disagree);
+    None when absent/invalid — callers fall back to their politeness
+    default. Pairs with q44's fetch-gap audit: the audit measures
+    actual gaps, this supplies each host's declared minimum. A bot
+    with its own group does NOT inherit the ``*`` group's delay."""
+    if not body:
+        return None
+    delays = [
+        d for _, _, d in _select_groups(_parse_groups(body), user_agent)
+        if d is not None
+    ]
+    return max(delays) if delays else None
 
 
 def robots_allowed(rules: tuple, path: str) -> bool:
-    """Longest-match evaluation; Allow wins ties; no match → allowed."""
+    """Longest-match evaluation; Allow wins ties; no match → allowed.
+    ``path`` is percent-normalized before comparison (%2F kept)."""
+    path = _pct_norm(path)
     best_len = -1
     best_allow = True
     for is_allow, pattern in rules:
@@ -137,65 +211,16 @@ def robots_allowed(rules: tuple, path: str) -> bool:
     return best_allow if best_len >= 0 else True
 
 
-@lru_cache(maxsize=4096)
-def crawl_delay(body: str | None, user_agent: str = "*") -> float | None:
-    """``Crawl-delay`` seconds declared for the most specific group
-    matching ``user_agent`` (a de-facto extension most crawlers honor;
-    not part of RFC 9309's normative rules). None when absent/invalid —
-    callers fall back to their politeness default. Pairs with q44's
-    fetch-gap audit: the audit measures actual gaps, this supplies each
-    host's declared minimum."""
-    if not body:
-        return None
-    ua = user_agent.lower()
-    groups: list[tuple[list[str], float | None]] = []
-    cur_agents: list[str] = []
-    cur_delay: float | None = None
-    agents_open = False
-    for raw in body.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        key, _, val = line.partition(":")
-        key = key.strip().lower()
-        val = val.strip()
-        if key == "user-agent":
-            if not agents_open:
-                if cur_agents:
-                    groups.append((cur_agents, cur_delay))
-                cur_agents = []
-                cur_delay = None
-                agents_open = True
-            cur_agents.append(val.lower())
-        else:
-            agents_open = False
-            if key == "crawl-delay" and cur_agents:
-                try:
-                    cur_delay = float(val)
-                except ValueError:
-                    pass
-    if cur_agents:
-        groups.append((cur_agents, cur_delay))
-
-    star: float | None = None
-    best: float | None = None
-    best_len = -1
-    for agents, delay in groups:
-        for a in agents:
-            if a == "*":
-                if star is None:
-                    star = delay
-            elif a and a in ua and len(a) > best_len:
-                best = delay
-                best_len = len(a)
-    return best if best_len >= 0 else star
-
-
 def url_path(col: str | Column) -> Column:
-    """Path+query of a url (the robots match target): everything from
-    the first '/' after the authority; '/' when absent."""
-    rest = F.regexp_replace(col, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
-    return F.when(rest == "", F.lit("/")).otherwise(rest)
+    """Path+query of a url (the robots match target): fragment
+    stripped, then everything after the authority (which ends at the
+    first ``/``, ``?`` or end — same authority grammar as url.py); a
+    bare or query-only url yields '/' + query."""
+    u = F.regexp_replace(col, "#.*", "")
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    return F.when(rest == "", F.lit("/")).when(
+        rest.startswith("?"), F.concat(F.lit("/"), rest)
+    ).otherwise(rest)
 
 
 def with_robots_allowed(
@@ -210,10 +235,16 @@ def with_robots_allowed(
     """urls(…, url) × robots(host, robots_txt) → urls + boolean
     ``out_col``. The robots side is broadcast (per-host dim table);
     evaluation is a vectorized pandas UDF over (robots body, path) with
-    per-body compilation memoized."""
+    per-body compilation memoized. Join scratch columns are
+    collision-guarded against the callers' schemas."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     from .url import url_host  # noqa: PLC0415
+
+    tmp_host, tmp_body = "__robots_host__", "__robots_body__"
+    for c in (tmp_host, tmp_body):
+        if c in urls.columns:
+            raise ValueError(f"urls must not contain reserved column {c!r}")
 
     @pandas_udf("boolean")
     def allowed(bodies: pd.Series, paths: pd.Series) -> pd.Series:
@@ -226,14 +257,12 @@ def with_robots_allowed(
             out.append(robots_allowed(rules, path if path else "/"))
         return pd.Series(out)
 
-    joined = urls.withColumn("_host", url_host(F.col(url_col))).join(
-        F.broadcast(robots.withColumnRenamed(host_col, "_host")),
-        "_host",
-        "left",
+    r = robots.select(
+        F.col(host_col).alias(tmp_host), F.col(robots_col).alias(tmp_body)
     )
-    return (
-        joined.withColumn(
-            out_col, allowed(F.col(robots_col), url_path(F.col(url_col)))
-        )
-        .drop("_host", robots_col)
+    joined = urls.withColumn(tmp_host, url_host(F.col(url_col))).join(
+        F.broadcast(r), tmp_host, "left"
     )
+    return joined.withColumn(
+        out_col, allowed(F.col(tmp_body), url_path(F.col(url_col)))
+    ).drop(tmp_host, tmp_body)

@@ -56,9 +56,42 @@ def test_star_group_applies_to_unknown_agents():
     assert robots_allowed(r, "/public") is True
 
 
-def test_agent_match_is_case_insensitive_substring():
+def test_agent_match_is_exact_product_token():
+    """§2.2.1: case-insensitive EXACT product-token match — a crawler
+    identifies by its leading token, and short group tokens must not
+    hijack unrelated agents via substring containment."""
+    assert robots_allowed(compile_robots(BODY, "otherbot/2.0"), "/x") is False
+    assert robots_allowed(compile_robots(BODY, "OTHERBOT"), "/x") is False
+    # 'Mozilla-compatible ...' has token 'Mozilla-compatible', NOT otherbot
     r = compile_robots(BODY, "Mozilla-compatible otherbot v9")
-    assert robots_allowed(r, "/anything") is False
+    assert robots_allowed(r, "/anything") is True  # falls to '*' group
+    # a one-letter group must not capture GoodBot
+    trap = "User-agent: o\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    assert robots_allowed(compile_robots(trap, "GoodBot/1.0"), "/x") is True
+
+
+def test_matching_groups_are_combined():
+    """§2.2.1 MUST: multiple groups for the same agent combine."""
+    body = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    r = compile_robots(body, "AnyBot")
+    assert robots_allowed(r, "/a/x") is False
+    assert robots_allowed(r, "/b/x") is False
+    body2 = (
+        "User-agent: GoodBot\nDisallow: /a\n\n"
+        "User-agent: GoodBot\nDisallow: /b\n"
+    )
+    r2 = compile_robots(body2, "GoodBot")
+    assert robots_allowed(r2, "/a/x") is False and robots_allowed(r2, "/b/x") is False
+
+
+def test_percent_normalization():
+    """§2.2.2: percent-encoded octets compare decoded; %2F stays
+    encoded (an encoded slash is not a separator)."""
+    r = compile_robots("User-agent: *\nDisallow: /a%20b\n", "x")
+    assert robots_allowed(r, "/a b/c") is False
+    assert robots_allowed(r, "/a%20b/c") is False  # both sides normalize
+    r2 = compile_robots("User-agent: *\nDisallow: /a/b\n", "x")
+    assert robots_allowed(r2, "/a%2Fb") is True  # encoded slash differs
 
 
 def test_allow_wins_length_ties():
@@ -128,3 +161,56 @@ def test_crawl_delay_per_group():
     assert crawl_delay(body, "NoDelayBot") is None
     assert crawl_delay(None, "x") is None
     assert crawl_delay("User-agent: *\nCrawl-delay: soon\n", "x") is None
+
+
+def test_url_path_cases(spark):
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.functions.robots import url_path
+
+    cases = {
+        "https://a.com/x/y?q=1": "/x/y?q=1",
+        "https://a.com?x=1": "/?x=1",       # query-only url keeps its query
+        "https://a.com/x#frag": "/x",        # fragment stripped
+        "https://a.com": "/",
+        "https://a.com/": "/",
+    }
+    rows = (
+        spark.createDataFrame([(k,) for k in cases], "v string")
+        .select(F.col("v"), url_path(F.col("v")).alias("p"))
+        .collect()
+    )
+    for r in rows:
+        assert r.p == cases[r.v], r.v
+
+
+def test_reserved_column_collision_raises(spark):
+    import pytest as _pytest
+
+    from sax_wasm_spark.functions.robots import with_robots_allowed
+
+    urls = spark.createDataFrame(
+        [(0, "https://a.com/x", "boom")], "id int, url string, __robots_host__ string"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /\n")], "host string, robots_txt string"
+    )
+    with _pytest.raises(ValueError):
+        with_robots_allowed(urls, robots)
+
+
+def test_caller_robots_txt_column_is_safe(spark):
+    """urls carrying their own 'robots_txt' column must not collide."""
+    from sax_wasm_spark.functions.robots import with_robots_allowed
+
+    urls = spark.createDataFrame(
+        [(0, "https://a.com/private/x", "unrelated")],
+        "id int, url string, robots_txt string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    rows = with_robots_allowed(urls, robots).collect()
+    assert rows[0].robots_allowed is False
+    assert rows[0].robots_txt == "unrelated"  # caller column untouched
