@@ -80,6 +80,9 @@ def run_dedup(
         F.col("jaccard") >= jaccard
     )
     verified.write.mode("overwrite").parquet(f"{out_path}/pairs")
+    cached = getattr(pairs, "_sax_persisted", None)
+    if cached is not None:  # free the armed hot-bucket guard's cache
+        cached.unpersist()
     verified = spark.read.parquet(f"{out_path}/pairs")
 
     # 4. components → representatives

@@ -13,8 +13,9 @@ Parser/evaluator scope, per the RFC:
 * rules: ``Allow`` / ``Disallow`` with ``*`` wildcards and ``$``
   end-anchors; percent-encoded octets are normalized on BOTH sides
   before comparison (``%2F`` is kept encoded per the RFC's special
-  case, and ``%2A``/``%24`` are kept encoded inside rules so encoded
-  literals are not misread as metacharacters);
+  case; ``%2A``/``%24`` in rules decode to private-use sentinels that
+  match literal ``*``/``$`` characters in paths, so an encoded literal
+  is neither misread as a metacharacter nor unmatchable);
 * precedence: the longest-match rule wins; on a length tie Allow wins
   (§2.2.2); empty ``Disallow:`` means allow-all; no matching rule
   means allowed;
@@ -45,22 +46,47 @@ _RE_PCT = _re.compile("%([0-9A-Fa-f]{2})")
 _RE_TOKEN = _re.compile(r"[A-Za-z_-]+")
 
 
-def _pct_norm(s: str, keep: frozenset = frozenset({0x2F})) -> str:
-    """Decode %XX octets for octet comparison (§2.2.2), keeping the
-    octets in ``keep`` encoded (uppercased): %2F always (an encoded
-    slash is not a path separator), plus %2A/%24 inside RULES so an
-    encoded literal ``*``/``$`` is not misread as a metacharacter."""
+# Private-use sentinels for LITERAL '*'/'$' characters: a rule's
+# percent-encoded %2A/%24 means a literal star/dollar (NOT a wildcard /
+# end-anchor), and a path's star/dollar (raw or encoded) is always
+# literal. Both sides normalize literals to the same sentinel so they
+# match each other while staying invisible to the metacharacter logic
+# in :func:`_match`. (Round-4 kept %2A/%24 as encoded TEXT in rules
+# while decoding them in paths — such rules could never match anything.)
+_LIT_STAR = "\ue02a"
+_LIT_DOLLAR = "\ue024"
+
+
+def _pct_norm(s: str, rule: bool = False) -> str:
+    """Decode %XX octets for octet comparison (§2.2.2). %2F is kept
+    encoded on both sides (an encoded slash is not a path separator).
+    With ``rule=True`` (rule patterns), %2A/%24 decode to the literal
+    sentinels; raw ``*``/``$`` keep their metacharacter meaning. For
+    paths, every star/dollar — raw or encoded — becomes the sentinel
+    (see the callers)."""
 
     def sub(m):
         v = int(m.group(1), 16)
-        if v in keep:
+        if v == 0x2F:
             return "%" + m.group(1).upper()
+        if rule and v == 0x2A:
+            return _LIT_STAR
+        if rule and v == 0x24:
+            return _LIT_DOLLAR
         return chr(v)
 
     return _RE_PCT.sub(sub, s)
 
 
-_RULE_KEEP = frozenset({0x2F, 0x2A, 0x24})
+def _norm_rule(pattern: str) -> str:
+    return _pct_norm(pattern, rule=True)
+
+
+def _norm_path(path: str) -> str:
+    """Paths have no metacharacters: any star/dollar is a literal."""
+    return (
+        _pct_norm(path).replace("*", _LIT_STAR).replace("$", _LIT_DOLLAR)
+    )
 
 
 def _product_token(user_agent: str) -> str:
@@ -103,7 +129,7 @@ def _parse_groups(body: str) -> list[tuple[list[str], list[tuple[bool, str]], fl
         elif key in ("allow", "disallow"):
             agents_open = False
             if cur_agents:
-                cur_rules.append((key == "allow", _pct_norm(val, _RULE_KEEP)))
+                cur_rules.append((key == "allow", _norm_rule(val)))
         elif key == "crawl-delay":
             agents_open = False
             if cur_agents:
@@ -134,6 +160,9 @@ def _match(pattern: str, path: str) -> int:
     for longest-match precedence."""
     anchored = pattern.endswith("$")
     pat = pattern[:-1] if anchored else pattern
+    # a non-trailing raw '$' is a literal character — normalize it to
+    # the same sentinel paths use so it can actually match one
+    pat = pat.replace("$", _LIT_DOLLAR)
     parts = pat.split("*")
     if not path.startswith(parts[0]):
         return -1
@@ -195,8 +224,9 @@ def crawl_delay(body: str | None, user_agent: str = "*") -> float | None:
 
 def robots_allowed(rules: tuple, path: str) -> bool:
     """Longest-match evaluation; Allow wins ties; no match → allowed.
-    ``path`` is percent-normalized before comparison (%2F kept)."""
-    path = _pct_norm(path)
+    ``path`` is percent-normalized before comparison (%2F kept; its
+    star/dollar characters become the literal sentinels)."""
+    path = _norm_path(path)
     best_len = -1
     best_allow = True
     for is_allow, pattern in rules:
@@ -215,9 +245,20 @@ def url_path(col: str | Column) -> Column:
     """Path+query of a url (the robots match target): fragment
     stripped, then everything after the authority (which ends at the
     first ``/``, ``?`` or end — same authority grammar as url.py); a
-    bare or query-only url yields '/' + query."""
+    bare or query-only url yields '/' + query. Scheme-relative
+    (``//host/a``) and schemeless host-first (``example.com/a``) forms
+    — both common in crawl frontiers — drop their authority too: a url
+    that does not start with ``/`` or ``?`` and has no scheme is read
+    the way a browser reads it, first segment = authority. (Round-4
+    evaluated rules against the host-prefixed pseudo-path.)"""
     u = F.regexp_replace(col, "#.*", "")
-    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    has_authority = u.rlike("^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//")
+    rest = F.when(
+        has_authority,
+        F.regexp_replace(u, "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?]*", ""),
+    ).when(
+        u.startswith("/") | u.startswith("?"), u
+    ).otherwise(F.regexp_replace(u, "^[^/?]*", ""))
     return F.when(rest == "", F.lit("/")).when(
         rest.startswith("?"), F.concat(F.lit("/"), rest)
     ).otherwise(rest)

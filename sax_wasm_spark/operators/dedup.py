@@ -85,7 +85,13 @@ def _guard_hot_buckets(
         hot_keys = hot.select(*keys)
         if hot_stats.buckets <= 1_000_000:
             hot_keys = F.broadcast(hot_keys)
-        return buckets.join(hot_keys, list(keys), "left_anti")
+        out = buckets.join(hot_keys, list(keys), "left_anti")
+        # expose the cached hot frame for release after the output is
+        # materialized (same convention as lines.py/decontaminate.py);
+        # round 4 leaked it for the application lifetime (ADVICE) — an
+        # adversarial corpus can push it to millions of rows
+        out._sax_persisted = hot
+        return out
     # nothing hot: skip the anti-join entirely — the common case costs
     # one aggregation job and zero extra plan nodes
     hot.unpersist()
@@ -187,7 +193,7 @@ def minhash_lsh_pairs(
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -200,6 +206,10 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # the guard's cached hot frame (if armed + hot) rides along so the
+    # job layer can unpersist it after materializing
+    out._sax_persisted = getattr(buckets, "_sax_persisted", None)
+    return out
 
 
 def ngram_jaccard(
@@ -348,10 +358,12 @@ def embedding_neardup_lsh(
     va = vecs.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
     vb = vecs.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+    out._sax_persisted = getattr(buckets, "_sax_persisted", None)
+    return out

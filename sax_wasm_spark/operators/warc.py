@@ -42,6 +42,10 @@ WARC_PAGE_FIELDS = [
     # malformed records skipped while parsing this row's shard (lenient
     # mode: one junk record must not discard a ~1 GB shard's good pages)
     StructField("n_bad_records", IntegerType(), False),
+    # segmented records (WARC-Segment-Number / continuation) skipped in
+    # this row's shard — reassembly is out of scope, but the count must
+    # survive per shard (ISO 28500 §5.18-5.20)
+    StructField("n_segment_records", IntegerType(), False),
 ]
 
 
@@ -71,35 +75,48 @@ def warc_to_pages(
             ids = [rb.column(j).to_pylist() for j in range(n_id)]
             blobs = rb.column(n_id).to_pylist()
             out_ids: list[list] = [[] for _ in range(n_id)]
-            urls, dates, statuses, ctypes, htmls, row_status, bad = (
-                [], [], [], [], [], [], [],
+            urls, dates, statuses, ctypes, htmls, row_status, bad, seg = (
+                [], [], [], [], [], [], [], [],
             )
+
+            def emit(r, url, date, status, ctype, html, st, n_bad, n_seg):
+                for j in range(n_id):
+                    out_ids[j].append(ids[j][r])
+                urls.append(url)
+                dates.append(date)
+                statuses.append(status)
+                ctypes.append(ctype)
+                htmls.append(html)
+                row_status.append(st)
+                bad.append(n_bad)
+                seg.append(n_seg)
+
             for r, blob in enumerate(blobs):
                 try:
-                    pages, n_skipped = parse_warc_lenient(
+                    pages, n_skipped, n_segmented = parse_warc_lenient(
                         blob if blob is not None else b""
                     )
                 except Exception as e:  # wholly unreadable shard → one error row
-                    for j in range(n_id):
-                        out_ids[j].append(ids[j][r])
-                    urls.append(None)
-                    dates.append(None)
-                    statuses.append(None)
-                    ctypes.append(None)
-                    htmls.append(None)
-                    row_status.append(f"error:{type(e).__name__}")
-                    bad.append(1)
+                    emit(r, None, None, None, None, None,
+                         f"error:{type(e).__name__}", 1, 0)
+                    continue
+                if not pages and (n_skipped or n_segmented):
+                    # every record skipped: the shard (and its skip
+                    # accounting) must not vanish silently (ADVICE r4)
+                    st = (
+                        "segmented"
+                        if n_segmented and not n_skipped
+                        else "empty"
+                    )
+                    emit(r, None, None, None, None, None, st,
+                         n_skipped, n_segmented)
                     continue
                 for p in pages:
-                    for j in range(n_id):
-                        out_ids[j].append(ids[j][r])
-                    urls.append(p.url)
-                    dates.append(p.warc_date)
-                    statuses.append(p.status)
-                    ctypes.append(p.content_type)
-                    htmls.append(p.body)
-                    row_status.append("ok")
-                    bad.append(n_skipped)
+                    emit(
+                        r, p.url, p.warc_date, p.status, p.content_type,
+                        p.body, "truncated" if p.truncated else "ok",
+                        n_skipped, n_segmented,
+                    )
             arrays = [
                 pa.array(out_ids[j], type=arrow_fields[j].type) for j in range(n_id)
             ] + [
@@ -110,6 +127,7 @@ def warc_to_pages(
                 pa.array(htmls, pa.binary()),
                 pa.array(row_status, pa.string()),
                 pa.array(bad, pa.int32()),
+                pa.array(seg, pa.int32()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
@@ -124,9 +142,12 @@ def render_warc_column(
 ) -> DataFrame:
     """(id…, text) → (id…, warc:binary): one 3-record gzipped WARC file
     per document (warcinfo + request + response — the reader's record
-    filtering is always exercised). HTTP body encoding cycles
-    ``first_id % 3`` (identity / chunked / gzip); url defaults to a
-    deterministic function of the first id. Partitioning-invariant."""
+    filtering is always exercised). The response shape cycles
+    ``first_id % 5`` (identity / chunked / gzip HTTP bodies, then a
+    WARC-Truncated record and a WARC-Segment-Number record — see
+    ``build_warc``); url defaults to a deterministic function of the
+    first id. Partitioning-invariant. Oracle twin of warc_to_pages —
+    change the cycle in BOTH or the warc_roundtrip oracle breaks."""
     import pyarrow as pa  # noqa: PLC0415
 
     from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
@@ -157,7 +178,7 @@ def render_warc_column(
                     u,
                     "2024-01-01T00:00:00Z",
                     (t if t is not None else "").encode("utf-8"),
-                    variant=int(i) % 3,
+                    variant=int(i) % 5,
                 )
                 for i, u, t in zip(ids[0], urls, texts)
             ]

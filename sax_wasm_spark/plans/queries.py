@@ -942,12 +942,16 @@ def pdf_extract_roundtrip_sql():
 def warc_roundtrip(spark, sf_dir):
     """Crawl-ingestion leg (sources/warc.py, operators/warc.py):
     documents are rendered into deterministic 3-record gzipped WARC
-    files — ``doc_id % 3`` cycles the HTTP body encoding (identity /
-    chunked / Content-Encoding gzip) — then parsed back into pages
-    rows. Round-trip equality (url, body text, HTTP status, and
-    exactly ONE page per file despite the warcinfo/request records) is
-    the closed-form oracle for the record framing, multi-member gzip,
-    header grammar, chunked decoding, and body decompression."""
+    files — ``doc_id % 5`` cycles the response shape (identity /
+    chunked / Content-Encoding-gzip HTTP bodies, a WARC-Truncated
+    record, a WARC-Segment-Number record) — then parsed back into
+    pages rows. Round-trip equality (url, body text, HTTP status, row
+    status, and exactly ONE row per file despite the warcinfo/request
+    records) is the closed-form oracle for the record framing,
+    multi-member gzip, header grammar, chunked decoding, body
+    decompression, truncation flagging (status='truncated', body
+    kept), and segmented-record skip accounting (status='segmented',
+    no page fields)."""
     from ..operators.warc import render_warc_column, warc_to_pages  # noqa: PLC0415
 
     d = load(spark, sf_dir, "documents").repartition(
@@ -967,10 +971,15 @@ def warc_roundtrip(spark, sf_dir):
 def warc_roundtrip_sql():
     return """
     SELECT doc_id,
-           'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
-           text AS page_text,
-           200 AS http_status,
-           'ok' AS status
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR)
+           END AS url,
+           CASE WHEN doc_id % 5 = 4 THEN NULL ELSE text END AS page_text,
+           CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 5 = 4 THEN 'segmented'
+                WHEN doc_id % 5 = 3 THEN 'truncated'
+                ELSE 'ok'
+           END AS status
     FROM documents ORDER BY doc_id
     """
 

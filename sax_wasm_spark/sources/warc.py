@@ -55,6 +55,10 @@ class WarcPage(NamedTuple):
     status: int
     content_type: str  # HTTP Content-Type of the payload ('' if absent)
     body: bytes  # decoded payload (de-chunked, de-gzipped)
+    # WARC-Truncated reason ('' = complete): real crawls length-cap big
+    # responses and SET this header (ISO 28500 §5.13) — such bodies must
+    # not pass silently as complete (VERDICT r4 item 4)
+    truncated: str = ""
 
 
 # ---------------------------------------------------------------------------
@@ -155,13 +159,16 @@ def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     return status, headers.get("content-type", ""), body
 
 
-def _parse_records(data: bytes, strict: bool) -> tuple[list[WarcPage], int]:
+def _parse_records(
+    data: bytes, strict: bool
+) -> tuple[list[WarcPage], int, int]:
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     if not data.startswith(b"WARC/"):
         raise WarcError("missing WARC/ version line")
     pages: list[WarcPage] = []
     skipped = 0
+    segmented = 0
     pos = 0
     n = len(data)
     while pos < n:
@@ -201,15 +208,41 @@ def _parse_records(data: bytes, strict: bool) -> tuple[list[WarcPage], int]:
                 break
             pos = nxt
             continue
-        if headers.get("warc-type", "").lower() == "response":
+        warc_type = headers.get("warc-type", "").lower()
+        # ISO 28500 segmentation (§5.18-5.20): a response carrying
+        # WARC-Segment-Number holds only the FIRST piece of its payload
+        # and the rest lives in 'continuation' records, possibly in
+        # other shards. Reassembly is out of scope — both are skipped
+        # WITH accounting (never emitted as if complete); strict mode
+        # refuses, since a "round-trippable" file cannot contain them.
+        if warc_type == "continuation" or (
+            warc_type == "response" and "warc-segment-number" in headers
+        ):
+            if strict:
+                raise WarcError("segmented record (reassembly unsupported)")
+            segmented += 1
+            continue
+        if warc_type == "response":
+            truncated = ""
+            if "warc-truncated" in headers:
+                # header present = payload was cut by the crawler; an
+                # empty reason is still a truncation (§5.13)
+                truncated = headers["warc-truncated"].strip().lower() or "unspecified"
             try:
                 status, ctype, decoded = _parse_http_response(body)
             except WarcError:
-                # framing was fine — skip just this record's payload
-                if strict:
+                if truncated:
+                    # a cut body may break mid-chunk/mid-gzip: salvage
+                    # the raw bytes after the HTTP header if present —
+                    # flagged rows are for accounting/repair, not text
+                    sep = body.find(b"\r\n\r\n")
+                    status, ctype, decoded = 0, "", body[sep + 4 :] if sep >= 0 else b""
+                elif strict:
+                    # framing was fine — skip just this record's payload
                     raise
-                skipped += 1
-                continue
+                else:
+                    skipped += 1
+                    continue
             pages.append(
                 WarcPage(
                     url=headers.get("warc-target-uri", ""),
@@ -217,23 +250,28 @@ def _parse_records(data: bytes, strict: bool) -> tuple[list[WarcPage], int]:
                     status=status,
                     content_type=ctype,
                     body=decoded,
+                    truncated=truncated,
                 )
             )
-    return pages, skipped
+    return pages, skipped, segmented
 
 
 def parse_warc(data: bytes) -> list[WarcPage]:
     """Every ``WARC-Type: response`` record of a WARC file as a
     :class:`WarcPage`; other record types are parsed and skipped.
-    Strict: the first malformed record raises (test/oracle mode)."""
+    Strict: the first malformed or segmented record raises (test/oracle
+    mode). Truncated responses are returned with their ``truncated``
+    reason set — present-but-cut data is data, not an error."""
     return _parse_records(data, strict=True)[0]
 
 
-def parse_warc_lenient(data: bytes) -> tuple[list[WarcPage], int]:
-    """(pages, n_skipped): malformed records are skipped with a resync
-    to the next ``WARC/1.`` marker instead of aborting the shard — the
-    production ingestion mode (operators/warc.py). A wholly unreadable
-    input (bad gzip, no WARC header) still raises."""
+def parse_warc_lenient(data: bytes) -> tuple[list[WarcPage], int, int]:
+    """(pages, n_skipped, n_segmented): malformed records are skipped
+    with a resync to the next ``WARC/1.`` marker instead of aborting
+    the shard — the production ingestion mode (operators/warc.py);
+    segmented records (see :func:`_parse_records`) are counted
+    separately. A wholly unreadable input (bad gzip, no WARC header)
+    still raises."""
     return _parse_records(data, strict=False)
 
 
@@ -281,8 +319,20 @@ def build_warc(
 ) -> bytes:
     """One document as a 3-record WARC file (warcinfo + request +
     response), each record its own deterministic gzip member when
-    ``gzipped`` (the Common Crawl layout). ``variant`` picks the HTTP
-    body encoding: 0 identity, 1 chunked, 2 gzip."""
+    ``gzipped`` (the Common Crawl layout). ``variant`` picks the
+    response shape: 0 identity, 1 chunked, 2 gzip HTTP bodies; 3 an
+    identity body whose record carries ``WARC-Truncated: length`` (the
+    crawler flagged a length-capped fetch — the reader must surface it,
+    not pass it as complete); 4 a ``WARC-Segment-Number: 1`` record
+    (payload continues in other shards — the reader must skip it with
+    accounting, never emit the fragment as a page)."""
+    extra_resp: list[tuple[str, str]] = []
+    if variant == 3:
+        extra_resp.append(("WARC-Truncated", "length"))
+        variant = 0
+    elif variant == 4:
+        extra_resp.append(("WARC-Segment-Number", "1"))
+        variant = 0
     info = _record(
         "warcinfo",
         [("WARC-Record-ID", f"<urn:det:{url}#info>"), ("WARC-Date", date)],
@@ -303,6 +353,7 @@ def build_warc(
             ("WARC-Record-ID", f"<urn:det:{url}#resp>"),
             ("WARC-Date", date),
             ("WARC-Target-URI", url),
+            *extra_resp,
         ],
         _http_response(body, content_type, variant),
     )

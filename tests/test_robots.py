@@ -94,6 +94,35 @@ def test_percent_normalization():
     assert robots_allowed(r2, "/a%2Fb") is True  # encoded slash differs
 
 
+def test_encoded_metacharacter_literals_match():
+    """A rule's %2A/%24 is a LITERAL '*'/'$' (not a wildcard/anchor)
+    and must match a path's star/dollar whether raw or encoded —
+    round-4 left them as never-matching '%2A'/'%24' text (ADVICE)."""
+    r = compile_robots("User-agent: *\nDisallow: /p/%2A\n", "x")
+    assert robots_allowed(r, "/p/*") is False        # raw literal star
+    assert robots_allowed(r, "/p/%2A") is False      # encoded star
+    assert robots_allowed(r, "/p/x") is True         # NOT a wildcard
+    r = compile_robots("User-agent: *\nDisallow: /q%24r\n", "x")
+    assert robots_allowed(r, "/q$r") is False        # literal dollar
+    assert robots_allowed(r, "/q%24r") is False
+    assert robots_allowed(r, "/qr") is True          # NOT an anchor
+    # a raw mid-pattern '$' is a literal character too
+    r = compile_robots("User-agent: *\nDisallow: /a$b\n", "x")
+    assert robots_allowed(r, "/a$b") is False
+    assert robots_allowed(r, "/ab") is True
+    # trailing %24 must NOT anchor: '/end%24' matches '/end$...' prefix
+    r = compile_robots("User-agent: *\nDisallow: /end%24\n", "x")
+    assert robots_allowed(r, "/end$/more") is False
+    assert robots_allowed(r, "/end") is True
+    # and a real trailing '$' still anchors
+    r = compile_robots("User-agent: *\nDisallow: /exact$\n", "x")
+    assert robots_allowed(r, "/exact") is False
+    assert robots_allowed(r, "/exact/more") is True
+    # wildcard still crosses literal stars in the path
+    r = compile_robots("User-agent: *\nDisallow: /w/*/z\n", "x")
+    assert robots_allowed(r, "/w/*/z") is False
+
+
 def test_allow_wins_length_ties():
     r = compile_robots("User-agent: *\nDisallow: /page\nAllow: /page", "b")
     assert robots_allowed(r, "/page1") is True
@@ -174,6 +203,16 @@ def test_url_path_cases(spark):
         "https://a.com/x#frag": "/x",        # fragment stripped
         "https://a.com": "/",
         "https://a.com/": "/",
+        # scheme-relative and schemeless host-first crawl-frontier
+        # forms drop the authority too (ADVICE r4: the host must not
+        # leak into the robots match target)
+        "//a.com/x?q=1": "/x?q=1",
+        "//a.com": "/",
+        "example.com/a/b": "/a/b",
+        "example.com": "/",
+        "example.com?q=1": "/?q=1",
+        "/already/a/path": "/already/a/path",
+        "?just=query": "/?just=query",
     }
     rows = (
         spark.createDataFrame([(k,) for k in cases], "v string")

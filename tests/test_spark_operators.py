@@ -281,6 +281,14 @@ def test_lsh_hot_bucket_guard(spark):
     assert (2000, 2001) in got, got
     assert all(a >= 2000 for a, _ in got), f"hot-bucket pairs leaked: {sorted(got)[:5]}"
 
+    # the armed guard's cached hot frame is exposed for release (ADVICE
+    # r4: it leaked for the application lifetime) and unpersisting it
+    # leaves no persistent RDDs behind
+    cached = getattr(pairs, "_sax_persisted", None)
+    assert cached is not None
+    cached.unpersist(blocking=True)
+    assert not spark.sparkContext._jsc.getPersistentRDDs()
+
 
 def test_ivf_build_scales_in_n_lists(spark):
     """n_lists=64 / dim=64 (VERDICT r2 item 2 done-criterion): the

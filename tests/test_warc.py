@@ -93,7 +93,12 @@ def test_spark_operator_roundtrip_and_poison(spark):
     )
     assert len(rows) == 30
     for r in rows:
-        assert r.status == "ok"
+        mod = r.doc_id % 5
+        if mod == 4:
+            # segmented record: skipped with accounting, no page fields
+            assert r.status == "segmented" and r.url is None and r.html is None
+            continue
+        assert r.status == ("truncated" if mod == 3 else "ok")
         assert r.url == f"https://synth.example.com/p/{r.doc_id}"
         assert bytes(r.html).decode() == r.want, r.doc_id
 
@@ -155,7 +160,7 @@ def test_lenient_parse_skips_bad_records_keeps_good():
     blob = b"".join(recs)
     with pytest.raises(WarcError):
         parse_warc(blob)  # strict mode still raises
-    pages, skipped = parse_warc_lenient(blob)
+    pages, skipped, _seg = parse_warc_lenient(blob)
     assert [p.body for p in pages] == [b"doc0", b"doc1", b"doc3", b"doc4"]
     assert skipped >= 1  # doc2's three broken records
     # payload-level corruption: bad chunked framing skips just that record
@@ -164,7 +169,7 @@ def test_lenient_parse_skips_bad_records_keeps_good():
         for i in range(3)
     ]
     recs2[1] = recs2[1].replace(b"Transfer-Encoding: chunked", b"Transfer-Encoding: chunkex")
-    pages, skipped = parse_warc_lenient(b"".join(recs2))
+    pages, skipped, _seg = parse_warc_lenient(b"".join(recs2))
     # record 1 now parses as identity encoding with chunk framing bytes
     # left in the body OR fails — either way records 0 and 2 survive
     bodies = [p.body for p in pages]
@@ -188,3 +193,99 @@ def test_operator_reports_n_bad_records(spark):
     assert len(by_shard[0]) == 3 and all(r.n_bad_records == 0 for r in by_shard[0])
     assert len(by_shard[1]) == 2 and all(r.n_bad_records == 1 for r in by_shard[1])
     assert all(r.status == "ok" for r in by_shard[1])
+
+
+def test_truncated_record_flagged_not_silent():
+    """ISO 28500 §5.13: WARC-Truncated marks a length-capped fetch —
+    the page is KEPT (data is data) but must carry the reason instead
+    of passing as a complete body (VERDICT r4 item 4)."""
+    raw = build_warc(URL, DATE, b"partial body", variant=3, gzipped=False)
+    p = parse_warc(raw)[0]
+    assert p.truncated == "length"
+    assert (p.status, p.body) == (200, b"partial body")
+    # gzipped shard path too
+    p = parse_warc(build_warc(URL, DATE, b"x", variant=3))[0]
+    assert p.truncated == "length"
+    # an empty reason is still a truncation
+    from sax_wasm_spark.sources.warc import _record
+
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody"
+    rec = _record(
+        "response",
+        [("WARC-Date", DATE), ("WARC-Target-URI", URL), ("WARC-Truncated", "")],
+        http,
+    )
+    assert parse_warc(rec)[0].truncated == "unspecified"
+
+
+def test_truncated_cut_payload_salvaged():
+    """A truncated body may break mid-chunk: the HTTP decode fails but
+    the flagged record still surfaces (status 0, raw remainder) rather
+    than being silently skipped."""
+    from sax_wasm_spark.sources.warc import _record, parse_warc_lenient
+
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n5\r\nhel"  # cut mid-chunk
+    )
+    rec = _record(
+        "response",
+        [("WARC-Date", DATE), ("WARC-Target-URI", URL), ("WARC-Truncated", "length")],
+        http,
+    )
+    pages, skipped, segmented = parse_warc_lenient(rec)
+    assert (skipped, segmented) == (0, 0)
+    p = pages[0]
+    assert p.truncated == "length" and p.status == 0 and p.body == b"5\r\nhel"
+    # WITHOUT the truncation flag the same cut payload is a skip
+    rec2 = _record(
+        "response", [("WARC-Date", DATE), ("WARC-Target-URI", URL)], http
+    )
+    pages, skipped, segmented = parse_warc_lenient(rec2)
+    assert pages == [] and skipped == 1
+
+
+def test_segmented_records_skip_with_accounting():
+    """§5.18-5.20: segment-1 responses and continuation records hold
+    PARTIAL payloads; emitting them as pages would be corruption.
+    Lenient mode skips them with a separate count; strict refuses."""
+    from sax_wasm_spark.sources.warc import _record, parse_warc_lenient
+
+    raw = build_warc(URL, DATE, b"seg one payload", variant=4, gzipped=False)
+    with pytest.raises(WarcError):
+        parse_warc(raw)
+    pages, skipped, segmented = parse_warc_lenient(raw)
+    assert pages == [] and skipped == 0 and segmented == 1
+    cont = _record(
+        "continuation",
+        [
+            ("WARC-Date", DATE),
+            ("WARC-Segment-Number", "2"),
+            ("WARC-Segment-Origin-ID", "<urn:det:x#resp>"),
+        ],
+        b"rest of payload",
+    )
+    pages, skipped, segmented = parse_warc_lenient(raw + cont)
+    assert pages == [] and segmented == 2
+    # a good record alongside still parses; counts ride with the shard
+    good = build_warc("https://ex.com/g", DATE, b"whole", gzipped=False)
+    pages, skipped, segmented = parse_warc_lenient(raw + good)
+    assert [p.body for p in pages] == [b"whole"] and segmented == 1
+
+
+def test_operator_empty_shard_accounting_rows(spark):
+    """A shard whose records ALL fail (or are all segmented) must not
+    vanish: one accounting row carries the counts (ADVICE r4)."""
+    from sax_wasm_spark.operators.warc import warc_to_pages
+
+    all_bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nno content-length"
+    all_seg = build_warc(URL, DATE, b"seg", variant=4, gzipped=False)
+    good = build_warc("https://ex.com/g", DATE, b"whole", gzipped=False)
+    df = spark.createDataFrame(
+        [(0, all_bad), (1, all_seg), (2, good)], "shard_id long, warc binary"
+    )
+    rows = {r.shard_id: r for r in warc_to_pages(df, id_cols=("shard_id",)).collect()}
+    assert rows[0].status == "empty" and rows[0].n_bad_records == 1
+    assert rows[0].url is None and rows[0].html is None
+    assert rows[1].status == "segmented" and rows[1].n_segment_records == 1
+    assert rows[2].status == "ok" and bytes(rows[2].html) == b"whole"
