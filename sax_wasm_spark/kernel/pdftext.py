@@ -34,8 +34,11 @@ Scope (documented contract, enforced by tests/test_pdf.py):
   /Resources /Font dict) carries a /ToUnicode CMap, show-strings decode
   through it (codespacerange-derived code width, bfchar + bfrange incl.
   the array form — the CID-font path real crawled PDFs use constantly);
-  otherwise strings decode as UTF-16 when BOM-tagged, else Latin-1 (a
-  documented approximation of PDFDocEncoding for the printable range).
+  simple fonts without /ToUnicode decode through their /Encoding — an
+  Annex D base-encoding name (WinAnsi/MacRoman/Standard) and/or a
+  /Differences array over the /BaseEncoding; otherwise strings decode
+  as UTF-16 when BOM-tagged, else Latin-1 (a documented approximation
+  of PDFDocEncoding for the printable range).
 * **Layout**: the text matrix is tracked as a position (e, f translation
   of Tm; Td/TD/T* line moves). Each show op appends to the run at the
   current line origin; runs are grouped into lines by y (±``Y_TOL``),
@@ -701,11 +704,21 @@ class PdfDocument:
                         cmap = None
                     self._font_cmap_cache[tu.num] = cmap
             if cmap is None:
+                # simple-font /Encoding: a bare Annex D name, or a dict
+                # with /BaseEncoding + /Differences overlaid (§9.6.5)
                 enc = self.resolve(font.get("/Encoding"))
-                if isinstance(enc, dict):
-                    diffs = self.resolve(enc.get("/Differences"))
-                    if isinstance(diffs, list):
-                        cmap = _differences_cmap(diffs)
+                base = diffs = None
+                if isinstance(enc, str):
+                    base = base_encoding_map(enc)
+                elif isinstance(enc, dict):
+                    be = enc.get("/BaseEncoding")
+                    if isinstance(be, str):
+                        base = base_encoding_map(be)
+                    d = self.resolve(enc.get("/Differences"))
+                    if isinstance(d, list):
+                        diffs = d
+                if base is not None or diffs is not None:
+                    cmap = _differences_cmap(diffs or [], base)
             if cmap is not None:
                 out[name.lstrip("/")] = cmap
         return out
@@ -760,6 +773,22 @@ _AGL: dict[str, str] = {
     "perthousand": "‰", "guilsinglleft": "‹",
     "guilsinglright": "›", "trademark": "™", "Euro": "€",
     "fi": "ﬁ", "fl": "ﬂ",
+    # names used by the Annex D base encodings (StandardEncoding's
+    # accent/ligature set + the WinAnsi/MacRoman extras), so the
+    # /Differences path understands them too
+    "fraction": "⁄", "florin": "ƒ", "periodcentered": "·",
+    "quotesinglbase": "‚", "quotedblbase": "„", "acute": "´",
+    "circumflex": "ˆ", "tilde": "˜", "macron": "¯", "breve": "˘",
+    "dotaccent": "˙", "dieresis": "¨", "ring": "˚", "cedilla": "¸",
+    "hungarumlaut": "˝", "ogonek": "˛", "caron": "ˇ",
+    "ordfeminine": "ª", "ordmasculine": "º", "Lslash": "Ł",
+    "lslash": "ł", "dotlessi": "ı", "OE": "Œ", "oe": "œ",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "brokenbar": "¦", "logicalnot": "¬",
+    "onesuperior": "¹", "twosuperior": "²",
+    "threesuperior": "³", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "multiply": "×", "Eth": "Ð", "eth": "ð",
+    "Thorn": "Þ", "thorn": "þ", "Icircumflex": "Î", "Idieresis": "Ï",
 }
 # single ASCII letters map to themselves
 for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
@@ -794,12 +823,88 @@ def _glyph_to_unicode(name: str) -> str | None:
     return None
 
 
-def _differences_cmap(diffs: list) -> "_CMap | None":
+# ---------------------------------------------------------------------------
+# Annex D base encodings (ISO 32000-1, simple fonts without /ToUnicode)
+#
+# A simple font whose /Encoding is one of these NAMES (or a dict whose
+# /BaseEncoding is) decodes its 1-byte show-string codes through the
+# named table, with /Differences overlaid on top. Before round 5 such
+# fonts fell back to latin-1, silently mojibaking MacRoman text and the
+# WinAnsi 0x80-0x9F punctuation block (curly quotes, bullets, dashes —
+# ubiquitous in real office/crawled PDFs).
+
+
+def _codec_range_map(codec: str) -> dict[int, str]:
+    m: dict[int, str] = {}
+    for c in range(0x20, 0x100):
+        try:
+            m[c] = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            pass  # code undefined in the encoding — stays unmapped
+    return m
+
+
+# StandardEncoding has no Python codec; its table is ASCII with
+# quoteright/quoteleft at 0x27/0x60 plus the Annex D high range below
+# (code → glyph name, resolved through the AGL table at build time).
+_STANDARD_HIGH = {
+    0o241: "exclamdown", 0o242: "cent", 0o243: "sterling",
+    0o244: "fraction", 0o245: "yen", 0o246: "florin", 0o247: "section",
+    0o250: "currency", 0o251: "quotesingle", 0o252: "quotedblleft",
+    0o253: "guillemotleft", 0o254: "guilsinglleft",
+    0o255: "guilsinglright", 0o256: "fi", 0o257: "fl",
+    0o261: "endash", 0o262: "dagger", 0o263: "daggerdbl",
+    0o264: "periodcentered", 0o266: "paragraph", 0o267: "bullet",
+    0o270: "quotesinglbase", 0o271: "quotedblbase",
+    0o272: "quotedblright", 0o273: "guillemotright", 0o274: "ellipsis",
+    0o275: "perthousand", 0o277: "questiondown",
+    0o301: "grave", 0o302: "acute", 0o303: "circumflex", 0o304: "tilde",
+    0o305: "macron", 0o306: "breve", 0o307: "dotaccent",
+    0o310: "dieresis", 0o312: "ring", 0o313: "cedilla",
+    0o315: "hungarumlaut", 0o316: "ogonek", 0o317: "caron",
+    0o320: "emdash", 0o341: "AE", 0o343: "ordfeminine",
+    0o350: "Lslash", 0o351: "Oslash", 0o352: "OE",
+    0o353: "ordmasculine", 0o361: "ae", 0o365: "dotlessi",
+    0o370: "lslash", 0o371: "oslash", 0o372: "oe", 0o373: "germandbls",
+}
+
+
+@functools.lru_cache(maxsize=None)
+def base_encoding_map(name: str) -> dict[int, str] | None:
+    """``/WinAnsiEncoding`` / ``/MacRomanEncoding`` /
+    ``/StandardEncoding`` (leading slash optional) → {code: char};
+    None for any other name. WinAnsi is cp1252 (Annex D's table is the
+    same; cp1252's five unassigned codes stay unmapped). MacRoman is
+    the pre-OS-8.5 table Annex D froze: 0xDB is the currency sign (not
+    the euro Python's mac_roman codec has) and 0xF0 (the Apple logo,
+    private use) is unmapped."""
+    n = name.lstrip("/")
+    if n == "WinAnsiEncoding":
+        return _codec_range_map("cp1252")
+    if n == "MacRomanEncoding":
+        m = _codec_range_map("mac_roman")
+        m[0xDB] = "¤"
+        del m[0xF0]
+        return m
+    if n == "StandardEncoding":
+        m = {c: chr(c) for c in range(0x20, 0x7F)}
+        m[0x27] = "’"  # quoteright
+        m[0x60] = "‘"  # quoteleft
+        for code, glyph in _STANDARD_HIGH.items():
+            u = _glyph_to_unicode(glyph)
+            if u is not None:
+                m[code] = u
+        return m
+    return None
+
+
+def _differences_cmap(diffs: list, base: dict[int, str] | None = None) -> "_CMap | None":
     """/Encoding /Differences array → 1-byte decoder: an integer sets
-    the next code, each following name assigns consecutive codes.
+    the next code, each following name assigns consecutive codes —
+    overlaid on ``base`` (the /BaseEncoding table) when present.
     Unknown glyph names are left unmapped (they fall back to Latin-1
     via _CMap.decode's chr())."""
-    mapping: dict[int, str] = {}
+    mapping: dict[int, str] = dict(base) if base else {}
     code = 0
     for el in diffs:
         if isinstance(el, (int, float)):

@@ -35,6 +35,13 @@ Variants exercise distinct parser surfaces so one query covers them all:
   rest) — the subset-font path of real scanned/office PDFs. Falls back
   to variant-0 literal strings when a document's charset exceeds the
   224 assignable codes.
+* 8 — a simple font with an Annex D base-encoding NAME
+  (``/WinAnsiEncoding`` / ``/MacRomanEncoding`` / ``/StandardEncoding``,
+  cycled deterministically by text length): show strings are 1-byte
+  codes under that table — the plain office-PDF path where the bytes
+  are NOT latin-1 (WinAnsi's 0x80-0x9F punctuation, MacRoman's whole
+  high range, Standard's quote remaps). Falls back to variant-0
+  literal strings when the charset is not representable.
 
 Non-Latin-1 text is emitted as BOM-tagged UTF-16BE hex strings (the
 spec's text-string encoding), so any Unicode round-trips.
@@ -99,7 +106,26 @@ def _differences_array(codes: dict[str, int]) -> bytes:
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 8
+N_VARIANTS = 9
+
+_BASE_ENCODINGS = (b"WinAnsiEncoding", b"MacRomanEncoding", b"StandardEncoding")
+
+
+def _base_enc_codes(text: str, enc_name: bytes) -> dict[str, int] | None:
+    """char → 1-byte code under an Annex D base encoding (reverse of
+    kernel.pdftext.base_encoding_map; lowest code wins for chars the
+    table reaches twice); None when any char is unrepresentable
+    (caller falls back to literal strings)."""
+    from ..kernel.pdftext import base_encoding_map  # noqa: PLC0415
+
+    fwd = base_encoding_map(enc_name.decode())
+    rev: dict[str, int] = {}
+    for code in sorted(fwd):
+        rev.setdefault(fwd[code], code)
+    charset = set(text) - {"\n"}
+    if not charset <= rev.keys():
+        return None
+    return {c: rev[c] for c in charset}
 
 
 def lzw_encode(data: bytes, early: int = 1) -> bytes:
@@ -333,6 +359,20 @@ def build_pdf(
                 + b" >> >>"
             )
             font_res = b"<< /F1 %d 0 R /F3 %d 0 R >>" % (font_num, diff_font_num)
+    if variant == 8:
+        enc_name = _BASE_ENCODINGS[len(text) % 3]
+        codes = _base_enc_codes("".join(lines), enc_name)
+        if codes is not None:
+            code_width = 1
+            enc_font_num = next_num
+            next_num += 1
+            objs[enc_font_num] = (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /" + enc_name + b" >>"
+            )
+            # same /F3 resource tag as variant 7: _content_ops selects
+            # it for any 1-byte-coded simple font
+            font_res = b"<< /F1 %d 0 R /F3 %d 0 R >>" % (font_num, enc_font_num)
     if variant == 5:
         codes = _cid_codes("".join(lines))
         cmap_raw = zlib.compress(_tounicode_cmap(codes))

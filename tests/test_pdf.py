@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4, 5, 6, 7])
+@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4, 5, 6, 7, 8])
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -192,7 +192,7 @@ _doc = st.lists(_line, min_size=1, max_size=8).map("\n".join)
 
 
 @settings(max_examples=150, deadline=None)
-@given(text=_doc, variant=st.integers(0, 7), two_col=st.booleans())
+@given(text=_doc, variant=st.integers(0, 8), two_col=st.booleans())
 def test_roundtrip_property(text, variant, two_col):
     pdf = build_pdf(text, variant=variant, two_column=two_col)
     assert extract_pdf_text(pdf) == text
@@ -524,3 +524,107 @@ def test_tounicode_bfrange_dst_overflow_is_clamped():
     # code 1 -> U+FFFF; codes 2,3 would overflow -> unmapped chr fallback
     got = extract_pdf_text(_cmap_pdf(cmap, b"000100020003"))
     assert got == "￿\x02\x03"
+
+
+# ---------------------------------------------------------------------------
+# Annex D simple-font base encodings (round 5 — VERDICT r4 item 3)
+
+
+def test_base_encoding_divergent_code_points():
+    """The code points where each Annex D table diverges from Latin-1 —
+    exactly the bytes that silently mojibaked before round 5."""
+    from sax_wasm_spark.kernel.pdftext import base_encoding_map
+
+    win = base_encoding_map("/WinAnsiEncoding")
+    # cp1252's 0x80-0x9F punctuation block (latin-1 has C1 controls here)
+    assert win[0x80] == "€"
+    assert (win[0x91], win[0x92], win[0x93], win[0x94]) == ("‘", "’", "“", "”")
+    assert win[0x95] == "•"
+    assert (win[0x96], win[0x97]) == ("–", "—")
+    assert win[0x85] == "…"
+    assert 0x81 not in win  # unassigned in WinAnsi — falls through
+
+    mac = base_encoding_map("MacRomanEncoding")
+    assert mac[0xA5] == "•"
+    assert (mac[0xD0], mac[0xD1]) == ("–", "—")
+    assert (mac[0xD2], mac[0xD3], mac[0xD4], mac[0xD5]) == ("“", "”", "‘", "’")
+    assert mac[0x8E] == "é"
+    assert mac[0xDB] == "¤"  # Annex D froze the pre-OS-8.5 table (not €)
+    assert 0xF0 not in mac  # Apple logo (private use) unmapped
+
+    std = base_encoding_map("StandardEncoding")
+    assert std[0x27] == "’" and std[0x60] == "‘"  # quote remaps
+    assert std[0o267] == "•"
+    assert (std[0o252], std[0o272]) == ("“", "”")
+    assert (std[0o261], std[0o320]) == ("–", "—")
+    assert std[0o256] == "ﬁ" and std[0o257] == "ﬂ"
+    assert std[0x41] == "A"  # ASCII letters unchanged
+    assert 0xA0 not in std
+
+    assert base_encoding_map("/Identity-H") is None
+    assert base_encoding_map("NotAnEncoding") is None
+
+
+def test_encoding_name_font_via_minipdf():
+    """A simple font whose /Encoding is the bare NAME: WinAnsi bytes
+    0x93/0x94/0x95 must decode as curly quotes + bullet, not as the
+    latin-1 C1 controls the pre-round-5 fallback produced."""
+    content = b"BT /F8 12 Tf 1 0 0 1 72 720 Tm (\x93Hi\x94 \x95 ok) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F8 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >> endobj\n"
+        b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "“Hi” • ok"
+
+
+def test_base_encoding_under_differences_via_minipdf():
+    """/BaseEncoding + /Differences compose (§9.6.5): Differences
+    override their codes, every other code reads from the base table."""
+    # MacRoman base: 0xD2/0xD3 curly quotes; Differences remaps 0x41->é
+    content = b"BT /F8 12 Tf 1 0 0 1 72 720 Tm (\xd2A\xd3B) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F8 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /Encoding "
+        b"<< /Type /Encoding /BaseEncoding /MacRomanEncoding "
+        b"/Differences [ 65 /eacute ] >> >> endobj\n"
+        b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "“é”B"
+
+
+def test_variant8_cycles_encodings_and_falls_back():
+    """The generator twin: the three paddings of one text hit all three
+    base encodings (chosen by len(text) % 3), non-ASCII punctuation
+    round-trips, and an unrepresentable charset falls back to literal
+    strings."""
+    text = "curly ‘quotes’ “and” – dashes — bullets •"
+    seen = set()
+    for pad in range(3):
+        t = text + " " * pad
+        pdf = build_pdf(t, variant=8)
+        for enc in (b"/WinAnsiEncoding", b"/MacRomanEncoding", b"/StandardEncoding"):
+            if enc in pdf:
+                seen.add(enc)
+        assert extract_pdf_text(pdf) == t
+    # all texts above are WinAnsi/MacRoman/Standard-representable, so
+    # the three paddings must emit three different encoding names
+    assert len(seen) == 3, seen
+    # CJK/emoji cannot be 1-byte coded: falls back, still round-trips
+    t = "fallback 漢字 \U0001f600"
+    pdf = build_pdf(t, variant=8)
+    assert b"Encoding" not in pdf or b"/WinAnsiEncoding" not in pdf
+    assert extract_pdf_text(pdf) == t
