@@ -1,6 +1,10 @@
 """End-to-end training-corpus preparation — the full pipeline a
 100 TB data-curation run needs, composed from the engine's operators:
 
+  0. ROBOTS    optional RFC 9309 gate (functions/robots.py): pages
+               whose url a per-host robots.txt dim table disallows are
+               dropped BEFORE extraction spends any compute on them,
+               with the blocked count in the stage stats;
   1. EXTRACT   raw pages → main-content text, url-hash sharded,
                resumable per shard with lineage (plans/lineage.py;
                positions-off kernel in the Python stage);
@@ -70,6 +74,8 @@ def run_pipeline(
     lang_allow: tuple[str, ...] = (),
     jaccard: float = 0.8,
     max_bucket: int | None = 10_000,
+    robots=None,
+    robots_user_agent: str = "*",
     run_id: str = "run",
 ) -> dict:
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -84,6 +90,29 @@ def run_pipeline(
         top_word_count,
     )
     from sax_wasm_spark.plans.lineage import read_extracted, run_extraction  # noqa: PLC0415
+
+    # ---- 0. optional robots.txt gate (RFC 9309) ----
+    # BEFORE extraction: a disallowed page must cost a broadcast-join
+    # probe, not a kernel run. ``robots`` is the per-host dim table
+    # (host, robots_txt); pages on hosts absent from it are allowed
+    # (the RFC's unavailable rule). One aggregation job records the
+    # blocked count; the filter itself is lazy and fuses into the
+    # extraction stage's scan.
+    robots_stats = None
+    if robots is not None:
+        from sax_wasm_spark.functions.robots import with_robots_allowed  # noqa: PLC0415
+
+        gated = with_robots_allowed(
+            pages, robots, url_col="url", user_agent=robots_user_agent
+        )
+        c = gated.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.when(~F.col("robots_allowed"), 1)), F.lit(0)
+            ).alias("blocked"),
+        ).collect()[0]
+        robots_stats = {"n_pages": c["n"], "n_blocked": c["blocked"]}
+        pages = gated.where(F.col("robots_allowed")).drop("robots_allowed")
 
     # ---- 1. extract (resumable; idempotent per shard) ----
     ex_stats = run_extraction(
@@ -211,6 +240,7 @@ def run_pipeline(
 
     return {
         "run_id": run_id,
+        "robots": robots_stats,
         "extract": ex_stats,
         "n_filtered": n_filtered,
         "dedup": de_stats,
@@ -241,6 +271,9 @@ def main():
     ap.add_argument("--langs", default="", help="comma list; empty = keep all")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--max-bucket", type=int, default=10_000)
+    ap.add_argument("--robots", default="",
+                    help="parquet of (host, robots_txt) — RFC 9309 gate before extraction")
+    ap.add_argument("--robots-user-agent", default="*")
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -280,6 +313,8 @@ def main():
             lang_allow=tuple(x for x in args.langs.split(",") if x),
             jaccard=args.jaccard,
             max_bucket=args.max_bucket or None,
+            robots=(spark.read.parquet(args.robots) if args.robots else None),
+            robots_user_agent=args.robots_user_agent,
             run_id=args.run_id,
         )
         print(json.dumps(stats))

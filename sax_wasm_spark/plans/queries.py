@@ -1960,6 +1960,82 @@ def q45_sql():
     """
 
 
+def q47_sequence_emit(spark, sf_dir):
+    """The trainer-handoff half of sequence packing (VERDICT r4 item
+    6): q45 proves the assignment, this EMITS the packed sequences —
+    per (shard, seq_no): the member doc_ids in order, the fence-post
+    token offsets ([0, t1, t1+t2, …, total] — element i is where doc i
+    starts, the last element is the sequence's token count), and a
+    tail-truncation flag (total > budget means the trainer clips the
+    final document's tail). Same contiguous-fill semantics and the
+    same scale shape as q45: ONE shard-partitioned window (no global
+    sort), then a groupBy whose member arrays are assembled IN-ROW
+    (sort_array + aggregate over the collected structs — no second
+    window, no per-doc shuffle)."""
+    from ..functions.text import token_count  # noqa: PLC0415
+
+    budget = 512
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count(F.col("text")).cast("long").alias("tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    packed = d.withColumn("seq_no", F.floor((cum - 1) / budget))
+    g = packed.groupBy("shard", "seq_no").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tok"))).alias("arr")
+    )
+    fence = F.aggregate(
+        F.col("arr"),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, s: F.concat(acc, F.array(F.element_at(acc, -1) + s["tok"])),
+    )
+    return (
+        g.select(
+            "shard",
+            "seq_no",
+            F.transform("arr", lambda s: s["doc_id"]).alias("doc_ids"),
+            fence.alias("offsets"),
+            F.element_at(fence, -1).alias("n_tokens"),
+            (F.element_at(fence, -1) > budget).alias("truncated"),
+        )
+        .orderBy("shard", "seq_no")
+    )
+
+
+def q47_sql():
+    # NB: tok mirrors token_count exactly — plain split, empty tokens
+    # counted (q45's oracle gotcha); offsets/n_tokens cast to BIGINT so
+    # DuckDB's HUGEINT window sums compare type-identically.
+    return """
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS tok
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, tok,
+             CAST(floor((sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - 1)
+                        / 512.0) AS BIGINT) AS seq_no
+      FROM d
+    ), cum AS (
+      SELECT shard, seq_no, doc_id, tok,
+             CAST(sum(tok) OVER (PARTITION BY shard, seq_no ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+      FROM packed
+    )
+    SELECT shard, seq_no,
+           list(doc_id ORDER BY doc_id) AS doc_ids,
+           list_prepend(CAST(0 AS BIGINT), list(cend ORDER BY doc_id)) AS offsets,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(tok) AS BIGINT) > 512 AS truncated
+    FROM cum
+    GROUP BY shard, seq_no
+    ORDER BY shard, seq_no
+    """
+
+
 def q46_robots_gate(spark, sf_dir):
     """robots.txt fetch gating (functions/robots.py — RFC 9309 parser,
     wildcards + $ anchors + longest-match/Allow-ties): urls are
@@ -2063,6 +2139,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q47_sequence_emit": q47_sequence_emit,
     "q46_robots_gate": q46_robots_gate,
     "q45_sequence_pack": q45_sequence_pack,
     "q44_host_politeness": q44_host_politeness,
@@ -2158,6 +2235,7 @@ ORACLES = {
     "q44_host_politeness": q44_sql(),
     "q45_sequence_pack": q45_sql(),
     "q46_robots_gate": q46_sql(),
+    "q47_sequence_emit": q47_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -218,3 +218,16 @@ def test_q45_window_is_shard_partitioned(spark):
     # a window with an empty partition spec would show SinglePartition
     # feeding the Window node
     assert "SinglePartition" not in plan.split("Sort")[0], plan[:3000]
+
+
+def test_q47_emit_stays_shard_partitioned(spark):
+    """The sequence-EMIT query (member arrays + offsets) must keep
+    q45's scale shape: one shard-partitioned window, arrays assembled
+    in-row — exactly one Window node, no global (SinglePartition)
+    sort before it, and no second window shuffle for the offsets."""
+    from sax_wasm_spark.plans.queries import q47_sequence_emit
+
+    plan = plan_of(q47_sequence_emit(spark, SF))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:3000]
+    assert re.search(r"hashpartitioning\(shard", plan), plan[:3000]
+    assert "SinglePartition" not in plan.split("Sort")[0], plan[:3000]

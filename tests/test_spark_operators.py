@@ -612,3 +612,50 @@ def test_tokenize_nested_matches_flat(spark, pages):
         F.size(F.filter("events", lambda e: e["event"] == 7)).alias("n_open")
     ).agg(F.sum("n_open")).collect()[0][0]
     assert n > 0
+
+
+def test_pipeline_robots_gate_blocks_and_counts(spark, pages, tmp_path):
+    """The --robots stage (VERDICT r4 item 5): a deny-all host's pages
+    are dropped BEFORE extraction and counted in the stage stats; an
+    allow-all host and hosts absent from the dim table pass through."""
+    from pyspark.sql import functions as F
+
+    from jobs.prepare_corpus_job import run_pipeline
+    from sax_wasm_spark.functions.url import url_host
+
+    hosts = [
+        r.h
+        for r in pages.select(url_host(F.col("url")).alias("h"))
+        .groupBy("h").count().orderBy(F.desc("count")).limit(2).collect()
+    ]
+    deny_host, allow_host = hosts[0], hosts[1]
+    n_denied = pages.where(
+        url_host(F.col("url")) == deny_host
+    ).count()
+    assert n_denied > 0
+    robots = spark.createDataFrame(
+        [
+            (deny_host, "User-agent: *\nDisallow: /\n"),
+            (allow_host, "User-agent: *\nAllow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    out = str(tmp_path / "robots_corpus")
+    stats = run_pipeline(
+        spark,
+        pages,
+        out,
+        num_shards=4,
+        min_quality=0.0,
+        min_chars=10,
+        robots=robots,
+        run_id="robots1",
+    )
+    assert stats["robots"]["n_pages"] == pages.count()
+    assert stats["robots"]["n_blocked"] == n_denied
+    extracted = spark.read.parquet(f"{out}/extracted")
+    ex_hosts = {
+        r.h for r in extracted.select(url_host(F.col("url")).alias("h")).collect()
+    }
+    assert deny_host not in ex_hosts  # blocked before extraction
+    assert allow_host in ex_hosts  # allow-all and absent hosts pass
