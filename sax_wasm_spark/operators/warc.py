@@ -42,9 +42,10 @@ WARC_PAGE_FIELDS = [
     # malformed records skipped while parsing this row's shard (lenient
     # mode: one junk record must not discard a ~1 GB shard's good pages)
     StructField("n_bad_records", IntegerType(), False),
-    # segmented records (WARC-Segment-Number / continuation) skipped in
-    # this row's shard — reassembly is out of scope, but the count must
-    # survive per shard (ISO 28500 §5.18-5.20)
+    # segment records (WARC-Segment-Number / continuation) left
+    # UNassembled in this row's shard: complete within-shard chains are
+    # reassembled into ordinary pages (ISO 28500 §5.20); chains whose
+    # other segments live in another shard are skipped with this count
     StructField("n_segment_records", IntegerType(), False),
 ]
 
@@ -143,9 +144,9 @@ def render_warc_column(
     """(id…, text) → (id…, warc:binary): one 3-record gzipped WARC file
     per document (warcinfo + request + response — the reader's record
     filtering is always exercised). The response shape cycles
-    ``first_id % 5`` (identity / chunked / gzip HTTP bodies, then a
-    WARC-Truncated record and a WARC-Segment-Number record — see
-    ``build_warc``); url defaults to a deterministic function of the
+    ``first_id % 6`` (identity / chunked / gzip HTTP bodies, a
+    WARC-Truncated record, a lone segment-1 record, and a complete
+    reassemblable segment chain — see ``build_warc``); url defaults to a deterministic function of the
     first id. Partitioning-invariant. Oracle twin of warc_to_pages —
     change the cycle in BOTH or the warc_roundtrip oracle breaks."""
     import pyarrow as pa  # noqa: PLC0415
@@ -178,7 +179,7 @@ def render_warc_column(
                     u,
                     "2024-01-01T00:00:00Z",
                     (t if t is not None else "").encode("utf-8"),
-                    variant=int(i) % 5,
+                    variant=int(i) % 6,
                 )
                 for i, u, t in zip(ids[0], urls, texts)
             ]

@@ -943,16 +943,18 @@ def pdf_extract_roundtrip_sql():
 def warc_roundtrip(spark, sf_dir):
     """Crawl-ingestion leg (sources/warc.py, operators/warc.py):
     documents are rendered into deterministic 3-record gzipped WARC
-    files — ``doc_id % 5`` cycles the response shape (identity /
+    files — ``doc_id % 6`` cycles the response shape (identity /
     chunked / Content-Encoding-gzip HTTP bodies, a WARC-Truncated
-    record, a WARC-Segment-Number record) — then parsed back into
-    pages rows. Round-trip equality (url, body text, HTTP status, row
-    status, and exactly ONE row per file despite the warcinfo/request
-    records) is the closed-form oracle for the record framing,
-    multi-member gzip, header grammar, chunked decoding, body
-    decompression, truncation flagging (status='truncated', body
-    kept), and segmented-record skip accounting (status='segmented',
-    no page fields)."""
+    record, a LONE segment-1 record, a complete two-segment chain) —
+    then parsed back into pages rows. Round-trip equality (url, body
+    text, HTTP status, row status, and exactly ONE row per file
+    despite the warcinfo/request records) is the closed-form oracle
+    for the record framing, multi-member gzip, header grammar, chunked
+    decoding, body decompression, truncation flagging
+    (status='truncated', body kept), segmented-record skip accounting
+    (status='segmented', no page fields — the continuation is in
+    another shard), and within-shard segment REASSEMBLY (§5.20: the
+    complete chain comes back as an ordinary ok page)."""
     from ..operators.warc import render_warc_column, warc_to_pages  # noqa: PLC0415
 
     d = load(spark, sf_dir, "documents").repartition(
@@ -972,13 +974,13 @@ def warc_roundtrip(spark, sf_dir):
 def warc_roundtrip_sql():
     return """
     SELECT doc_id,
-           CASE WHEN doc_id % 5 = 4 THEN NULL
+           CASE WHEN doc_id % 6 = 4 THEN NULL
                 ELSE 'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR)
            END AS url,
-           CASE WHEN doc_id % 5 = 4 THEN NULL ELSE text END AS page_text,
-           CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 200 END AS http_status,
-           CASE WHEN doc_id % 5 = 4 THEN 'segmented'
-                WHEN doc_id % 5 = 3 THEN 'truncated'
+           CASE WHEN doc_id % 6 = 4 THEN NULL ELSE text END AS page_text,
+           CASE WHEN doc_id % 6 = 4 THEN NULL ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 6 = 4 THEN 'segmented'
+                WHEN doc_id % 6 = 3 THEN 'truncated'
                 ELSE 'ok'
            END AS status
     FROM documents ORDER BY doc_id

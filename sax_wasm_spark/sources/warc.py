@@ -169,6 +169,7 @@ def _parse_records(
     pages: list[WarcPage] = []
     skipped = 0
     segmented = 0
+    segment_records: list[tuple[dict, bytes]] = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -210,17 +211,19 @@ def _parse_records(
             continue
         warc_type = headers.get("warc-type", "").lower()
         # ISO 28500 segmentation (§5.18-5.20): a response carrying
-        # WARC-Segment-Number holds only the FIRST piece of its payload
-        # and the rest lives in 'continuation' records, possibly in
-        # other shards. Reassembly is out of scope — both are skipped
-        # WITH accounting (never emitted as if complete); strict mode
-        # refuses, since a "round-trippable" file cannot contain them.
+        # WARC-Segment-Number holds only the FIRST piece of its payload;
+        # the rest lives in 'continuation' records. Chains whose every
+        # segment is in THIS input are reassembled at EOF (the common
+        # same-crawl-file case); incomplete chains — continuation in
+        # another shard — are skipped WITH accounting (never emitted as
+        # if complete). Strict mode refuses either way: a
+        # "round-trippable" single file should not need reassembly.
         if warc_type == "continuation" or (
             warc_type == "response" and "warc-segment-number" in headers
         ):
             if strict:
-                raise WarcError("segmented record (reassembly unsupported)")
-            segmented += 1
+                raise WarcError("segmented record (strict mode)")
+            segment_records.append((headers, body))
             continue
         if warc_type == "response":
             truncated = ""
@@ -253,7 +256,85 @@ def _parse_records(
                     truncated=truncated,
                 )
             )
+    if segment_records:
+        reassembled, leftover = _reassemble_segments(segment_records)
+        segmented += leftover
+        for headers, payload in reassembled:
+            try:
+                status, ctype, decoded = _parse_http_response(payload)
+            except WarcError:
+                skipped += 1
+                continue
+            pages.append(
+                WarcPage(
+                    url=headers.get("warc-target-uri", ""),
+                    warc_date=headers.get("warc-date", ""),
+                    status=status,
+                    content_type=ctype,
+                    body=decoded,
+                    truncated=(
+                        headers["warc-truncated"].strip().lower() or "unspecified"
+                        if "warc-truncated" in headers
+                        else ""
+                    ),
+                )
+            )
     return pages, skipped, segmented
+
+
+def _reassemble_segments(
+    records: list[tuple[dict, bytes]],
+) -> tuple[list[tuple[dict, bytes]], int]:
+    """Within-input segment reassembly (ISO 28500 §5.20): group the
+    stashed segment-1 responses and continuation records by the chain
+    id (segment 1's WARC-Record-ID == the continuations'
+    WARC-Segment-Origin-ID), and for every chain whose segments
+    1..N are all present — N known from the final continuation's
+    WARC-Segment-Total-Length, which must equal the concatenated
+    length — return (segment-1 headers, joined payload). Returns
+    (completed chains in input order, count of records left
+    unassembled — their continuations live in another shard)."""
+    chains: dict[str, dict[int, bytes]] = {}
+    heads: dict[str, dict] = {}
+    totals: dict[str, int] = {}
+    order: list[str] = []
+    n_bad = 0
+    for headers, body in records:
+        try:
+            seg_no = int(headers.get("warc-segment-number", ""))
+        except ValueError:
+            n_bad += 1
+            continue
+        if headers.get("warc-type", "").lower() == "continuation":
+            key = headers.get("warc-segment-origin-id", "")
+        else:  # the segment-1 response
+            key = headers.get("warc-record-id", "")
+        if not key:
+            n_bad += 1
+            continue
+        chains.setdefault(key, {})[seg_no] = body
+        if key not in heads and seg_no == 1:
+            heads[key] = headers
+            order.append(key)
+        if "warc-segment-total-length" in headers:
+            try:
+                totals[key] = int(headers["warc-segment-total-length"])
+            except ValueError:
+                pass
+    done: list[tuple[dict, bytes]] = []
+    leftover = n_bad
+    for key in order:
+        parts = chains.pop(key)
+        top = max(parts)
+        if set(parts) == set(range(1, top + 1)) and key in totals:
+            payload = b"".join(parts[i] for i in range(1, top + 1))
+            if len(payload) == totals[key]:
+                done.append((heads[key], payload))
+                continue
+        leftover += len(parts)
+    # chains with no segment 1 at all (head in another shard)
+    leftover += sum(len(p) for p in chains.values())
+    return done, leftover
 
 
 def parse_warc(data: bytes) -> list[WarcPage]:
@@ -323,15 +404,22 @@ def build_warc(
     response shape: 0 identity, 1 chunked, 2 gzip HTTP bodies; 3 an
     identity body whose record carries ``WARC-Truncated: length`` (the
     crawler flagged a length-capped fetch — the reader must surface it,
-    not pass it as complete); 4 a ``WARC-Segment-Number: 1`` record
-    (payload continues in other shards — the reader must skip it with
-    accounting, never emit the fragment as a page)."""
+    not pass it as complete); 4 a LONE ``WARC-Segment-Number: 1``
+    record (its continuation lives in another shard — the reader must
+    skip it with accounting, never emit the fragment as a page); 5 a
+    COMPLETE two-segment chain (segment-1 response + continuation with
+    WARC-Segment-Origin-ID and WARC-Segment-Total-Length, §5.20 — the
+    reader reassembles it into an ordinary page)."""
     extra_resp: list[tuple[str, str]] = []
+    segmented_chain = False
     if variant == 3:
         extra_resp.append(("WARC-Truncated", "length"))
         variant = 0
     elif variant == 4:
         extra_resp.append(("WARC-Segment-Number", "1"))
+        variant = 0
+    elif variant == 5:
+        segmented_chain = True
         variant = 0
     info = _record(
         "warcinfo",
@@ -347,19 +435,46 @@ def build_warc(
         ],
         b"GET / HTTP/1.1\r\nHost: synthetic\r\n\r\n",
     )
-    resp = _record(
-        "response",
-        [
-            ("WARC-Record-ID", f"<urn:det:{url}#resp>"),
-            ("WARC-Date", date),
-            ("WARC-Target-URI", url),
-            *extra_resp,
-        ],
-        _http_response(body, content_type, variant),
-    )
+    payload = _http_response(body, content_type, variant)
+    if segmented_chain:
+        half = len(payload) // 2
+        resp = _record(
+            "response",
+            [
+                ("WARC-Record-ID", f"<urn:det:{url}#resp>"),
+                ("WARC-Date", date),
+                ("WARC-Target-URI", url),
+                ("WARC-Segment-Number", "1"),
+            ],
+            payload[:half],
+        )
+        cont = _record(
+            "continuation",
+            [
+                ("WARC-Record-ID", f"<urn:det:{url}#cont>"),
+                ("WARC-Date", date),
+                ("WARC-Segment-Number", "2"),
+                ("WARC-Segment-Origin-ID", f"<urn:det:{url}#resp>"),
+                ("WARC-Segment-Total-Length", str(len(payload))),
+            ],
+            payload[half:],
+        )
+        records = (info, req, resp, cont)
+    else:
+        resp = _record(
+            "response",
+            [
+                ("WARC-Record-ID", f"<urn:det:{url}#resp>"),
+                ("WARC-Date", date),
+                ("WARC-Target-URI", url),
+                *extra_resp,
+            ],
+            payload,
+        )
+        records = (info, req, resp)
     if not gzipped:
-        return info + req + resp
+        return b"".join(records)
     out = io.BytesIO()
-    for rec in (info, req, resp):
+    for rec in records:
         out.write(gzip.compress(rec, mtime=0))
     return out.getvalue()

@@ -93,11 +93,13 @@ def test_spark_operator_roundtrip_and_poison(spark):
     )
     assert len(rows) == 30
     for r in rows:
-        mod = r.doc_id % 5
+        mod = r.doc_id % 6
         if mod == 4:
-            # segmented record: skipped with accounting, no page fields
+            # lone segment-1 record: skipped with accounting, no page
+            # fields (its continuation is in another shard)
             assert r.status == "segmented" and r.url is None and r.html is None
             continue
+        # mod 5 is a complete chain — reassembled into an ordinary page
         assert r.status == ("truncated" if mod == 3 else "ok")
         assert r.url == f"https://synth.example.com/p/{r.doc_id}"
         assert bytes(r.html).decode() == r.want, r.doc_id
@@ -289,3 +291,50 @@ def test_operator_empty_shard_accounting_rows(spark):
     assert rows[0].url is None and rows[0].html is None
     assert rows[1].status == "segmented" and rows[1].n_segment_records == 1
     assert rows[2].status == "ok" and bytes(rows[2].html) == b"whole"
+
+
+def test_segment_chain_reassembled_within_shard():
+    """§5.20: a complete chain (segment-1 response + continuation with
+    origin id + total length) in ONE input reassembles into an
+    ordinary page; out-of-order arrival and multi-doc shards work;
+    wrong totals or missing segments stay skipped-with-accounting."""
+    from sax_wasm_spark.sources.warc import _record, parse_warc_lenient
+
+    body = "chain content héllo \U0001f600 end".encode()
+    raw = build_warc(URL, DATE, body, variant=5, gzipped=False)
+    pages, skipped, segmented = parse_warc_lenient(raw)
+    assert (skipped, segmented) == (0, 0)
+    assert pages[0].url == URL and pages[0].body == body and pages[0].status == 200
+    # gzipped members too
+    pages, _, segmented = parse_warc_lenient(build_warc(URL, DATE, body, variant=5))
+    assert pages[0].body == body and segmented == 0
+    # a normal doc alongside a chain: both come back
+    other = build_warc("https://ex.com/o", DATE, b"plain", gzipped=False)
+    pages, _, segmented = parse_warc_lenient(other + raw)
+    assert {p.body for p in pages} == {b"plain", body} and segmented == 0
+
+    # out-of-order: continuation BEFORE its segment-1 record
+    i = raw.find(b"WARC/1.0\r\nWARC-Type: continuation")
+    j = raw.find(b"WARC/1.0\r\nWARC-Type: response")
+    reordered = raw[:j] + raw[i:] + raw[j:i]
+    pages, _, segmented = parse_warc_lenient(reordered)
+    assert pages and pages[0].body == body and segmented == 0
+
+    # wrong total length: chain refused, records counted
+    bad = raw.replace(b"WARC-Segment-Total-Length: ", b"WARC-Segment-Total-Length: 9")
+    pages, _, segmented = parse_warc_lenient(bad)
+    assert pages == [] and segmented == 2
+
+    # continuation without its head (head in another shard)
+    cont_only = _record(
+        "continuation",
+        [
+            ("WARC-Date", DATE),
+            ("WARC-Segment-Number", "2"),
+            ("WARC-Segment-Origin-ID", "<urn:elsewhere>"),
+            ("WARC-Segment-Total-Length", "10"),
+        ],
+        b"tail bytes",
+    )
+    pages, _, segmented = parse_warc_lenient(cont_only)
+    assert pages == [] and segmented == 1
