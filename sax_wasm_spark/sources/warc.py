@@ -305,15 +305,19 @@ def _reassemble_segments(
         except ValueError:
             n_bad += 1
             continue
-        if headers.get("warc-type", "").lower() == "continuation":
-            key = headers.get("warc-segment-origin-id", "")
-        else:  # the segment-1 response
-            key = headers.get("warc-record-id", "")
+        is_cont = headers.get("warc-type", "").lower() == "continuation"
+        key = (
+            headers.get("warc-segment-origin-id", "")
+            if is_cont
+            else headers.get("warc-record-id", "")
+        )
         if not key:
             n_bad += 1
             continue
         chains.setdefault(key, {})[seg_no] = body
-        if key not in heads and seg_no == 1:
+        # only a RESPONSE record can head a chain — a malformed
+        # continuation claiming segment 1 must not masquerade as one
+        if not is_cont and seg_no == 1 and key not in heads:
             heads[key] = headers
             order.append(key)
         if "warc-segment-total-length" in headers:

@@ -286,8 +286,11 @@ def test_lsh_hot_bucket_guard(spark):
     # leaves no persistent RDDs behind
     cached = getattr(pairs, "_sax_persisted", None)
     assert cached is not None
+    assert cached.storageLevel.useMemory  # armed guard cached its frame
     cached.unpersist(blocking=True)
-    assert not spark.sparkContext._jsc.getPersistentRDDs()
+    # released (other fixtures may hold their own caches in the shared
+    # session, so assert on THIS frame, not the global RDD registry)
+    assert not cached.storageLevel.useMemory
 
 
 def test_ivf_build_scales_in_n_lists(spark):

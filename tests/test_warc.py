@@ -338,3 +338,20 @@ def test_segment_chain_reassembled_within_shard():
     )
     pages, _, segmented = parse_warc_lenient(cont_only)
     assert pages == [] and segmented == 1
+
+    # a malformed CONTINUATION claiming segment 1 must not masquerade
+    # as a chain head (it has no target-uri; emitting it would produce
+    # a page from a fragment)
+    fake_head = _record(
+        "continuation",
+        [
+            ("WARC-Record-ID", "<c1>"),
+            ("WARC-Date", DATE),
+            ("WARC-Segment-Number", "1"),
+            ("WARC-Segment-Origin-ID", "<x>"),
+            ("WARC-Segment-Total-Length", "4"),
+        ],
+        b"frag",
+    )
+    pages, _, segmented = parse_warc_lenient(fake_head)
+    assert pages == [] and segmented == 1
