@@ -490,13 +490,19 @@ def main():
     # summary line (scalar headline metrics, < 1800 chars, verified by
     # tests/test_bench_contract.py); the full detail goes to
     # BENCH_DETAIL.json next to this file and to stderr.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(result), file=sys.stderr, flush=True)
+    # the compact stdout line goes FIRST — a failed detail write (read-
+    # only checkout, full disk) must never cost the driver its one
+    # parseable line; the detail file + stderr copy are best-effort
     print(json.dumps(compact_result(result)), flush=True)
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:
+        print(f"BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    print(json.dumps(result), file=sys.stderr, flush=True)
 
 
 def compact_result(result: dict) -> dict:

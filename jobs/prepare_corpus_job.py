@@ -105,7 +105,13 @@ def run_pipeline(
         gated = with_robots_allowed(
             pages, robots, url_col="url", user_agent=robots_user_agent
         )
-        c = gated.agg(
+        # stats job reads ONLY the flag column: Catalyst prunes the scan
+        # to the url column (the gate's sole input) — at corpus scale
+        # this pass costs a url-column scan + broadcast probe, never a
+        # re-read of the html bytes. The gate itself is then re-probed
+        # lazily inside the extraction scan (same cost model: one
+        # broadcast probe per row, fused into the stage).
+        c = gated.select("robots_allowed").agg(
             F.count("*").alias("n"),
             F.coalesce(
                 F.sum(F.when(~F.col("robots_allowed"), 1)), F.lit(0)

@@ -153,17 +153,31 @@ def _select_groups(groups, user_agent: str):
     return [g for g in groups if "*" in g[0]]
 
 
-def _match(pattern: str, path: str) -> int:
-    """RFC 9309 path match: returns the PATTERN length if ``pattern``
-    matches a prefix of ``path`` (with ``*`` wildcards and an optional
-    ``$`` end anchor), else -1. Pattern length is the specificity used
-    for longest-match precedence."""
+def _compile_pattern(pattern: str) -> tuple[bool, tuple[str, ...], int]:
+    """pattern → (anchored, wildcard-split parts, specificity length).
+    Done ONCE per rule at compile time — robots_allowed runs per url
+    and must not re-split/re-replace the pattern in its hot loop."""
     anchored = pattern.endswith("$")
     pat = pattern[:-1] if anchored else pattern
     # a non-trailing raw '$' is a literal character — normalize it to
     # the same sentinel paths use so it can actually match one
     pat = pat.replace("$", _LIT_DOLLAR)
-    parts = pat.split("*")
+    return anchored, tuple(pat.split("*")), len(pattern)
+
+
+def _match(pattern: str, path: str) -> int:
+    """RFC 9309 path match: returns the PATTERN length if ``pattern``
+    matches a prefix of ``path`` (with ``*`` wildcards and an optional
+    ``$`` end anchor), else -1. Pattern length is the specificity used
+    for longest-match precedence. (Test/one-shot convenience wrapper
+    over the compiled form robots_allowed uses.)"""
+    anchored, parts, plen = _compile_pattern(pattern)
+    return _match_compiled(anchored, parts, plen, path)
+
+
+def _match_compiled(
+    anchored: bool, parts: tuple[str, ...], plen: int, path: str
+) -> int:
     if not path.startswith(parts[0]):
         return -1
     pos = len(parts[0])
@@ -171,7 +185,7 @@ def _match(pattern: str, path: str) -> int:
         # no wildcard: plain prefix; '$' demands an exact full match
         if anchored and pos != len(path):
             return -1
-        return len(pattern)
+        return plen
     # middle parts: greedy sequential find
     for part in parts[1:-1]:
         idx = path.find(part, pos)
@@ -183,25 +197,30 @@ def _match(pattern: str, path: str) -> int:
         # the final literal must sit at the very end, at or after pos
         if not path.endswith(last) or len(path) - len(last) < pos:
             return -1
-        return len(pattern)
+        return plen
     if last:
         idx = path.find(last, pos)
         if idx < 0:
             return -1
-    return len(pattern)
+    return plen
 
 
 @lru_cache(maxsize=4096)
 def compile_robots(body: str | None, user_agent: str = "*") -> tuple:
-    """robots.txt body → tuple of (is_allow, pattern) rules: the
-    COMBINED rules of every group governing ``user_agent``. Memoized: a
-    crawl evaluates millions of urls against thousands of distinct
-    robots bodies."""
+    """robots.txt body → tuple of COMPILED rules
+    ``(is_allow, anchored, parts, specificity)``: the COMBINED rules of
+    every group governing ``user_agent``, each pattern pre-split at
+    compile time so robots_allowed's per-url loop does no string
+    processing beyond find/startswith. Empty patterns (``Disallow:`` =
+    allow-all) carry no rule and are dropped here. Memoized: a crawl
+    evaluates millions of urls against thousands of distinct bodies."""
     if not body:
         return ()
-    out: list[tuple[bool, str]] = []
+    out: list[tuple[bool, bool, tuple[str, ...], int]] = []
     for _, rules, _ in _select_groups(_parse_groups(body), user_agent):
-        out.extend(rules)
+        for is_allow, pattern in rules:
+            if pattern:
+                out.append((is_allow, *_compile_pattern(pattern)))
     return tuple(out)
 
 
@@ -229,10 +248,8 @@ def robots_allowed(rules: tuple, path: str) -> bool:
     path = _norm_path(path)
     best_len = -1
     best_allow = True
-    for is_allow, pattern in rules:
-        if not pattern:
-            continue  # empty 'Disallow:'/'Allow:' carries no rule
-        m = _match(pattern, path)
+    for is_allow, anchored, parts, plen in rules:
+        m = _match_compiled(anchored, parts, plen, path)
         if m < 0:
             continue
         if m > best_len or (m == best_len and is_allow and not best_allow):

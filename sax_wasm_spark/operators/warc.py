@@ -101,14 +101,20 @@ def warc_to_pages(
                     emit(r, None, None, None, None, None,
                          f"error:{type(e).__name__}", 1, 0)
                     continue
-                if not pages and (n_skipped or n_segmented):
-                    # every record skipped: the shard (and its skip
-                    # accounting) must not vanish silently (ADVICE r4)
-                    st = (
-                        "segmented"
-                        if n_segmented and not n_skipped
-                        else "empty"
-                    )
+                if not pages:
+                    # a shard that yields no pages must not vanish: an
+                    # auditor reconciling input shards against output
+                    # rows needs one row per shard regardless of why it
+                    # produced nothing (ADVICE r4 + round-5 review).
+                    # 'segmented' = only cross-shard segments, 'empty' =
+                    # records skipped, 'no_responses' = a valid shard of
+                    # warcinfo/request/metadata records only.
+                    if n_segmented and not n_skipped:
+                        st = "segmented"
+                    elif n_skipped:
+                        st = "empty"
+                    else:
+                        st = "no_responses"
                     emit(r, None, None, None, None, None, st,
                          n_skipped, n_segmented)
                     continue

@@ -298,6 +298,8 @@ def _reassemble_segments(
     heads: dict[str, dict] = {}
     totals: dict[str, int] = {}
     order: list[str] = []
+    poisoned: set[str] = set()
+    rec_counts: dict[str, int] = {}
     n_bad = 0
     for headers, body in records:
         try:
@@ -314,7 +316,15 @@ def _reassemble_segments(
         if not key:
             n_bad += 1
             continue
-        chains.setdefault(key, {})[seg_no] = body
+        rec_counts[key] = rec_counts.get(key, 0) + 1
+        parts = chains.setdefault(key, {})
+        if seg_no in parts:
+            # duplicate (chain, segment) — e.g. re-crawled records with
+            # colliding ids. Which body is right is undecidable here, so
+            # the whole chain is poisoned: emitting head A's url with
+            # body B would be silent corruption.
+            poisoned.add(key)
+        parts[seg_no] = body
         # only a RESPONSE record can head a chain — a malformed
         # continuation claiming segment 1 must not masquerade as one
         if not is_cont and seg_no == 1 and key not in heads:
@@ -330,14 +340,14 @@ def _reassemble_segments(
     for key in order:
         parts = chains.pop(key)
         top = max(parts)
-        if set(parts) == set(range(1, top + 1)) and key in totals:
+        if key not in poisoned and set(parts) == set(range(1, top + 1)) and key in totals:
             payload = b"".join(parts[i] for i in range(1, top + 1))
             if len(payload) == totals[key]:
                 done.append((heads[key], payload))
                 continue
-        leftover += len(parts)
+        leftover += rec_counts[key]  # RECORDS, not slots — duplicates count
     # chains with no segment 1 at all (head in another shard)
-    leftover += sum(len(p) for p in chains.values())
+    leftover += sum(rec_counts[k] for k in chains)
     return done, leftover
 
 

@@ -286,11 +286,22 @@ def test_operator_empty_shard_accounting_rows(spark):
     df = spark.createDataFrame(
         [(0, all_bad), (1, all_seg), (2, good)], "shard_id long, warc binary"
     )
+    # a VALID shard of only warcinfo/request records (crawl-metadata
+    # WARCs): zero pages, zero skips — still one accounting row
+    full = build_warc("https://ex.com/m", DATE, b"x", gzipped=False)
+    cut = full.find(b"WARC-Type: response") - len(b"WARC/1.0\r\n")
+    no_resp = full[:cut]
+    df2 = spark.createDataFrame([(3, no_resp)], "shard_id long, warc binary")
     rows = {r.shard_id: r for r in warc_to_pages(df, id_cols=("shard_id",)).collect()}
+    rows.update(
+        {r.shard_id: r for r in warc_to_pages(df2, id_cols=("shard_id",)).collect()}
+    )
     assert rows[0].status == "empty" and rows[0].n_bad_records == 1
     assert rows[0].url is None and rows[0].html is None
     assert rows[1].status == "segmented" and rows[1].n_segment_records == 1
     assert rows[2].status == "ok" and bytes(rows[2].html) == b"whole"
+    assert rows[3].status == "no_responses"
+    assert rows[3].n_bad_records == 0 and rows[3].n_segment_records == 0
 
 
 def test_segment_chain_reassembled_within_shard():
@@ -355,3 +366,12 @@ def test_segment_chain_reassembled_within_shard():
     )
     pages, _, segmented = parse_warc_lenient(fake_head)
     assert pages == [] and segmented == 1
+
+    # duplicate (chain, segment) records poison the chain: which body
+    # is right is undecidable, so emitting either would risk pairing
+    # head A's url with body B — refuse with full record accounting
+    i2 = raw.find(b"WARC/1.0\r\nWARC-Type: response")
+    j2 = raw.find(b"WARC/1.0\r\nWARC-Type: continuation")
+    dup = raw[i2:j2].replace(b"chain content", b"EVIL  content")
+    pages, _, segmented = parse_warc_lenient(raw[:j2] + dup + raw[j2:])
+    assert pages == [] and segmented == 3
