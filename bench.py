@@ -314,13 +314,31 @@ def warc_benchmark(cores: int = 8) -> dict:
 
     from sax_wasm_spark.operators.warc import render_warc_column, warc_to_pages
 
+    from pyspark.sql import functions as F2
+
     spark = _fresh_spark(cores, "bench-warc")
     try:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
             "doc_id", "text"
         )
+        # production shards hold MANY records (CC: ~1 GB each), so the
+        # per-shard machinery (multi-member gunzip, record resync,
+        # in-batch explosion) must be measured over multi-record blobs:
+        # concatenate 16 docs' WARC files per shard (gzip members
+        # concatenate losslessly; 16 keeps enough shards for full task
+        # parallelism at bench scale), keyed by doc_id block
+        per_doc = render_warc_column(docs, id_cols=("doc_id",))
         shards = (
-            render_warc_column(docs, id_cols=("doc_id",))
+            per_doc.groupBy((F2.col("doc_id") / 16).cast("long").alias("shard_id"))
+            .agg(
+                F2.aggregate(
+                    F2.array_sort(
+                        F2.collect_list(F2.struct("doc_id", "warc"))
+                    ),
+                    F2.lit(b""),
+                    lambda acc, s: F2.concat(acc, s["warc"]),
+                ).alias("warc")
+            )
             .repartition(4 * cores)
             .persist()
         )
@@ -328,11 +346,11 @@ def warc_benchmark(cores: int = 8) -> dict:
         total_mb = (
             shards.agg(F.sum(F.length("warc")).alias("b")).first()["b"] / 1e6
         )
-        warc_to_pages(shards, warc_col="warc", id_cols=("doc_id",)).count()  # warm
+        warc_to_pages(shards, warc_col="warc", id_cols=("shard_id",)).count()  # warm
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            warc_to_pages(shards, warc_col="warc", id_cols=("doc_id",)).count()
+            warc_to_pages(shards, warc_col="warc", id_cols=("shard_id",)).count()
             best = min(best, time.perf_counter() - t0)
         shards.unpersist()
         return {
