@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -47,20 +48,35 @@ WARC_PAGE_FIELDS = [
     # reassembled into ordinary pages (ISO 28500 §5.20); chains whose
     # other segments live in another shard are skipped with this count
     StructField("n_segment_records", IntegerType(), False),
+    # cross-shard stitching columns, populated ONLY on status='segment'
+    # rows (emit_segments=True): the chain id, this record's segment
+    # number, and the declared total payload length (final continuation
+    # only) — the groupBy key and validation inputs of stitch_segments
+    StructField("segment_origin", StringType(), True),
+    StructField("segment_number", LongType(), True),
+    StructField("segment_total", LongType(), True),
 ]
 
 
 def warc_to_pages(
-    df: DataFrame, warc_col: str = "warc", id_cols: tuple[str, ...] = ("shard_id",)
+    df: DataFrame,
+    warc_col: str = "warc",
+    id_cols: tuple[str, ...] = ("shard_id",),
+    emit_segments: bool = False,
 ) -> DataFrame:
     """(id…, warc:binary) → (id…, url, warc_date, http_status,
     content_type, html, status). One output row per response record;
-    one error row per unparseable shard."""
+    one error row per unparseable shard. With ``emit_segments=True``,
+    segment records that could not be reassembled within their shard
+    come out as ``status='segment'`` rows (raw record body in ``html``,
+    chain id / number / total in the segment columns) for a downstream
+    :func:`stitch_segments` pass instead of being counted and
+    dropped."""
     import pyarrow as pa  # noqa: PLC0415
 
     from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
 
-    from ..sources.warc import parse_warc_lenient  # noqa: PLC0415
+    from ..sources.warc import parse_warc_with_segments  # noqa: PLC0415
 
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = StructType(list(id_fields) + WARC_PAGE_FIELDS)
@@ -79,8 +95,10 @@ def warc_to_pages(
             urls, dates, statuses, ctypes, htmls, row_status, bad, seg = (
                 [], [], [], [], [], [], [], [],
             )
+            seg_origin, seg_no, seg_total = [], [], []
 
-            def emit(r, url, date, status, ctype, html, st, n_bad, n_seg):
+            def emit(r, url, date, status, ctype, html, st, n_bad, n_seg,
+                     origin=None, number=None, total=None):
                 for j in range(n_id):
                     out_ids[j].append(ids[j][r])
                 urls.append(url)
@@ -91,17 +109,44 @@ def warc_to_pages(
                 row_status.append(st)
                 bad.append(n_bad)
                 seg.append(n_seg)
+                seg_origin.append(origin)
+                seg_no.append(number)
+                seg_total.append(total)
 
             for r, blob in enumerate(blobs):
                 try:
-                    pages, n_skipped, n_segmented = parse_warc_lenient(
+                    pages, n_skipped, leftovers = parse_warc_with_segments(
                         blob if blob is not None else b""
                     )
                 except Exception as e:  # wholly unreadable shard → one error row
                     emit(r, None, None, None, None, None,
                          f"error:{type(e).__name__}", 1, 0)
                     continue
-                if not pages:
+                n_segmented = len(leftovers)
+                if emit_segments:
+                    # unassembled segment records become stitchable rows
+                    for h, body in leftovers:
+                        is_cont = h.get("warc-type", "").lower() == "continuation"
+                        origin = (
+                            h.get("warc-segment-origin-id", "")
+                            if is_cont
+                            else h.get("warc-record-id", "")
+                        ) or None
+                        try:
+                            number = int(h.get("warc-segment-number", ""))
+                        except ValueError:
+                            number = None
+                        try:
+                            total = int(h["warc-segment-total-length"])
+                        except (KeyError, ValueError):
+                            total = None
+                        emit(
+                            r, h.get("warc-target-uri") or None,
+                            h.get("warc-date") or None, None, None, body,
+                            "segment", n_skipped, n_segmented,
+                            origin, number, total,
+                        )
+                if not pages and not (emit_segments and leftovers):
                     # a shard that yields no pages must not vanish: an
                     # auditor reconciling input shards against output
                     # rows needs one row per shard regardless of why it
@@ -135,6 +180,9 @@ def warc_to_pages(
                 pa.array(row_status, pa.string()),
                 pa.array(bad, pa.int32()),
                 pa.array(seg, pa.int32()),
+                pa.array(seg_origin, pa.string()),
+                pa.array(seg_no, pa.int64()),
+                pa.array(seg_total, pa.int64()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
@@ -192,6 +240,197 @@ def render_warc_column(
             arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [
                 pa.array(blobs, pa.binary())
             ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return src.mapInArrow(run, schema=out_schema)
+
+
+def stitch_segments(
+    df: DataFrame, id_cols: tuple[str, ...] = ("shard_id",)
+) -> DataFrame:
+    """Cross-shard segment reassembly (ISO 28500 §5.20) — the one WARC
+    path that cannot stay shard-local: ``status='segment'`` rows from
+    ``warc_to_pages(..., emit_segments=True)`` are shuffled ON THE
+    CHAIN ID (one groupBy — chains are bounded by a response's size, so
+    no group can be hot beyond one document) and each complete chain
+    (segments 1..N present exactly once, declared total length matches,
+    segment 1 carried the target URI) is stitched back into an
+    ordinary page row. Incomplete/conflicting chains come back as
+    ``status='segment_error'`` rows carrying the chain id and record
+    count, so crawl-wide accounting still reconciles. Output schema ==
+    warc_to_pages (id columns = MIN over the chain's shards)."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
+    from ..sources.warc import WarcError, _parse_http_response  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(list(id_fields) + WARC_PAGE_FIELDS)
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable)
+        for f in out_schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+
+    seg = df.where(
+        (F.col("status") == "segment") & F.col("segment_origin").isNotNull()
+    )
+    grouped = seg.groupBy("segment_origin").agg(
+        F.sort_array(F.collect_list(F.struct("segment_number", "html"))).alias(
+            "_parts"
+        ),
+        F.max("segment_total").alias("_total"),
+        F.max("url").alias("_url"),
+        F.max("warc_date").alias("_date"),
+        *[F.min(c).alias(c) for c in id_cols],
+    )
+    src = grouped.select("segment_origin", "_parts", "_total", "_url", "_date", *id_cols)
+    n_meta = 5  # origin, parts, total, url, date
+
+    def run(batches):
+        for rb in batches:
+            origins = rb.column(0).to_pylist()
+            parts_col = rb.column(1).to_pylist()
+            totals = rb.column(2).to_pylist()
+            urls_in = rb.column(3).to_pylist()
+            dates_in = rb.column(4).to_pylist()
+            ids = [rb.column(n_meta + j).to_pylist() for j in range(len(id_cols))]
+            out_ids: list[list] = [[] for _ in id_cols]
+            urls, dates, statuses, ctypes, htmls, row_status, bad, seg_n = (
+                [], [], [], [], [], [], [], [],
+            )
+            o_col, n_col, t_col = [], [], []
+            for i, origin in enumerate(origins):
+                parts = {
+                    p["segment_number"]: p["html"] for p in parts_col[i]
+                }
+                n_recs = len(parts_col[i])
+                ok = (
+                    None not in parts
+                    and len(parts) == n_recs  # no duplicate numbers
+                    and parts
+                    and set(parts) == set(range(1, max(parts) + 1))
+                    and totals[i] is not None
+                    and urls_in[i] is not None  # segment 1 was present
+                )
+                page = None
+                if ok:
+                    payload = b"".join(
+                        parts[k] for k in range(1, max(parts) + 1)
+                    )
+                    if len(payload) == totals[i]:
+                        try:
+                            page = _parse_http_response(payload)
+                        except WarcError:
+                            page = None
+                for j in range(len(id_cols)):
+                    out_ids[j].append(ids[j][i])
+                o_col.append(origin)
+                n_col.append(None)
+                t_col.append(totals[i])
+                if page is not None:
+                    status, ctype, body = page
+                    urls.append(urls_in[i])
+                    dates.append(dates_in[i])
+                    statuses.append(status)
+                    ctypes.append(ctype)
+                    htmls.append(body)
+                    row_status.append("ok")
+                    bad.append(0)
+                    seg_n.append(0)
+                else:
+                    urls.append(urls_in[i])
+                    dates.append(dates_in[i])
+                    statuses.append(None)
+                    ctypes.append(None)
+                    htmls.append(None)
+                    row_status.append("segment_error")
+                    bad.append(0)
+                    seg_n.append(n_recs)
+            arrays = [
+                pa.array(out_ids[j], type=arrow_fields[j].type)
+                for j in range(len(id_cols))
+            ] + [
+                pa.array(urls, pa.string()),
+                pa.array(dates, pa.string()),
+                pa.array(statuses, pa.int32()),
+                pa.array(ctypes, pa.string()),
+                pa.array(htmls, pa.binary()),
+                pa.array(row_status, pa.string()),
+                pa.array(bad, pa.int32()),
+                pa.array(seg_n, pa.int32()),
+                pa.array(o_col, pa.string()),
+                pa.array(n_col, pa.int64()),
+                pa.array(t_col, pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return src.mapInArrow(run, schema=out_schema)
+
+
+def render_warc_split_column(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Cross-shard synthesis twin of :func:`stitch_segments`: every
+    document becomes TWO shard rows — (id…, part 0) holding
+    warcinfo + request + the segment-1 response, (id…, part 1) holding
+    the continuation record alone — i.e. the chain is guaranteed to
+    span shards, so within-shard reassembly can never fire and the
+    stitch path is what reconstructs every page. Deterministic, no
+    external data (build_warc variant 5 split at the continuation
+    marker)."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
+    from ..sources.warc import build_warc  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields)
+        + [
+            StructField("part", IntegerType(), False),
+            StructField("warc", BinaryType(), False),
+        ]
+    )
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable)
+        for f in out_schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+    src = df.select(*id_cols, text_col)
+    n_id = len(id_cols)
+    marker = b"WARC/1.0\r\nWARC-Type: continuation"
+
+    def run(batches):
+        for rb in batches:
+            ids = [rb.column(j).to_pylist() for j in range(n_id)]
+            texts = rb.column(n_id).to_pylist()
+            out_ids: list[list] = [[] for _ in range(n_id)]
+            parts, blobs = [], []
+            for r, t in enumerate(texts):
+                i = ids[0][r]
+                full = build_warc(
+                    f"https://synth.example.com/p/{i}",
+                    "2024-01-01T00:00:00Z",
+                    (t if t is not None else "").encode("utf-8"),
+                    variant=5,
+                    gzipped=False,
+                )
+                cut = full.find(marker)
+                for part, blob in ((0, full[:cut]), (1, full[cut:])):
+                    for j in range(n_id):
+                        out_ids[j].append(ids[j][r])
+                    parts.append(part)
+                    blobs.append(blob)
+            arrays = [
+                pa.array(out_ids[j], type=arrow_fields[j].type)
+                for j in range(n_id)
+            ] + [pa.array(parts, pa.int32()), pa.array(blobs, pa.binary())]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     return src.mapInArrow(run, schema=out_schema)

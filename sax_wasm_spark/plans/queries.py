@@ -1962,6 +1962,51 @@ def q45_sql():
     """
 
 
+def q48_warc_cross_shard(spark, sf_dir):
+    """Cross-shard WARC segment reassembly (ISO 28500 §5.20, the one
+    crawl-ingestion path that cannot stay shard-local): every document
+    is rendered as a segment chain deliberately SPLIT across two shard
+    rows (render_warc_split_column), so within-shard reassembly can
+    never fire; ``warc_to_pages(emit_segments=True)`` surfaces the
+    fragments as rows and ``stitch_segments`` shuffles them ONCE on
+    the chain id and reconstructs the page. Round-trip equality (every
+    document back, byte-identical body, status 'ok') is the closed-form
+    oracle; the single-Exchange plan shape is gated in
+    tests/test_warc.py."""
+    from ..operators.warc import (  # noqa: PLC0415
+        render_warc_split_column,
+        stitch_segments,
+        warc_to_pages,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    shards = render_warc_split_column(d.select("doc_id", "text"), id_cols=("doc_id",))
+    rows = warc_to_pages(
+        shards, warc_col="warc", id_cols=("doc_id",), emit_segments=True
+    )
+    stitched = stitch_segments(rows, id_cols=("doc_id",))
+    return stitched.select(
+        "doc_id",
+        "url",
+        F.col("html").cast("string").alias("page_text"),
+        F.col("http_status").cast("int").alias("http_status"),
+        "status",
+    ).orderBy("doc_id")
+
+
+def q48_sql():
+    return """
+    SELECT doc_id,
+           'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           text AS page_text,
+           200 AS http_status,
+           'ok' AS status
+    FROM documents ORDER BY doc_id
+    """
+
+
 def q47_sequence_emit(spark, sf_dir):
     """The trainer-handoff half of sequence packing (VERDICT r4 item
     6): q45 proves the assignment, this EMITS the packed sequences —
@@ -2141,6 +2186,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q48_warc_cross_shard": q48_warc_cross_shard,
     "q47_sequence_emit": q47_sequence_emit,
     "q46_robots_gate": q46_robots_gate,
     "q45_sequence_pack": q45_sequence_pack,
@@ -2238,6 +2284,7 @@ ORACLES = {
     "q45_sequence_pack": q45_sql(),
     "q46_robots_gate": q46_sql(),
     "q47_sequence_emit": q47_sql(),
+    "q48_warc_cross_shard": q48_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -40,7 +40,14 @@ import io
 import zlib
 from typing import NamedTuple
 
-__all__ = ["WarcError", "WarcPage", "build_warc", "parse_warc", "parse_warc_lenient"]
+__all__ = [
+    "WarcError",
+    "WarcPage",
+    "build_warc",
+    "parse_warc",
+    "parse_warc_lenient",
+    "parse_warc_with_segments",
+]
 
 _CRLF = b"\r\n"
 
@@ -161,7 +168,7 @@ def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
 
 def _parse_records(
     data: bytes, strict: bool
-) -> tuple[list[WarcPage], int, int]:
+) -> tuple[list[WarcPage], int, int, list[tuple[dict, bytes]]]:
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     if not data.startswith(b"WARC/"):
@@ -256,9 +263,10 @@ def _parse_records(
                     truncated=truncated,
                 )
             )
+    leftover_segments: list[tuple[dict, bytes]] = []
     if segment_records:
-        reassembled, leftover = _reassemble_segments(segment_records)
-        segmented += leftover
+        reassembled, leftover_segments = _reassemble_segments(segment_records)
+        segmented += len(leftover_segments)
         for headers, payload in reassembled:
             try:
                 status, ctype, decoded = _parse_http_response(payload)
@@ -279,12 +287,12 @@ def _parse_records(
                     ),
                 )
             )
-    return pages, skipped, segmented
+    return pages, skipped, segmented, leftover_segments
 
 
 def _reassemble_segments(
     records: list[tuple[dict, bytes]],
-) -> tuple[list[tuple[dict, bytes]], int]:
+) -> tuple[list[tuple[dict, bytes]], list[tuple[dict, bytes]]]:
     """Within-input segment reassembly (ISO 28500 §5.20): group the
     stashed segment-1 responses and continuation records by the chain
     id (segment 1's WARC-Record-ID == the continuations'
@@ -292,20 +300,21 @@ def _reassemble_segments(
     1..N are all present — N known from the final continuation's
     WARC-Segment-Total-Length, which must equal the concatenated
     length — return (segment-1 headers, joined payload). Returns
-    (completed chains in input order, count of records left
-    unassembled — their continuations live in another shard)."""
+    (completed chains in input order, the RECORDS left unassembled —
+    their counterpart segments live in another shard; the cross-shard
+    stitcher in operators/warc.py consumes these as rows)."""
     chains: dict[str, dict[int, bytes]] = {}
     heads: dict[str, dict] = {}
     totals: dict[str, int] = {}
     order: list[str] = []
     poisoned: set[str] = set()
-    rec_counts: dict[str, int] = {}
-    n_bad = 0
+    rec_lists: dict[str, list[tuple[dict, bytes]]] = {}
+    leftover: list[tuple[dict, bytes]] = []
     for headers, body in records:
         try:
             seg_no = int(headers.get("warc-segment-number", ""))
         except ValueError:
-            n_bad += 1
+            leftover.append((headers, body))
             continue
         is_cont = headers.get("warc-type", "").lower() == "continuation"
         key = (
@@ -314,9 +323,9 @@ def _reassemble_segments(
             else headers.get("warc-record-id", "")
         )
         if not key:
-            n_bad += 1
+            leftover.append((headers, body))
             continue
-        rec_counts[key] = rec_counts.get(key, 0) + 1
+        rec_lists.setdefault(key, []).append((headers, body))
         parts = chains.setdefault(key, {})
         if seg_no in parts:
             # duplicate (chain, segment) — e.g. re-crawled records with
@@ -336,7 +345,6 @@ def _reassemble_segments(
             except ValueError:
                 pass
     done: list[tuple[dict, bytes]] = []
-    leftover = n_bad
     for key in order:
         parts = chains.pop(key)
         top = max(parts)
@@ -344,10 +352,12 @@ def _reassemble_segments(
             payload = b"".join(parts[i] for i in range(1, top + 1))
             if len(payload) == totals[key]:
                 done.append((heads[key], payload))
+                rec_lists.pop(key)
                 continue
-        leftover += rec_counts[key]  # RECORDS, not slots — duplicates count
+        leftover.extend(rec_lists.pop(key))  # RECORDS — duplicates count
     # chains with no segment 1 at all (head in another shard)
-    leftover += sum(rec_counts[k] for k in chains)
+    for key in chains:
+        leftover.extend(rec_lists[key])
     return done, leftover
 
 
@@ -367,7 +377,21 @@ def parse_warc_lenient(data: bytes) -> tuple[list[WarcPage], int, int]:
     segmented records (see :func:`_parse_records`) are counted
     separately. A wholly unreadable input (bad gzip, no WARC header)
     still raises."""
-    return _parse_records(data, strict=False)
+    pages, skipped, segmented, _ = _parse_records(data, strict=False)
+    return pages, skipped, segmented
+
+
+def parse_warc_with_segments(
+    data: bytes,
+) -> tuple[list[WarcPage], int, list[tuple[dict, bytes]]]:
+    """Lenient parse that SURFACES the unassembled segment records
+    instead of just counting them: (pages, n_skipped, leftovers) where
+    each leftover is (headers dict, body bytes). Feed the leftovers to
+    ``operators.warc.stitch_segments`` to reassemble chains whose
+    segments are spread across shards (a shuffle on the chain id —
+    the only WARC path that cannot stay shard-local)."""
+    pages, skipped, _, leftover = _parse_records(data, strict=False)
+    return pages, skipped, leftover
 
 
 # ---------------------------------------------------------------------------

@@ -375,3 +375,52 @@ def test_segment_chain_reassembled_within_shard():
     dup = raw[i2:j2].replace(b"chain content", b"EVIL  content")
     pages, _, segmented = parse_warc_lenient(raw[:j2] + dup + raw[j2:])
     assert pages == [] and segmented == 3
+
+
+def test_cross_shard_segment_stitching(spark):
+    """The one WARC path that can't stay shard-local: segment 1 lands
+    in shard A, its continuation in shard B. emit_segments surfaces
+    them as status='segment' rows and stitch_segments reassembles the
+    chain with ONE groupBy on the chain id; incomplete chains come
+    back as accountable segment_error rows."""
+    from sax_wasm_spark.operators.warc import stitch_segments, warc_to_pages
+
+    body = "cross-shard body héllo \U0001f600 tail".encode()
+    full = build_warc(URL, DATE, body, variant=5, gzipped=False)
+    i = full.find(b"WARC/1.0\r\nWARC-Type: continuation")
+    seg1_shard = full[:i]  # warcinfo + request + segment-1 response
+    cont_shard = full[i:]  # the continuation record alone
+    normal = build_warc("https://ex.com/n", DATE, b"plain doc", gzipped=False)
+    # an incomplete chain: segment-1 whose continuation never arrives
+    lone = build_warc("https://ex.com/lone", DATE, b"never completes", variant=4, gzipped=False)
+    df = spark.createDataFrame(
+        [(0, seg1_shard), (1, cont_shard), (2, normal), (3, lone)],
+        "shard_id long, warc binary",
+    )
+    rows = warc_to_pages(df, id_cols=("shard_id",), emit_segments=True)
+    by_status = {}
+    for r in rows.collect():
+        by_status.setdefault(r.status, []).append(r)
+    assert len(by_status["ok"]) == 1  # the normal doc
+    segs = by_status["segment"]
+    assert len(segs) == 3  # seg1 + continuation + the lone seg1
+    assert {s.shard_id for s in segs} == {0, 1, 3}
+    assert all(s.segment_origin for s in segs)
+
+    stitched = stitch_segments(rows, id_cols=("shard_id",)).collect()
+    ok = [r for r in stitched if r.status == "ok"]
+    err = [r for r in stitched if r.status == "segment_error"]
+    assert len(ok) == 1 and len(err) == 1
+    assert ok[0].url == URL and bytes(ok[0].html) == body
+    assert ok[0].http_status == 200 and ok[0].shard_id == 0  # min shard
+    assert err[0].url == "https://ex.com/lone"
+    assert err[0].n_segment_records == 1  # accounting survives
+
+    # plan shape: exactly one shuffle (the chain-id groupBy)
+    plan = rows._sc._jvm.PythonSQLUtils.explainString(
+        stitch_segments(rows, id_cols=("shard_id",))._jdf.queryExecution(),
+        "formatted",
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
