@@ -324,3 +324,49 @@ def with_robots_allowed(
     return joined.withColumn(
         out_col, allowed(F.col(tmp_body), url_path(F.col(url_col)))
     ).drop(tmp_host, tmp_body)
+
+
+def with_crawl_delay(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    user_agent: str = "*",
+    out_col: str = "crawl_delay_sec",
+    default_delay: float | None = None,
+) -> DataFrame:
+    """urls(…, url) × robots(host, robots_txt) → urls + double
+    ``out_col``: each url's host-declared ``Crawl-delay`` for
+    ``user_agent`` (group-scoped via :func:`crawl_delay` — a bot with
+    its own group does not inherit ``*``'s delay), or ``default_delay``
+    when the host declares none / has no robots.txt. Same scale shape
+    as :func:`with_robots_allowed`: broadcast per-host dim + memoized
+    vectorized UDF. Feed the result to a per-host window to lay out a
+    politeness-correct fetch schedule (q49)."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    from .url import url_host  # noqa: PLC0415
+
+    tmp_host, tmp_body = "__robots_host__", "__robots_body__"
+    for c in (tmp_host, tmp_body):
+        if c in urls.columns:
+            raise ValueError(f"urls must not contain reserved column {c!r}")
+
+    @pandas_udf("double")
+    def delay(bodies: pd.Series) -> pd.Series:
+        out = []
+        for body in bodies:
+            d = crawl_delay(body if isinstance(body, str) else None, user_agent)
+            out.append(d if d is not None else default_delay)
+        return pd.Series(out, dtype="float64")
+
+    r = robots.select(
+        F.col(host_col).alias(tmp_host), F.col(robots_col).alias(tmp_body)
+    )
+    joined = urls.withColumn(tmp_host, url_host(F.col(url_col))).join(
+        F.broadcast(r), tmp_host, "left"
+    )
+    return joined.withColumn(out_col, delay(F.col(tmp_body))).drop(
+        tmp_host, tmp_body
+    )

@@ -1962,6 +1962,81 @@ def q45_sql():
     """
 
 
+def q49_crawl_schedule(spark, sf_dir):
+    """Politeness-correct fetch scheduling — the synthesis of the
+    crawl-politeness triplet (q44 audits actual gaps, q46 gates what
+    may be fetched, this lays out WHEN): each host's declared
+    ``Crawl-delay`` is extracted from a constructed robots policy
+    (functions/robots.crawl_delay via with_crawl_delay — broadcast
+    per-host dim + memoized vectorized UDF; hosts without a
+    declaration fall back to the crawler's default), and each url's
+    scheduled offset is its per-host fetch rank × that delay (ONE
+    window shuffle on host). The oracle states the delays in closed
+    form from the host id — the parser is checked against ground
+    truth, not a SQL copy of itself."""
+    from ..functions.robots import with_crawl_delay  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 5).cast("string"), F.lit(".example.com"))
+    urls = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did.cast("string")).alias(
+            "url"
+        ),
+    )
+    robots = spark.createDataFrame(
+        [
+            # declared delays 1/2/3 s; h2's GoodBot group must NOT
+            # inherit the * group's larger delay (group scoping)
+            ("h0.example.com", "User-agent: *\nDisallow:\nCrawl-delay: 1\n"),
+            ("h1.example.com", "User-agent: *\nDisallow:\nCrawl-delay: 2\n"),
+            (
+                "h2.example.com",
+                "User-agent: GoodBot\nDisallow:\nCrawl-delay: 3\n\n"
+                "User-agent: *\nCrawl-delay: 60\n",
+            ),
+            # h4: robots present but silent on delay → default
+            ("h4.example.com", "User-agent: *\nDisallow: /tmp/\n"),
+            # h3: no robots.txt row at all → default
+        ],
+        "host string, robots_txt string",
+    )
+    dd = with_crawl_delay(
+        urls, robots, user_agent="GoodBot/1.0", default_delay=5.0
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        dd.withColumn(
+            "sched_offset_sec",
+            (F.row_number().over(w) - 1) * F.col("crawl_delay_sec"),
+        )
+        .select("doc_id", "host", "crawl_delay_sec", "sched_offset_sec")
+        .orderBy("doc_id")
+    )
+
+
+def q49_sql():
+    return """
+    WITH d AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN CAST(1.0 AS DOUBLE)
+               WHEN 1 THEN CAST(2.0 AS DOUBLE)
+               WHEN 2 THEN CAST(3.0 AS DOUBLE)
+               ELSE CAST(5.0 AS DOUBLE)
+             END AS crawl_delay_sec
+      FROM documents
+    )
+    SELECT doc_id, host, crawl_delay_sec,
+           (row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+             * crawl_delay_sec AS sched_offset_sec
+    FROM d ORDER BY doc_id
+    """
+
+
 def q48_warc_cross_shard(spark, sf_dir):
     """Cross-shard WARC segment reassembly (ISO 28500 §5.20, the one
     crawl-ingestion path that cannot stay shard-local): every document
@@ -2187,6 +2262,7 @@ QUERIES = {
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
     "q48_warc_cross_shard": q48_warc_cross_shard,
+    "q49_crawl_schedule": q49_crawl_schedule,
     "q47_sequence_emit": q47_sequence_emit,
     "q46_robots_gate": q46_robots_gate,
     "q45_sequence_pack": q45_sequence_pack,
@@ -2285,6 +2361,7 @@ ORACLES = {
     "q46_robots_gate": q46_sql(),
     "q47_sequence_emit": q47_sql(),
     "q48_warc_cross_shard": q48_sql(),
+    "q49_crawl_schedule": q49_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -253,3 +253,42 @@ def test_caller_robots_txt_column_is_safe(spark):
     rows = with_robots_allowed(urls, robots).collect()
     assert rows[0].robots_allowed is False
     assert rows[0].robots_txt == "unrelated"  # caller column untouched
+
+
+def test_with_crawl_delay_dataframe(spark):
+    """DataFrame crawl-delay extraction: declared delay surfaces, a
+    bot-specific group shadows '*' (no inheritance), silent/missing
+    robots fall back to the caller's default."""
+    from sax_wasm_spark.functions.robots import with_crawl_delay
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://a.com/x"),
+            (1, "https://b.com/x"),
+            (2, "https://c.com/x"),
+            (3, "https://d.com/x"),
+        ],
+        "id int, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2\n"),
+            (
+                "b.com",
+                "User-agent: GoodBot\nDisallow:\n\nUser-agent: *\nCrawl-delay: 60\n",
+            ),
+            ("c.com", "User-agent: *\nDisallow: /tmp/\n"),
+            # d.com absent
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r.id: r.crawl_delay_sec
+        for r in with_crawl_delay(
+            urls, robots, user_agent="GoodBot/1.0", default_delay=7.5
+        ).collect()
+    }
+    assert got[0] == 2.0  # '*' group applies to GoodBot (no own group)
+    assert got[1] == 7.5  # own group, silent on delay — no '*' inheritance
+    assert got[2] == 7.5  # robots present, no delay directive
+    assert got[3] == 7.5  # no robots at all
