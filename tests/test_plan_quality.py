@@ -231,3 +231,15 @@ def test_q47_emit_stays_shard_partitioned(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:3000]
     assert re.search(r"hashpartitioning\(shard", plan), plan[:3000]
     assert "SinglePartition" not in plan.split("Sort")[0], plan[:3000]
+
+
+def test_q49_schedule_single_host_window(spark):
+    """Crawl scheduling must plan one host-partitioned window (plus
+    the broadcast robots probe) — never a global sort."""
+    from sax_wasm_spark.plans.queries import q49_crawl_schedule
+
+    plan = plan_of(q49_crawl_schedule(spark, SF))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:3000]
+    assert re.search(r"hashpartitioning\(host", plan), plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SinglePartition" not in plan.split("Sort")[0], plan[:3000]

@@ -292,3 +292,52 @@ def test_with_crawl_delay_dataframe(spark):
     assert got[1] == 7.5  # own group, silent on delay — no '*' inheritance
     assert got[2] == 7.5  # robots present, no delay directive
     assert got[3] == 7.5  # no robots at all
+
+
+# ---------------------------------------------------------------------------
+# property-based robustness (hypothesis)
+
+import re as _re2  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# '%' and '$' excluded: percent-decoding and literal-sentinel
+# normalization happen ABOVE _match (compile/robots_allowed); this
+# property pins the wildcard matcher itself against an independent
+# regex reference.
+_PAT_ALPHA = "ab/c.*"
+_PATH_ALPHA = "ab/c.x-"
+
+
+def _regex_reference_match(pattern: str, path: str) -> int:
+    """Independent oracle for RFC 9309 '*'/'$' matching: translate the
+    pattern to an anchored regex. Returns the same specificity value
+    (pattern length) or -1."""
+    anchored = pattern.endswith("$")
+    pat = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(_re2.escape(p) for p in pat.split("*")) + (
+        "$" if anchored else ""
+    )
+    return len(pattern) if _re2.search(rx, path) else -1
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    pattern=st.text(alphabet=_PAT_ALPHA, min_size=0, max_size=12),
+    path=st.text(alphabet=_PATH_ALPHA, min_size=0, max_size=16),
+)
+def test_match_agrees_with_regex_reference(pattern, path):
+    assert _match(pattern, path) == _regex_reference_match(pattern, path), (
+        pattern,
+        path,
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(body=st.text(max_size=300), ua=st.text(max_size=20), path=st.text(max_size=40))
+def test_compile_and_evaluate_never_raise(body, ua, path):
+    """ANY text fed as a robots body / user-agent / path must produce a
+    boolean — a crawl cannot crash on a hostile robots.txt."""
+    rules = compile_robots(body, ua)
+    assert robots_allowed(rules, path) in (True, False)

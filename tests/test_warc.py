@@ -424,3 +424,46 @@ def test_cross_shard_segment_stitching(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# property-based robustness (hypothesis)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(seed=st.integers(0, 2**31), n_mut=st.integers(1, 30))
+def test_mutation_fuzz_lenient_parse_contract(seed, n_mut):
+    """ANY byte-mutated shard either parses leniently (some tuple) or
+    raises WarcError — never another exception, never a hang. This is
+    the contract warc_to_pages' poison handling relies on."""
+    import random
+
+    from sax_wasm_spark.sources.warc import parse_warc_lenient
+
+    rng = random.Random(seed)
+    base = bytearray(
+        b"".join(
+            build_warc(
+                f"https://f.com/{i}", DATE, b"fuzz doc %d" % i,
+                variant=i % 6, gzipped=(i % 2 == 0),
+            )
+            for i in range(3)
+        )
+    )
+    for _ in range(n_mut):
+        op = rng.randrange(3)
+        pos = rng.randrange(len(base))
+        if op == 0:
+            base[pos] = rng.randrange(256)
+        elif op == 1 and len(base) > 10:
+            del base[pos]
+        else:
+            base.insert(pos, rng.randrange(256))
+    try:
+        pages, skipped, segmented = parse_warc_lenient(bytes(base))
+    except WarcError:
+        return  # wholly unreadable — the operator maps this to an error row
+    assert isinstance(pages, list) and skipped >= 0 and segmented >= 0
