@@ -314,8 +314,6 @@ def warc_benchmark(cores: int = 8) -> dict:
 
     from sax_wasm_spark.operators.warc import render_warc_column, warc_to_pages
 
-    from pyspark.sql import functions as F2
-
     spark = _fresh_spark(cores, "bench-warc")
     try:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -329,14 +327,14 @@ def warc_benchmark(cores: int = 8) -> dict:
         # parallelism at bench scale), keyed by doc_id block
         per_doc = render_warc_column(docs, id_cols=("doc_id",))
         shards = (
-            per_doc.groupBy((F2.col("doc_id") / 16).cast("long").alias("shard_id"))
+            per_doc.groupBy((F.col("doc_id") / 16).cast("long").alias("shard_id"))
             .agg(
-                F2.aggregate(
-                    F2.array_sort(
-                        F2.collect_list(F2.struct("doc_id", "warc"))
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "warc"))
                     ),
-                    F2.lit(b""),
-                    lambda acc, s: F2.concat(acc, s["warc"]),
+                    F.lit(b""),
+                    lambda acc, s: F.concat(acc, s["warc"]),
                 ).alias("warc")
             )
             .repartition(4 * cores)

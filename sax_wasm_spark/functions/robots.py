@@ -281,6 +281,33 @@ def url_path(col: str | Column) -> Column:
     ).otherwise(rest)
 
 
+def _join_robots_dim(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str,
+    host_col: str,
+    robots_col: str,
+) -> tuple[DataFrame, str, str]:
+    """Shared scaffold of the two politeness operators: derive each
+    url's host, broadcast-join the per-host robots dim onto it, and
+    return (joined, body_col, host_col_tmp) with collision-guarded
+    scratch column names. Callers add their own UDF column and drop
+    the scratch columns."""
+    from .url import url_host  # noqa: PLC0415
+
+    tmp_host, tmp_body = "__robots_host__", "__robots_body__"
+    for c in (tmp_host, tmp_body):
+        if c in urls.columns:
+            raise ValueError(f"urls must not contain reserved column {c!r}")
+    r = robots.select(
+        F.col(host_col).alias(tmp_host), F.col(robots_col).alias(tmp_body)
+    )
+    joined = urls.withColumn(tmp_host, url_host(F.col(url_col))).join(
+        F.broadcast(r), tmp_host, "left"
+    )
+    return joined, tmp_body, tmp_host
+
+
 def with_robots_allowed(
     urls: DataFrame,
     robots: DataFrame,
@@ -297,13 +324,6 @@ def with_robots_allowed(
     collision-guarded against the callers' schemas."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
-    from .url import url_host  # noqa: PLC0415
-
-    tmp_host, tmp_body = "__robots_host__", "__robots_body__"
-    for c in (tmp_host, tmp_body):
-        if c in urls.columns:
-            raise ValueError(f"urls must not contain reserved column {c!r}")
-
     @pandas_udf("boolean")
     def allowed(bodies: pd.Series, paths: pd.Series) -> pd.Series:
         out = []
@@ -315,11 +335,8 @@ def with_robots_allowed(
             out.append(robots_allowed(rules, path if path else "/"))
         return pd.Series(out)
 
-    r = robots.select(
-        F.col(host_col).alias(tmp_host), F.col(robots_col).alias(tmp_body)
-    )
-    joined = urls.withColumn(tmp_host, url_host(F.col(url_col))).join(
-        F.broadcast(r), tmp_host, "left"
+    joined, tmp_body, tmp_host = _join_robots_dim(
+        urls, robots, url_col, host_col, robots_col
     )
     return joined.withColumn(
         out_col, allowed(F.col(tmp_body), url_path(F.col(url_col)))
@@ -346,13 +363,6 @@ def with_crawl_delay(
     politeness-correct fetch schedule (q49)."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
-    from .url import url_host  # noqa: PLC0415
-
-    tmp_host, tmp_body = "__robots_host__", "__robots_body__"
-    for c in (tmp_host, tmp_body):
-        if c in urls.columns:
-            raise ValueError(f"urls must not contain reserved column {c!r}")
-
     @pandas_udf("double")
     def delay(bodies: pd.Series) -> pd.Series:
         out = []
@@ -361,11 +371,8 @@ def with_crawl_delay(
             out.append(d if d is not None else default_delay)
         return pd.Series(out, dtype="float64")
 
-    r = robots.select(
-        F.col(host_col).alias(tmp_host), F.col(robots_col).alias(tmp_body)
-    )
-    joined = urls.withColumn(tmp_host, url_host(F.col(url_col))).join(
-        F.broadcast(r), tmp_host, "left"
+    joined, tmp_body, tmp_host = _join_robots_dim(
+        urls, robots, url_col, host_col, robots_col
     )
     return joined.withColumn(out_col, delay(F.col(tmp_body))).drop(
         tmp_host, tmp_body

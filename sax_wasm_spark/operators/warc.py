@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -55,6 +56,12 @@ WARC_PAGE_FIELDS = [
     StructField("segment_origin", StringType(), True),
     StructField("segment_number", LongType(), True),
     StructField("segment_total", LongType(), True),
+    # True = the segment-1 RESPONSE record; False = a continuation.
+    # stitch_segments requires exactly one head per chain — a chain of
+    # continuations numbered 1..N must not masquerade as complete
+    # (ISO 28500 requires continuations to carry WARC-Target-URI too,
+    # so the url alone cannot prove headness)
+    StructField("segment_is_head", BooleanType(), True),
 ]
 
 
@@ -95,10 +102,10 @@ def warc_to_pages(
             urls, dates, statuses, ctypes, htmls, row_status, bad, seg = (
                 [], [], [], [], [], [], [], [],
             )
-            seg_origin, seg_no, seg_total = [], [], []
+            seg_origin, seg_no, seg_total, seg_head = [], [], [], []
 
             def emit(r, url, date, status, ctype, html, st, n_bad, n_seg,
-                     origin=None, number=None, total=None):
+                     origin=None, number=None, total=None, is_head=None):
                 for j in range(n_id):
                     out_ids[j].append(ids[j][r])
                 urls.append(url)
@@ -112,6 +119,7 @@ def warc_to_pages(
                 seg_origin.append(origin)
                 seg_no.append(number)
                 seg_total.append(total)
+                seg_head.append(is_head)
 
             for r, blob in enumerate(blobs):
                 try:
@@ -144,7 +152,7 @@ def warc_to_pages(
                             r, h.get("warc-target-uri") or None,
                             h.get("warc-date") or None, None, None, body,
                             "segment", n_skipped, n_segmented,
-                            origin, number, total,
+                            origin, number, total, not is_cont,
                         )
                 if not pages and not (emit_segments and leftovers):
                     # a shard that yields no pages must not vanish: an
@@ -183,6 +191,7 @@ def warc_to_pages(
                 pa.array(seg_origin, pa.string()),
                 pa.array(seg_no, pa.int64()),
                 pa.array(seg_total, pa.int64()),
+                pa.array(seg_head, pa.bool_()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
@@ -252,12 +261,15 @@ def stitch_segments(
     path that cannot stay shard-local: ``status='segment'`` rows from
     ``warc_to_pages(..., emit_segments=True)`` are shuffled ON THE
     CHAIN ID (one groupBy — chains are bounded by a response's size, so
-    no group can be hot beyond one document) and each complete chain
-    (segments 1..N present exactly once, declared total length matches,
-    segment 1 carried the target URI) is stitched back into an
-    ordinary page row. Incomplete/conflicting chains come back as
-    ``status='segment_error'`` rows carrying the chain id and record
-    count, so crawl-wide accounting still reconciles. Output schema ==
+    no group can be hot beyond one document) and each complete chain is
+    stitched back into an ordinary page row. Complete means: exactly
+    ONE head (the segment-1 RESPONSE — continuations numbered 1..N must
+    not masquerade, same rule as the within-shard reassembler),
+    segments 1..N present exactly once, and the declared total length
+    matches. Everything else — incomplete, conflicting, head-less, or
+    missing its WARC-Segment-Origin-ID entirely — comes back as a
+    ``status='segment_error'`` row with a record count, so stitch
+    output reconciles 1:1 against input chains. Output schema ==
     warc_to_pages (id columns = MIN over the chain's shards)."""
     import pyarrow as pa  # noqa: PLC0415
 
@@ -274,17 +286,45 @@ def stitch_segments(
     ]
     arrow_schema = pa.schema(arrow_fields)
 
-    seg = df.where(
-        (F.col("status") == "segment") & F.col("segment_origin").isNotNull()
+    seg = df.where(F.col("status") == "segment")
+    # a continuation with no WARC-Segment-Origin-ID can never join a
+    # chain — surface it as its own error row instead of dropping it
+    # (each is its own "chain" keyed by a generated null-origin id)
+    orphans = seg.where(F.col("segment_origin").isNull()).select(
+        *id_cols,
+        "url",
+        "warc_date",
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("segment_error").alias("status"),
+        F.lit(0).alias("n_bad_records"),
+        F.lit(1).alias("n_segment_records"),
+        F.lit(None).cast("string").alias("segment_origin"),
+        F.col("segment_number"),
+        F.col("segment_total"),
+        F.col("segment_is_head"),
     )
-    grouped = seg.groupBy("segment_origin").agg(
-        F.sort_array(F.collect_list(F.struct("segment_number", "html"))).alias(
-            "_parts"
-        ),
-        F.max("segment_total").alias("_total"),
-        F.max("url").alias("_url"),
-        F.max("warc_date").alias("_date"),
-        *[F.min(c).alias(c) for c in id_cols],
+    grouped = (
+        seg.where(F.col("segment_origin").isNotNull())
+        .groupBy("segment_origin")
+        .agg(
+            # plain collect_list: order is irrelevant (the stitcher
+            # re-keys by segment number) and sort_array would compare
+            # multi-MB binary payloads byte-wise for nothing
+            F.collect_list(
+                F.struct("segment_number", "segment_is_head", "html")
+            ).alias("_parts"),
+            F.max("segment_total").alias("_total"),
+            # url/date must come from the HEAD record only — a
+            # continuation's Target-URI must not be attributed to the
+            # page if records disagree
+            F.max(F.when(F.col("segment_is_head"), F.col("url"))).alias("_url"),
+            F.max(
+                F.when(F.col("segment_is_head"), F.col("warc_date"))
+            ).alias("_date"),
+            *[F.min(c).alias(c) for c in id_cols],
+        )
     )
     src = grouped.select("segment_origin", "_parts", "_total", "_url", "_date", *id_cols)
     n_meta = 5  # origin, parts, total, url, date
@@ -301,19 +341,21 @@ def stitch_segments(
             urls, dates, statuses, ctypes, htmls, row_status, bad, seg_n = (
                 [], [], [], [], [], [], [], [],
             )
-            o_col, n_col, t_col = [], [], []
+            o_col, n_col, t_col, h_col = [], [], [], []
             for i, origin in enumerate(origins):
-                parts = {
-                    p["segment_number"]: p["html"] for p in parts_col[i]
-                }
-                n_recs = len(parts_col[i])
+                recs = parts_col[i]
+                parts = {p["segment_number"]: p["html"] for p in recs}
+                heads = [
+                    p["segment_number"] for p in recs if p["segment_is_head"]
+                ]
+                n_recs = len(recs)
                 ok = (
-                    None not in parts
+                    heads == [1]  # exactly one head, and it is segment 1
+                    and None not in parts
                     and len(parts) == n_recs  # no duplicate numbers
-                    and parts
                     and set(parts) == set(range(1, max(parts) + 1))
                     and totals[i] is not None
-                    and urls_in[i] is not None  # segment 1 was present
+                    and urls_in[i] is not None
                 )
                 page = None
                 if ok:
@@ -330,6 +372,7 @@ def stitch_segments(
                 o_col.append(origin)
                 n_col.append(None)
                 t_col.append(totals[i])
+                h_col.append(None)
                 if page is not None:
                     status, ctype, body = page
                     urls.append(urls_in[i])
@@ -364,10 +407,11 @@ def stitch_segments(
                 pa.array(o_col, pa.string()),
                 pa.array(n_col, pa.int64()),
                 pa.array(t_col, pa.int64()),
+                pa.array(h_col, pa.bool_()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-    return src.mapInArrow(run, schema=out_schema)
+    return src.mapInArrow(run, schema=out_schema).unionByName(orphans)
 
 
 def render_warc_split_column(

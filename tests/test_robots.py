@@ -302,11 +302,11 @@ import re as _re2  # noqa: E402
 from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
-# '%' and '$' excluded: percent-decoding and literal-sentinel
-# normalization happen ABOVE _match (compile/robots_allowed); this
-# property pins the wildcard matcher itself against an independent
-# regex reference.
-_PAT_ALPHA = "ab/c.*"
+# '%' excluded: percent-decoding happens ABOVE _match
+# (compile/robots_allowed). '$' IS included — the end-anchor lives in
+# _compile_pattern/_match_compiled, exactly the branch this property
+# must exercise; the regex reference implements the same semantics.
+_PAT_ALPHA = "ab/c.*$"
 _PATH_ALPHA = "ab/c.x-"
 
 

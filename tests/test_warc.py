@@ -467,3 +467,59 @@ def test_mutation_fuzz_lenient_parse_contract(seed, n_mut):
     except WarcError:
         return  # wholly unreadable — the operator maps this to an error row
     assert isinstance(pages, list) and skipped >= 0 and segmented >= 0
+
+
+def test_stitch_rejects_headless_and_orphan_chains(spark):
+    """Cross-shard masquerade guard (round-5 review): a chain of
+    CONTINUATIONS numbered 1..N with a matching total must not stitch
+    into an 'ok' page — only a segment-1 RESPONSE may head a chain.
+    And a continuation with no WARC-Segment-Origin-ID still yields an
+    accountable segment_error row instead of vanishing."""
+    from sax_wasm_spark.operators.warc import stitch_segments, warc_to_pages
+    from sax_wasm_spark.sources.warc import _record
+
+    body = b"fake payload pretending to be a page"
+    half = len(body) // 2
+    cont1 = _record(
+        "continuation",
+        [
+            ("WARC-Record-ID", "<urn:c1>"),
+            ("WARC-Date", DATE),
+            ("WARC-Target-URI", "https://evil.com/masquerade"),
+            ("WARC-Segment-Number", "1"),
+            ("WARC-Segment-Origin-ID", "<urn:lost-head>"),
+        ],
+        body[:half],
+    )
+    cont2 = _record(
+        "continuation",
+        [
+            ("WARC-Record-ID", "<urn:c2>"),
+            ("WARC-Date", DATE),
+            ("WARC-Segment-Number", "2"),
+            ("WARC-Segment-Origin-ID", "<urn:lost-head>"),
+            ("WARC-Segment-Total-Length", str(len(body))),
+        ],
+        body[half:],
+    )
+    orphan = _record(
+        "continuation",
+        [
+            ("WARC-Record-ID", "<urn:c3>"),
+            ("WARC-Date", DATE),
+            ("WARC-Segment-Number", "2"),
+            # no WARC-Segment-Origin-ID at all
+            ("WARC-Segment-Total-Length", "10"),
+        ],
+        b"tail bytes",
+    )
+    df = spark.createDataFrame(
+        [(0, cont1), (1, cont2), (2, orphan)], "shard_id long, warc binary"
+    )
+    rows = warc_to_pages(df, id_cols=("shard_id",), emit_segments=True)
+    segs = rows.where(rows.status == "segment").collect()
+    assert len(segs) == 3 and all(s.segment_is_head is False for s in segs)
+    stitched = stitch_segments(rows, id_cols=("shard_id",)).collect()
+    assert all(r.status == "segment_error" for r in stitched), stitched
+    # headless chain (2 records) + orphan (1 record) both reconcile
+    assert sorted(r.n_segment_records for r in stitched) == [1, 2]
