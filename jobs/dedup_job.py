@@ -88,6 +88,9 @@ def run_dedup(
     # 4. components → representatives
     clusters = resolve_clusters(verified)
     clusters.write.mode("overwrite").parquet(f"{out_path}/clusters")
+    cached = getattr(clusters, "_sax_persisted", None)
+    if cached is not None:  # free the final checkpoint's blocks
+        cached.unpersist()
     clusters = spark.read.parquet(f"{out_path}/clusters")
     near_drops = clusters.where(~F.col("keep")).select(
         F.col("doc_id").alias("drop_id"), F.lit("near").alias("reason")

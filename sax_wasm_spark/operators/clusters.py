@@ -54,6 +54,21 @@ def _unpersist_ids(df: DataFrame, ids) -> None:
             jrdd.unpersist(False)
 
 
+class _CheckpointHandle:
+    """Release handle for the FINAL round's checkpoint blocks, which
+    back the returned labels frame and therefore cannot be freed inside
+    resolve_clusters itself. Exposed as ``_sax_persisted`` (the same
+    convention as lines.py/dedup.py) so callers free it after
+    materializing — round-5 review: the blocks outlived the job
+    otherwise."""
+
+    def __init__(self, df: DataFrame, ids):
+        self._df, self._ids = df, ids
+
+    def unpersist(self, blocking: bool = False):  # noqa: ARG002
+        _unpersist_ids(self._df, self._ids)
+
+
 def resolve_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -104,9 +119,11 @@ def resolve_clusters(
         labels, labels_blocks = new, new_blocks
         if changed == 0:
             _unpersist_ids(edges, _edges_blocks)
-            return labels.select(
+            out = labels.select(
                 F.col("id").alias("doc_id"),
                 F.col("rep").alias("rep_id"),
                 (F.col("id") == F.col("rep")).alias("keep"),
             )
+            out._sax_persisted = _CheckpointHandle(labels, labels_blocks)
+            return out
     raise RuntimeError(f"resolve_clusters did not converge in {max_iter} rounds")
