@@ -1962,6 +1962,68 @@ def q45_sql():
     """
 
 
+def q50_snapshot_diff(spark, sf_dir):
+    """Recrawl-delta classification (operators/delta.snapshot_diff) —
+    the incremental-refresh primitive: a deterministic synthetic "new
+    crawl" is derived from the documents snapshot (every 7th doc's
+    text modified, every doc_id%7==1 dropped, a batch of brand-new
+    keys appended), and each key is classified
+    unchanged/changed/added/deleted by one full-outer hash join. The
+    oracle derives the same two snapshots in SQL, so the
+    classification itself is ground-truth-checked. Scale shape: hashes
+    (32 bytes) travel through the join, never texts; the join key is
+    the corpus's own shard key."""
+    from ..operators.delta import snapshot_diff  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    old = d.select("doc_id", "text")
+    new = (
+        d.where(did % 7 != 1)
+        .select(
+            "doc_id",
+            F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.where(did % 7 == 2).select(
+                (did + 10_000_000).alias("doc_id"),
+                F.concat(F.lit("added "), did.cast("string")).alias("text"),
+            )
+        )
+    )
+    return (
+        snapshot_diff(old, new, key_col="doc_id", text_col="text")
+        .orderBy("doc_id")
+    )
+
+
+def q50_sql():
+    return """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 1
+      UNION ALL
+      SELECT doc_id + 10000000, md5('added ' || CAST(doc_id AS VARCHAR))
+      FROM documents WHERE doc_id % 7 = 2
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'deleted'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed'
+           END AS change,
+           o.h AS old_hash,
+           n.h AS new_hash
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """
+
+
 def q49_crawl_schedule(spark, sf_dir):
     """Politeness-correct fetch scheduling — the synthesis of the
     crawl-politeness triplet (q44 audits actual gaps, q46 gates what
@@ -2263,6 +2325,7 @@ QUERIES = {
     "warc_roundtrip": warc_roundtrip,
     "q48_warc_cross_shard": q48_warc_cross_shard,
     "q49_crawl_schedule": q49_crawl_schedule,
+    "q50_snapshot_diff": q50_snapshot_diff,
     "q47_sequence_emit": q47_sequence_emit,
     "q46_robots_gate": q46_robots_gate,
     "q45_sequence_pack": q45_sequence_pack,
@@ -2362,6 +2425,7 @@ ORACLES = {
     "q47_sequence_emit": q47_sql(),
     "q48_warc_cross_shard": q48_sql(),
     "q49_crawl_schedule": q49_sql(),
+    "q50_snapshot_diff": q50_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

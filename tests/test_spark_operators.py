@@ -662,3 +662,37 @@ def test_pipeline_robots_gate_blocks_and_counts(spark, pages, tmp_path):
     }
     assert deny_host not in ex_hosts  # blocked before extraction
     assert allow_host in ex_hosts  # allow-all and absent hosts pass
+
+
+def test_snapshot_diff_classification(spark):
+    """operators/delta.snapshot_diff: the four change classes on a
+    hand-built pair of snapshots, plus the stats summary."""
+    from sax_wasm_spark.operators.delta import snapshot_diff, snapshot_diff_stats
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url string, text string",
+    )
+    diff = snapshot_diff(old, new)
+    got = {r.url: r.change for r in diff.collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "deleted",
+        "u4": "added",
+    }
+    rows = diff.collect()
+    by_url = {r.url: r for r in rows}
+    assert by_url["u3"].new_hash is None and by_url["u4"].old_hash is None
+    stats = {r.change: r.n for r in snapshot_diff_stats(diff).collect()}
+    assert stats == {"added": 1, "changed": 1, "deleted": 1, "unchanged": 1}
+    # the join must carry hashes, not texts: plan projects md5 before
+    # the exchange
+    plan = diff._sc._jvm.PythonSQLUtils.explainString(
+        diff._jdf.queryExecution(), "formatted"
+    )
+    assert "md5" in plan and "FullOuter" in plan, plan[:2000]
