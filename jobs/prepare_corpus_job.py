@@ -76,6 +76,7 @@ def run_pipeline(
     max_bucket: int | None = 10_000,
     robots=None,
     robots_user_agent: str = "*",
+    previous_path: str | None = None,
     run_id: str = "run",
 ) -> dict:
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -89,7 +90,11 @@ def run_pipeline(
         token_count,
         top_word_count,
     )
-    from sax_wasm_spark.plans.lineage import read_extracted, run_extraction  # noqa: PLC0415
+    from sax_wasm_spark.plans.lineage import (  # noqa: PLC0415
+        read_extracted,
+        run_extraction,
+        run_extraction_incremental,
+    )
 
     # ---- 0. optional robots.txt gate (RFC 9309) ----
     # BEFORE extraction: a disallowed page must cost a broadcast-join
@@ -121,9 +126,18 @@ def run_pipeline(
         pages = gated.where(F.col("robots_allowed")).drop("robots_allowed")
 
     # ---- 1. extract (resumable; idempotent per shard) ----
-    ex_stats = run_extraction(
-        spark, pages, out_path, num_shards=num_shards, run_id=run_id
-    )
+    # with --previous, the refresh classifies pages against the prior
+    # snapshot's html_hash and reuses unchanged rows instead of
+    # re-running the kernel on them (the dominant stage at scale)
+    if previous_path:
+        ex_stats = run_extraction_incremental(
+            spark, pages, out_path, previous_path,
+            num_shards=num_shards, run_id=run_id,
+        )
+    else:
+        ex_stats = run_extraction(
+            spark, pages, out_path, num_shards=num_shards, run_id=run_id
+        )
     extracted = read_extracted(spark, out_path)
 
     # ---- 2. language + quality gates (codegen-only projection) ----
@@ -280,6 +294,8 @@ def main():
     ap.add_argument("--robots", default="",
                     help="parquet of (host, robots_txt) — RFC 9309 gate before extraction")
     ap.add_argument("--robots-user-agent", default="*")
+    ap.add_argument("--previous", default="",
+                    help="prior run's output root — refresh incrementally, reusing unchanged pages")
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -321,6 +337,7 @@ def main():
             max_bucket=args.max_bucket or None,
             robots=(spark.read.parquet(args.robots) if args.robots else None),
             robots_user_agent=args.robots_user_agent,
+            previous_path=args.previous or None,
             run_id=args.run_id,
         )
         print(json.dumps(stats))

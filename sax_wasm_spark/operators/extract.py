@@ -206,30 +206,54 @@ def extract_bytes(html: bytes):
         return b"", [], 0, f"error:{type(e).__name__}", None
 
 
-def extract_main_content(df: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """DataFrame operator: pages(url, html, …) → extracted per FIXTURES.md §3.
 
     Output batches are pyarrow RecordBatches built directly from the
     column lists (``mapInArrow``) — no pandas intermediate, no object-
-    dtype inference on the nested spans column per batch."""
+    dtype inference on the nested spans column per batch.
+    ``passthrough`` columns are copied onto the output row-aligned
+    (exactly one output row per page) — e.g. the raw-html hash the
+    incremental refresh keys on (plans/lineage.run_extraction stores it
+    so the NEXT refresh can classify unchanged pages without
+    re-extracting them)."""
     import pyarrow as pa  # noqa: PLC0415
 
     from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
 
+    from pyspark.sql.types import StructType as _StructType  # noqa: PLC0415
+
+    out_struct = _StructType(
+        list(EXTRACT_SCHEMA.fields) + [df.schema[c] for c in passthrough]
+    )
     arrow_fields = [
-        pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in EXTRACT_SCHEMA.fields
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in out_struct.fields
     ]
     arrow_schema = pa.schema(arrow_fields)
-    src = df.select(url_col, html_col)
+    src = df.select(url_col, html_col, *passthrough)
 
     span_type = next(f.type for f in arrow_fields if f.name == "spans")
     span_struct = span_type.value_type
+
+    n_extract_fields = len(EXTRACT_SCHEMA.fields)
 
     def run(batches):
         for rb in batches:
             urls = rb.column(0).to_pylist()
             htmls = rb.column(1).to_pylist()
-            out = {f.name: [] for f in arrow_fields if f.name != "spans"}
+            # passthrough columns are row-aligned with the input batch:
+            # slice them straight through as arrow arrays (zero copy)
+            pass_arrays = [rb.column(2 + j) for j in range(len(passthrough))]
+            out = {
+                f.name: []
+                for f in arrow_fields[:n_extract_fields]
+                if f.name != "spans"
+            }
             # spans build flat (offsets + two int columns → ListArray of
             # StructArray): ~6x cheaper than a python dict per span
             span_offsets = [0]
@@ -258,8 +282,9 @@ def extract_main_content(df: DataFrame, html_col: str = "html", url_col: str = "
             )
             arrays = [
                 span_arr if f.name == "spans" else pa.array(out[f.name], type=f.type)
-                for f in arrow_fields
-            ]
+                for f in arrow_fields[:n_extract_fields]
+            ] + [arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+                 for arr in pass_arrays]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-    return src.mapInArrow(run, schema=EXTRACT_SCHEMA)
+    return src.mapInArrow(run, schema=out_struct)

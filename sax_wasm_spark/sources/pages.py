@@ -132,9 +132,15 @@ def build_page(doc_id: int, scale: int = 1) -> tuple[str, datetime.datetime, byt
 
 
 def synthesize_pages(
-    spark: SparkSession, n_pages: int, partitions: int | None = None, scale: int = 1
+    spark: SparkSession,
+    n_pages: int,
+    partitions: int | None = None,
+    scale: int = 1,
+    start_id: int = 0,
 ) -> DataFrame:
-    """Distributed deterministic corpus of ``n_pages`` rows."""
+    """Distributed deterministic corpus of ``n_pages`` rows (doc ids
+    ``start_id..start_id+n_pages`` — a nonzero start synthesizes a
+    disjoint batch, e.g. the added pages of a refresh test)."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
 
@@ -146,7 +152,7 @@ def synthesize_pages(
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return (
-        spark.range(0, n_pages, numPartitions=partitions)
+        spark.range(start_id, start_id + n_pages, numPartitions=partitions)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
     )
 

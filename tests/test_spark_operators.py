@@ -696,3 +696,57 @@ def test_snapshot_diff_classification(spark):
         diff._jdf.queryExecution(), "formatted"
     )
     assert "md5" in plan and "FullOuter" in plan, plan[:2000]
+
+
+def test_incremental_extraction_reuses_unchanged(spark, pages, tmp_path):
+    """run_extraction_incremental: a refresh where most pages are
+    byte-identical must reuse their previous extracted rows (no kernel
+    run), extract only the changed/added pages, and count deletions —
+    with the combined snapshot byte-identical to a from-scratch run."""
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.plans.lineage import (
+        run_extraction,
+        run_extraction_incremental,
+    )
+
+    base = str(tmp_path / "snap0")
+    run_extraction(spark, pages, base, num_shards=8, run_id="base")
+    prev = spark.read.parquet(f"{base}/extracted")
+    assert "html_hash" in prev.columns  # the refresh key is persisted
+
+    # new crawl: drop 5 urls, mutate 7 pages' html, add 6 new pages
+    from sax_wasm_spark.sources.pages import synthesize_pages
+
+    urls = sorted(r.url for r in pages.select("url").collect())
+    dropped = set(urls[:5])
+    mutated = set(urls[5:12])
+    new_pages = (
+        pages.where(~F.col("url").isin(*dropped))
+        .withColumn(
+            "html",
+            F.when(
+                F.col("url").isin(*mutated),
+                F.concat(F.col("html"), F.lit(b"<p>refresh delta</p>")),
+            ).otherwise(F.col("html")),
+        )
+        .unionByName(
+            synthesize_pages(spark, 6, partitions=1, start_id=90_000)
+        )
+    )
+    out = str(tmp_path / "snap1")
+    stats = run_extraction_incremental(
+        spark, new_pages, out, previous_path=base, num_shards=8, run_id="inc"
+    )
+    assert stats["n_deleted"] == 5
+    assert stats["n_extracted"] == 7 + 6  # mutated + added only
+    assert stats["n_reused"] == len(urls) - 5 - 7
+    assert stats["n_docs"] == stats["n_reused"] + stats["n_extracted"]
+
+    # the combined snapshot equals a from-scratch extraction bit for bit
+    scratch = str(tmp_path / "scratch")
+    run_extraction(spark, new_pages, scratch, num_shards=8, run_id="scratch")
+    cols = ["url", "text", "status", "n_events", "html_hash", "shard"]
+    a = sorted(map(tuple, spark.read.parquet(f"{out}/extracted").select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{scratch}/extracted").select(*cols).collect()))
+    assert a == b
