@@ -27,23 +27,44 @@ def snapshot_diff(
     key_col: str = "url",
     text_col: str = "text",
     out_col: str = "change",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """(key, change, old_hash, new_hash) for every key in either
     snapshot: ``unchanged`` / ``changed`` / ``added`` / ``deleted``.
     Hashes travel through the join instead of the texts, so the
-    shuffle carries ~32 bytes per row regardless of document size."""
+    shuffle carries ~32 bytes per row regardless of document size.
+
+    Presence is tracked by KEY membership (never by hash nullity) and
+    the content comparison is null-safe, so a key whose text is NULL
+    on one or both sides classifies as changed/unchanged — not as a
+    phantom add/delete that would tombstone a live document.
+
+    ``hash_col`` names an already-computed content-hash column on both
+    inputs (e.g. the ``html_hash`` the extraction snapshot persists);
+    without it the hash is ``md5(text_col)``.
+    """
+    if hash_col is not None:
+        oh = F.col(hash_col)
+        nh = F.col(hash_col)
+    else:
+        oh = F.md5(F.col(text_col))
+        nh = F.md5(F.col(text_col))
     o = old.select(
-        F.col(key_col).alias("_k"), F.md5(F.col(text_col)).alias("old_hash")
+        F.col(key_col).alias("_k"),
+        oh.alias("old_hash"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(key_col).alias("_k"), F.md5(F.col(text_col)).alias("new_hash")
+        F.col(key_col).alias("_k"),
+        nh.alias("new_hash"),
+        F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, "_k", "full_outer")
     return joined.select(
         F.col("_k").alias(key_col),
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("deleted"))
-        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias(out_col),
         "old_hash",

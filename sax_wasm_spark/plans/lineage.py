@@ -130,6 +130,36 @@ def read_extracted(spark: SparkSession, out_path: str, table_format: str = "parq
     raise ValueError(f"unknown table_format {table_format!r}")
 
 
+def _append_lineage(
+    spark: SparkSession, written: DataFrame, lineage_path: str, run_id: str
+) -> list:
+    """Aggregate per-shard stats over the PERSISTED output and append
+    them to the lineage table; returns the collected rows (tiny — one
+    per shard). Shared by run_extraction and the incremental refresh
+    so the two writers cannot drift."""
+    stats = (
+        written.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .withColumn("status", F.lit("ok"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("finished_at", F.lit(int(time.time() * 1000)))
+        .select(
+            "shard", "status", "n_docs", "n_chars", "n_events", "run_id",
+            "finished_at",
+        )
+    )
+    rows = stats.collect()
+    if rows:
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(lineage_path)
+    return rows
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
@@ -168,7 +198,9 @@ def run_extraction(
     # classification on (run_extraction_incremental)
     extracted = extract_main_content(
         todo.select("shard", "url", "html").withColumn(
-            "html_hash", F.md5(F.col("html"))
+            # NULL html extracts as b"" (extract_bytes), so it hashes
+            # as b"" too — the refresh must see the same hash
+            "html_hash", F.md5(F.coalesce(F.col("html"), F.lit(b"")))
         ),
         "html",
         "url",
@@ -187,23 +219,7 @@ def run_extraction(
     written = read_extracted(spark, out_path, table_format).join(
         F.broadcast(done), "shard", "left_anti"
     )
-    stats = (
-        written.groupBy("shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length("text")).alias("n_chars"),
-            F.sum("n_events").alias("n_events"),
-        )
-        .withColumn("status", F.lit("ok"))
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("finished_at", F.lit(int(time.time() * 1000)))
-        .select("shard", "status", "n_docs", "n_chars", "n_events", "run_id", "finished_at")
-    )
-    rows = stats.collect()  # lineage is tiny (one row per shard)
-    if rows:
-        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(
-            lineage_path
-        )
+    rows = _append_lineage(spark, written, lineage_path, run_id)
     return {
         "processed_shards": len(rows),
         "skipped_shards": n_done,
@@ -280,37 +296,76 @@ def run_extraction_incremental(
     previous extracted row verbatim (zero kernel runs — at a few
     percent churn this skips ~95% of the dominant stage); changed and
     added pages extract; urls absent from the new crawl are dropped
-    (counted as deleted). One url-keyed join classifies the corpus —
-    the same key the shards derive from, so bucketed snapshot tables
-    co-locate it. Previous outputs written before html_hash existed
-    classify as changed (safe, just not incremental for that row).
+    (counted as deleted). The classification is ONE url-keyed
+    projection join over (url, hash) — 32 bytes/row through the
+    shuffle, the same key the shards derive from. Edge rules:
 
-    Writes the combined snapshot to ``out_path`` (same shard-partition
-    layout + a fresh lineage table — an incremental refresh is a new
-    snapshot, not a resume of the old one; base ``run_extraction``
-    remains the per-shard-resumable primitive within a crawl).
+    - previous outputs written before ``html_hash`` existed classify
+      as changed (safe, just not incremental for those rows);
+    - NULL html hashes as ``md5(b"")`` — exactly what the extractor
+      produces for it — so such pages classify like any other;
+    - urls duplicated in EITHER snapshot are never reused (always
+      re-extracted): per-row reuse under duplication is ambiguous, and
+      re-extracting keeps the refreshed snapshot identical to a
+      from-scratch run.
+
+    Writes the combined snapshot to ``out_path`` — which must be a
+    FRESH root, not the previous one: an in-place refresh would read
+    and overwrite the same files, and dynamic partition overwrite over
+    stale data would resurrect deleted shards (checked, raises).
     Returns {n_reused, n_extracted, n_deleted, n_docs}.
     """
+    if previous_path == out_path:
+        raise ValueError(
+            "incremental refresh cannot write in place: out_path must "
+            "differ from previous_path (the reused rows are lazily read "
+            "from it during the write)"
+        )
+    try:
+        read_extracted(spark, out_path, table_format)
+        has_stale = True
+    except Exception:
+        has_stale = False
+    if has_stale:
+        raise ValueError(
+            f"out_path {out_path!r} already holds extracted data: dynamic "
+            "partition overwrite would keep stale shards (resurrecting "
+            "deleted urls) — refresh into a fresh snapshot root"
+        )
+
     prev = read_extracted(spark, previous_path, table_format)
+    if "html_hash" not in prev.columns:
+        # pre-refresh snapshot: no stored hashes — everything
+        # classifies as changed below (eqNullSafe never matches NULL
+        # against a real hash)
+        prev = prev.withColumn("html_hash", F.lit(None).cast("string"))
     hashed = with_shard(pages, num_shards).withColumn(
-        "html_hash", F.md5(F.col("html"))
+        "html_hash", F.md5(F.coalesce(F.col("html"), F.lit(b"")))
     )
-    prev_h = prev.select(
-        F.col("url").alias("_prev_url"), F.col("html_hash").alias("_prev_hash")
-    )
-    cls = hashed.join(
-        prev_h, hashed["url"] == prev_h["_prev_url"], "left"
-    ).drop("_prev_url")
 
+    # per-url classification over the tiny (url, hash) projections:
+    # reuse requires the url unique in BOTH snapshots and hash-equal
+    prev_u = prev.groupBy("url").agg(
+        F.count("*").alias("_n_prev"), F.min("html_hash").alias("_prev_hash")
+    )
+    new_u = hashed.groupBy("url").agg(
+        F.count("*").alias("_n_new"), F.min("html_hash").alias("_new_hash")
+    )
+    cls = new_u.join(prev_u, "url", "full_outer").persist()
+    n_reused = cls.where(
+        (F.col("_n_prev") == 1)
+        & (F.col("_n_new") == 1)
+        & F.col("_new_hash").eqNullSafe(F.col("_prev_hash"))
+    ).count()
+    n_deleted = cls.where(F.col("_n_new").isNull()).count()
     unchanged_urls = cls.where(
-        F.col("_prev_hash").isNotNull()
-        & (F.col("_prev_hash") == F.col("html_hash"))
+        (F.col("_n_prev") == 1)
+        & (F.col("_n_new") == 1)
+        & F.col("_new_hash").eqNullSafe(F.col("_prev_hash"))
     ).select("url")
-    todo = cls.where(
-        F.col("_prev_hash").isNull() | (F.col("_prev_hash") != F.col("html_hash"))
-    ).drop("_prev_hash")
-    todo = todo.repartition(max(num_shards // 4, 1), "shard")
 
+    todo = hashed.join(unchanged_urls, "url", "left_anti")
+    todo = todo.repartition(max(num_shards // 4, 1), "shard")
     extracted_new = extract_main_content(
         todo.select("shard", "url", "html", "html_hash"),
         "html",
@@ -324,33 +379,11 @@ def run_extraction_incremental(
     )
     combined = extracted_new.unionByName(reused)
     write_extracted_partitioned(combined, out_path, table_format)
+    cls.unpersist()
 
     written = read_extracted(spark, out_path, table_format)
-    n_docs = written.count()
-    n_reused = unchanged_urls.count()
-    n_deleted = prev.select("url").join(
-        hashed.select("url"), "url", "left_anti"
-    ).count()
-    stats = (
-        written.groupBy("shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length("text")).alias("n_chars"),
-            F.sum("n_events").alias("n_events"),
-        )
-        .withColumn("status", F.lit("ok"))
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("finished_at", F.lit(int(time.time() * 1000)))
-        .select(
-            "shard", "status", "n_docs", "n_chars", "n_events", "run_id",
-            "finished_at",
-        )
-    )
-    rows = stats.collect()
-    if rows:
-        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{out_path}/lineage")
+    rows = _append_lineage(spark, written, f"{out_path}/lineage", run_id)
+    n_docs = sum(r.n_docs for r in rows)
     return {
         "n_reused": n_reused,
         "n_extracted": n_docs - n_reused,

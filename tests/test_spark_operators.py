@@ -750,3 +750,87 @@ def test_incremental_extraction_reuses_unchanged(spark, pages, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(f"{out}/extracted").select(*cols).collect()))
     b = sorted(map(tuple, spark.read.parquet(f"{scratch}/extracted").select(*cols).collect()))
     assert a == b
+
+
+def test_snapshot_diff_null_text_is_not_phantom_delete(spark):
+    """NULL text must classify by KEY presence + null-safe hash
+    compare — never as a phantom add/delete that would tombstone a
+    live document (round-5 review)."""
+    from sax_wasm_spark.operators.delta import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "x"), ("u2", None), ("u3", None)], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", "y")], "url string, text string"
+    )
+    got = {r.url: r.change for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "changed", "u2": "unchanged", "u3": "changed"}
+
+
+def test_incremental_edge_cases(spark, tmp_path):
+    """Refresh edge rules: a pre-html_hash snapshot degrades to
+    all-changed (no crash), duplicated urls are never reused, NULL
+    html survives, and in-place / stale-output roots are refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.plans.lineage import (
+        run_extraction,
+        run_extraction_incremental,
+    )
+    from sax_wasm_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 20, partitions=2)
+    base = str(tmp_path / "base")
+    run_extraction(spark, pages, base, num_shards=4, run_id="b")
+
+    # 1. previous snapshot WITHOUT html_hash → everything re-extracts
+    legacy = str(tmp_path / "legacy")
+    spark.read.parquet(f"{base}/extracted").drop("html_hash").write.parquet(
+        f"{legacy}/extracted"
+    )
+    out1 = str(tmp_path / "out1")
+    stats = run_extraction_incremental(
+        spark, pages, out1, previous_path=legacy, num_shards=4, run_id="i1"
+    )
+    assert stats["n_reused"] == 0 and stats["n_extracted"] == 20
+
+    # 2. duplicated url (re-fetched twice, identical html) + NULL html:
+    #    neither is reused, neither is lost, output == from-scratch
+    dup_url = pages.limit(1).collect()[0].url
+    messy = (
+        pages.unionByName(pages.where(F.col("url") == dup_url))
+        .unionByName(
+            pages.limit(1).select(
+                F.lit("https://nullhtml.example.com/x").alias("url"),
+                F.col("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                F.col("text"),
+                F.col("lang"),
+            )
+        )
+    )
+    out2 = str(tmp_path / "out2")
+    stats = run_extraction_incremental(
+        spark, messy, out2, previous_path=base, num_shards=4, run_id="i2"
+    )
+    assert stats["n_docs"] == 22  # 20 + dup row + null-html row
+    assert stats["n_reused"] == 19  # all but the duplicated url
+    got = spark.read.parquet(f"{out2}/extracted")
+    assert got.where(F.col("url") == dup_url).count() == 2
+    assert got.where(F.col("url") == "https://nullhtml.example.com/x").count() == 1
+    scratch = str(tmp_path / "scratch2")
+    run_extraction(spark, messy, scratch, num_shards=4, run_id="s2")
+    cols = ["url", "text", "status", "html_hash"]
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(
+        map(tuple, spark.read.parquet(f"{scratch}/extracted").select(*cols).collect())
+    )
+    assert a == b
+
+    # 3. guards: in-place refresh and stale output roots are refused
+    with _pytest.raises(ValueError, match="in place"):
+        run_extraction_incremental(spark, pages, base, previous_path=base)
+    with _pytest.raises(ValueError, match="stale"):
+        run_extraction_incremental(spark, pages, out2, previous_path=base)
