@@ -500,25 +500,34 @@ def main():
         result["warc"] = warc_benchmark()
 
     result["value"] = round(time.perf_counter() - t_all, 3)
-    # Contract (third redesign — VERDICT r4 item 1): the driver keeps
-    # only a ~2000-char TAIL of stdout, so the full result dict (~4 KB)
-    # can never parse from there. stdout therefore carries ONE COMPACT
-    # summary line (scalar headline metrics, < 1800 chars, verified by
-    # tests/test_bench_contract.py); the full detail goes to
-    # BENCH_DETAIL.json next to this file and to stderr.
-    # the compact stdout line goes FIRST — a failed detail write (read-
-    # only checkout, full disk) must never cost the driver its one
-    # parseable line; the detail file + stderr copy are best-effort
-    print(json.dumps(compact_result(result)), flush=True)
+    emit_result(result)
+
+
+def emit_result(result: dict, detail_path: str | None = None) -> None:
+    """Emit the bench result under the driver-capture contract.
+
+    The driver keeps only a ~2000-char TAIL of the MERGED stdout+stderr
+    stream, so the compact summary line must be (a) short — <1800 chars,
+    pinned by tests/test_bench_contract.py — and (b) the LAST line this
+    process writes to EITHER stream. Rounds 3–5 all landed
+    ``parsed: null``: r3/r4 because the stdout line was ~4 KB, r5
+    because the full-detail dict was printed to stderr AFTER the compact
+    line and displaced it from the merged tail. Order here is therefore
+    load-bearing: detail copy to stderr first, best-effort
+    BENCH_DETAIL.json write (any failure message also lands before),
+    compact stdout line dead last.
+    """
+    print(json.dumps(result), file=sys.stderr, flush=True)
     try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
+        if detail_path is None:
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            )
         with open(detail_path, "w") as f:
             json.dump(result, f, indent=1)
     except OSError as e:
-        print(f"BENCH_DETAIL.json not written: {e}", file=sys.stderr)
-    print(json.dumps(result), file=sys.stderr, flush=True)
+        print(f"BENCH_DETAIL.json not written: {e}", file=sys.stderr, flush=True)
+    print(json.dumps(compact_result(result)), flush=True)
 
 
 def compact_result(result: dict) -> dict:

@@ -11,9 +11,11 @@ regress as metrics are added.
 
 from __future__ import annotations
 
+import io
 import json
 
-from bench import HEADLINE, compact_result
+import bench
+from bench import HEADLINE, compact_result, emit_result
 
 # A full-detail result at least as large as a real run's (longest
 # observed values, every optional block present).
@@ -92,6 +94,41 @@ def test_compact_keeps_driver_contract_fields():
     assert compact["salting_speedup"] == 2.39
     assert compact["recall_tuned"] == 0.9055
     assert compact["warc_mb_per_sec"] == 123.45
+
+
+def test_compact_line_is_last_across_merged_streams(tmp_path, monkeypatch):
+    """Round-5 regression (VERDICT r5 item 1): the driver tails the
+    MERGED stdout+stderr stream, so the compact line must be the final
+    line main() emits on EITHER stream. Simulate the merge by pointing
+    both streams at one buffer and assert the last line parses as the
+    compact result."""
+    merged = io.StringIO()
+    monkeypatch.setattr(bench.sys, "stdout", merged)
+    monkeypatch.setattr(bench.sys, "stderr", merged)
+    # print() without file= resolves sys.stdout from the real sys module
+    import sys as real_sys
+
+    monkeypatch.setattr(real_sys, "stdout", merged)
+    monkeypatch.setattr(real_sys, "stderr", merged)
+    emit_result(_FULL, detail_path=str(tmp_path / "BENCH_DETAIL.json"))
+    lines = [ln for ln in merged.getvalue().splitlines() if ln.strip()]
+    last = json.loads(lines[-1])
+    assert last == compact_result(_FULL)
+    assert len(lines[-1]) < 1800
+    # the detail file carries the full dict
+    with open(tmp_path / "BENCH_DETAIL.json") as f:
+        assert json.load(f) == _FULL
+
+
+def test_compact_line_is_last_even_when_detail_write_fails(tmp_path, monkeypatch):
+    merged = io.StringIO()
+    import sys as real_sys
+
+    monkeypatch.setattr(real_sys, "stdout", merged)
+    monkeypatch.setattr(real_sys, "stderr", merged)
+    emit_result(_FULL, detail_path=str(tmp_path / "nodir" / "BENCH_DETAIL.json"))
+    lines = [ln for ln in merged.getvalue().splitlines() if ln.strip()]
+    assert json.loads(lines[-1]) == compact_result(_FULL)
 
 
 def test_compact_tolerates_missing_optional_blocks():
