@@ -281,20 +281,41 @@ def url_path(col: str | Column) -> Column:
     ).otherwise(rest)
 
 
+# Above this many hosts the robots dim stops being broadcast and the
+# join falls back to a shuffled hash join. A robots body averages a few
+# hundred bytes to a few KB, so 500k hosts ≈ 0.25–2.5 GB serialized —
+# already at the edge of sensible broadcast size; a 100-TB crawl's
+# host dim can be orders of magnitude past it (VERDICT r5 item 4).
+ROBOTS_BROADCAST_LIMIT = 500_000
+
+
 def _join_robots_dim(
     urls: DataFrame,
     robots: DataFrame,
     url_col: str,
     host_col: str,
     robots_col: str,
+    strategy: str = "auto",
+    broadcast_limit: int = ROBOTS_BROADCAST_LIMIT,
 ) -> tuple[DataFrame, str, str]:
     """Shared scaffold of the two politeness operators: derive each
-    url's host, broadcast-join the per-host robots dim onto it, and
-    return (joined, body_col, host_col_tmp) with collision-guarded
-    scratch column names. Callers add their own UDF column and drop
-    the scratch columns."""
+    url's host, join the per-host robots dim onto it, and return
+    (joined, body_col, host_col_tmp) with collision-guarded scratch
+    column names. Callers add their own UDF column and drop the
+    scratch columns.
+
+    ``strategy`` (same contract as operators/lines.py and
+    operators/decontaminate.py): ``broadcast`` hints the dim to every
+    executor (fine for crawl-scoped host lists), ``shuffle`` forces a
+    shuffled hash join on host (the 100-TB path — a full-web host dim
+    exceeds broadcast size), ``auto`` (default) counts the dim and
+    picks: ≤ ``broadcast_limit`` hosts → broadcast, else shuffle. The
+    auto count is one cheap metadata-ish job over the (small-column)
+    dim, paid once per pipeline, not per row."""
     from .url import url_host  # noqa: PLC0415
 
+    if strategy not in ("broadcast", "shuffle", "auto"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     tmp_host, tmp_body = "__robots_host__", "__robots_body__"
     for c in (tmp_host, tmp_body):
         if c in urls.columns:
@@ -302,8 +323,17 @@ def _join_robots_dim(
     r = robots.select(
         F.col(host_col).alias(tmp_host), F.col(robots_col).alias(tmp_body)
     )
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if r.select(tmp_host).count() <= broadcast_limit
+            else "shuffle"
+        )
+    # shuffle_hash hint: without it Catalyst's size estimate can still
+    # auto-broadcast a dim the caller explicitly asked to shuffle
+    right = F.broadcast(r) if strategy == "broadcast" else r.hint("shuffle_hash")
     joined = urls.withColumn(tmp_host, url_host(F.col(url_col))).join(
-        F.broadcast(r), tmp_host, "left"
+        right, tmp_host, "left"
     )
     return joined, tmp_body, tmp_host
 
@@ -316,12 +346,17 @@ def with_robots_allowed(
     robots_col: str = "robots_txt",
     user_agent: str = "*",
     out_col: str = "robots_allowed",
+    strategy: str = "auto",
+    broadcast_limit: int = ROBOTS_BROADCAST_LIMIT,
 ) -> DataFrame:
     """urls(…, url) × robots(host, robots_txt) → urls + boolean
-    ``out_col``. The robots side is broadcast (per-host dim table);
-    evaluation is a vectorized pandas UDF over (robots body, path) with
-    per-body compilation memoized. Join scratch columns are
-    collision-guarded against the callers' schemas."""
+    ``out_col``. The robots dim joins via ``strategy``
+    (broadcast | shuffle | auto — see :func:`_join_robots_dim`; auto
+    size-gates the broadcast so a full-web host dim falls back to a
+    shuffled join); evaluation is a vectorized pandas UDF over
+    (robots body, path) with per-body compilation memoized. Join
+    scratch columns are collision-guarded against the callers'
+    schemas."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     @pandas_udf("boolean")
@@ -336,7 +371,7 @@ def with_robots_allowed(
         return pd.Series(out)
 
     joined, tmp_body, tmp_host = _join_robots_dim(
-        urls, robots, url_col, host_col, robots_col
+        urls, robots, url_col, host_col, robots_col, strategy, broadcast_limit
     )
     return joined.withColumn(
         out_col, allowed(F.col(tmp_body), url_path(F.col(url_col)))
@@ -352,14 +387,17 @@ def with_crawl_delay(
     user_agent: str = "*",
     out_col: str = "crawl_delay_sec",
     default_delay: float | None = None,
+    strategy: str = "auto",
+    broadcast_limit: int = ROBOTS_BROADCAST_LIMIT,
 ) -> DataFrame:
     """urls(…, url) × robots(host, robots_txt) → urls + double
     ``out_col``: each url's host-declared ``Crawl-delay`` for
     ``user_agent`` (group-scoped via :func:`crawl_delay` — a bot with
     its own group does not inherit ``*``'s delay), or ``default_delay``
     when the host declares none / has no robots.txt. Same scale shape
-    as :func:`with_robots_allowed`: broadcast per-host dim + memoized
-    vectorized UDF. Feed the result to a per-host window to lay out a
+    as :func:`with_robots_allowed`: size-gated per-host dim join
+    (``strategy`` = broadcast | shuffle | auto) + memoized vectorized
+    UDF. Feed the result to a per-host window to lay out a
     politeness-correct fetch schedule (q49)."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
@@ -372,7 +410,7 @@ def with_crawl_delay(
         return pd.Series(out, dtype="float64")
 
     joined, tmp_body, tmp_host = _join_robots_dim(
-        urls, robots, url_col, host_col, robots_col
+        urls, robots, url_col, host_col, robots_col, strategy, broadcast_limit
     )
     return joined.withColumn(out_col, delay(F.col(tmp_body))).drop(
         tmp_host, tmp_body

@@ -39,6 +39,15 @@ def snapshot_diff(
     on one or both sides classifies as changed/unchanged — not as a
     phantom add/delete that would tombstone a live document.
 
+    Exactly ONE output row per key, even when a key is duplicated in
+    either snapshot: each side pre-aggregates to (key, count, min
+    hash) before the join (the same guard run_extraction_incremental
+    applies), and a key duplicated on either side never classifies as
+    ``unchanged`` — per-row identity is ambiguous under duplication,
+    so it is ``changed`` (re-extract), matching the incremental
+    refresh's never-reuse-duplicates rule. The reported hash for a
+    duplicated key is the minimum across its rows.
+
     ``hash_col`` names an already-computed content-hash column on both
     inputs (e.g. the ``html_hash`` the extraction snapshot persists);
     without it the hash is ``md5(text_col)``.
@@ -49,22 +58,33 @@ def snapshot_diff(
     else:
         oh = F.md5(F.col(text_col))
         nh = F.md5(F.col(text_col))
-    o = old.select(
-        F.col(key_col).alias("_k"),
-        oh.alias("old_hash"),
-        F.lit(True).alias("_in_old"),
+    o = (
+        old.select(F.col(key_col).alias("_k"), oh.alias("old_hash"))
+        .groupBy("_k")
+        .agg(
+            F.count("*").alias("_n_old"),
+            F.min("old_hash").alias("old_hash"),
+        )
     )
-    n = new.select(
-        F.col(key_col).alias("_k"),
-        nh.alias("new_hash"),
-        F.lit(True).alias("_in_new"),
+    n = (
+        new.select(F.col(key_col).alias("_k"), nh.alias("new_hash"))
+        .groupBy("_k")
+        .agg(
+            F.count("*").alias("_n_new"),
+            F.min("new_hash").alias("new_hash"),
+        )
     )
     joined = o.join(n, "_k", "full_outer")
     return joined.select(
         F.col("_k").alias(key_col),
-        F.when(F.col("_in_old").isNull(), F.lit("added"))
-        .when(F.col("_in_new").isNull(), F.lit("deleted"))
-        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("unchanged"))
+        F.when(F.col("_n_old").isNull(), F.lit("added"))
+        .when(F.col("_n_new").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("_n_old") == 1)
+            & (F.col("_n_new") == 1)
+            & F.col("old_hash").eqNullSafe(F.col("new_hash")),
+            F.lit("unchanged"),
+        )
         .otherwise(F.lit("changed"))
         .alias(out_col),
         "old_hash",

@@ -321,10 +321,15 @@ def run_extraction_incremental(
             "differ from previous_path (the reused rows are lazily read "
             "from it during the write)"
         )
+    # Only a missing/empty output root counts as fresh. A transient
+    # read failure (permissions, corrupt footer) on a root that DOES
+    # hold data must propagate, not silently green-light an overwrite.
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
     try:
         read_extracted(spark, out_path, table_format)
         has_stale = True
-    except Exception:
+    except AnalysisException:
         has_stale = False
     if has_stale:
         raise ValueError(
@@ -373,10 +378,16 @@ def run_extraction_incremental(
         passthrough=("shard", "html_hash"),
     )
     # the unchanged set is corpus-sized — a plain url-keyed semi-join,
-    # never a broadcast
-    reused = prev.join(unchanged_urls, "url", "left_semi").select(
-        *extracted_new.columns
-    )
+    # never a broadcast. The reused rows' shard is RECOMPUTED (not
+    # carried from the previous snapshot): if this refresh runs with a
+    # different num_shards than the prior run, carried values would mix
+    # two moduli and break the shard == url-hash % num_shards invariant
+    # downstream partition pruning relies on. Recomputation is the same
+    # deterministic expression, so same-num_shards refreshes stay
+    # bit-identical to from-scratch runs.
+    reused = with_shard(
+        prev.join(unchanged_urls, "url", "left_semi").drop("shard"), num_shards
+    ).select(*extracted_new.columns)
     combined = extracted_new.unionByName(reused)
     write_extracted_partitioned(combined, out_path, table_format)
     cls.unpersist()

@@ -176,6 +176,59 @@ def test_spark_operator_and_missing_host(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_join_strategy_differential(spark):
+    """VERDICT r5 item 4: the robots dim join is size-gated. All three
+    strategies must return identical verdicts on the q46-style fixture;
+    `shuffle` must NOT broadcast, `auto` with a tiny limit must fall
+    back to the shuffled join."""
+    from sax_wasm_spark.functions.robots import with_robots_allowed
+
+    policy = (
+        "User-agent: GoodBot\nDisallow: /private/\n"
+        "Disallow: /*.php$\nAllow: /files/\n"
+    )
+    urls = spark.createDataFrame(
+        [
+            (i, f"https://h{i % 3}.example.com" + p)
+            for i, p in enumerate(
+                ["/private/p", "/cgi/c.php", "/files/f.html", "/open/o"] * 6
+            )
+        ],
+        "doc_id int, url string",
+    )
+    robots = spark.createDataFrame(
+        [("h0.example.com", policy), ("h1.example.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+
+    def run(**kw):
+        df = with_robots_allowed(urls, robots, user_agent="GoodBot/1.0", **kw)
+        return {r.doc_id: r.robots_allowed for r in df.collect()}
+
+    base = run(strategy="broadcast")
+    assert run(strategy="shuffle") == base
+    assert run(strategy="auto", broadcast_limit=1) == base
+    assert run(strategy="auto") == base
+
+    def plan(**kw):
+        return (
+            with_robots_allowed(urls, robots, user_agent="GoodBot/1.0", **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "BroadcastHashJoin" in plan(strategy="broadcast")
+    assert "BroadcastHashJoin" not in plan(strategy="shuffle")
+    # auto under a 1-host limit degrades to the shuffled join
+    assert "BroadcastHashJoin" not in plan(strategy="auto", broadcast_limit=1)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown strategy"):
+        with_robots_allowed(urls, robots, strategy="cartesian")
+
+
 def test_crawl_delay_per_group():
     from sax_wasm_spark.functions.robots import crawl_delay
 

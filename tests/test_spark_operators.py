@@ -698,6 +698,29 @@ def test_snapshot_diff_classification(spark):
     assert "md5" in plan and "FullOuter" in plan, plan[:2000]
 
 
+def test_snapshot_diff_duplicate_keys_one_row_never_unchanged(spark):
+    """ADVICE r5: duplicate keys must not fan out through the
+    full-outer join — exactly one row per key, and a duplicated key is
+    never 'unchanged' (matches the incremental refresh's
+    never-reuse-duplicates rule)."""
+    from sax_wasm_spark.operators.delta import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("dup", "a"), ("dup", "b"), ("solo", "x"), ("newdup", "p")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("dup", "a"), ("solo", "x"), ("newdup", "p"), ("newdup", "q")],
+        "url string, text string",
+    )
+    rows = snapshot_diff(old, new).collect()
+    assert len(rows) == 3  # one row per key, no fan-out
+    got = {r.url: r.change for r in rows}
+    # dup: 2 old rows vs 1 new (hash-equal on one pair) → changed
+    # newdup: 1 old vs 2 new → changed; solo: genuine unchanged
+    assert got == {"dup": "changed", "newdup": "changed", "solo": "unchanged"}
+
+
 def test_incremental_extraction_reuses_unchanged(spark, pages, tmp_path):
     """run_extraction_incremental: a refresh where most pages are
     byte-identical must reuse their previous extracted rows (no kernel
@@ -834,3 +857,24 @@ def test_incremental_edge_cases(spark, tmp_path):
         run_extraction_incremental(spark, pages, base, previous_path=base)
     with _pytest.raises(ValueError, match="stale"):
         run_extraction_incremental(spark, pages, out2, previous_path=base)
+
+    # 4. num_shards change (ADVICE r5): reused rows' shard must be
+    #    recomputed under the NEW modulus, never carried from the
+    #    previous snapshot — every output row satisfies
+    #    shard == url-hash % num_shards for the refresh's num_shards
+    out3 = str(tmp_path / "out3")
+    run_extraction_incremental(
+        spark, pages, out3, previous_path=base, num_shards=7, run_id="i3"
+    )
+    from sax_wasm_spark.plans.lineage import with_shard
+
+    got3 = spark.read.parquet(f"{out3}/extracted")
+    expect = with_shard(got3.select("url"), 7).withColumnRenamed("shard", "exp")
+    bad = (
+        got3.select("url", "shard")
+        .join(expect, "url")
+        .where(F.col("shard") != F.col("exp"))
+        .count()
+    )
+    assert bad == 0
+    assert got3.select("shard").distinct().count() <= 7
