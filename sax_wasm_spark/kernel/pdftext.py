@@ -39,6 +39,16 @@ Scope (documented contract, enforced by tests/test_pdf.py):
   /Differences array over the /BaseEncoding; otherwise strings decode
   as UTF-16 when BOM-tagged, else Latin-1 (a documented approximation
   of PDFDocEncoding for the printable range).
+* **Encryption** (ISO 32000-1 §7.6, standard security handler): RC4
+  documents (/V 1-2, /R 2-3) with an EMPTY user password — the common
+  "owner-locked" shape real crawls are full of — decrypt transparently:
+  the §7.6.3.3 file key derives from /O, /P and the document /ID
+  (Algorithm 2, stdlib md5), the empty user password is verified
+  against /U (Algorithms 4/5), then every string and stream decrypts
+  under its object's §7.6.2 per-object key before object streams
+  expand. AES documents (/V ≥ 4) raise :class:`EncryptedAes`; a
+  non-empty user password raises :class:`PasswordProtected` — both map
+  to per-row error statuses in the DataFrame operator.
 * **Layout**: the text matrix is tracked as a position (e, f translation
   of Tm; Td/TD/T* line moves). Each show op appends to the run at the
   current line origin; runs are grouped into lines by y (±``Y_TOL``),
@@ -58,6 +68,7 @@ from __future__ import annotations
 import base64
 import binascii
 import functools
+import hashlib
 import re
 import struct
 import zlib
@@ -66,6 +77,8 @@ from typing import NamedTuple
 __all__ = [
     "PdfError",
     "UnsupportedFilter",
+    "EncryptedAes",
+    "PasswordProtected",
     "PdfDocument",
     "extract_pdf_text",
     "extract_pdf_runs",
@@ -81,6 +94,16 @@ class PdfError(ValueError):
 
 class UnsupportedFilter(PdfError):
     """Stream uses a filter outside {Flate, LZW, AHx, A85}."""
+
+
+class EncryptedAes(PdfError):
+    """Document encrypted with /V >= 4 (AES crypt filters) — outside
+    the RC4 tier this module implements from the spec."""
+
+
+class PasswordProtected(PdfError):
+    """Standard security handler present but the empty user password
+    does not validate against /U — a real password is required."""
 
 
 class Ref(NamedTuple):
@@ -435,6 +458,92 @@ def _png_unpredict(data: bytes, parms: dict) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# encryption (ISO 32000-1 §7.6 standard security handler — RC4 tier)
+
+# §7.6.3.3 Algorithm 2 step a: the 32-byte password pad
+_PWD_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric — also used to decrypt). From the
+    published algorithm; ~40-bit/128-bit keys per §7.6.2."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, o: bytes, p: int, id0: bytes, n: int, r: int
+) -> bytes:
+    """§7.6.3.3 Algorithm 2: the file encryption key from a user
+    password (empty for owner-locked documents), /O, /P (as a SIGNED
+    32-bit little-endian), and the first document /ID element."""
+    padded = (password + _PWD_PAD)[:32]
+    h = hashlib.md5(
+        padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _user_password_matches(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """§7.6.3.4 Algorithms 4 (R2) / 5 (R3): recompute /U from the file
+    key and compare. R3 compares only the first 16 bytes (the stored
+    tail is arbitrary padding, per spec)."""
+    if r == 2:
+        return _rc4(key, _PWD_PAD) == u[:32]
+    h = hashlib.md5(_PWD_PAD + id0).digest()
+    x = _rc4(key, h)
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == u[:16]
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """§7.6.2 Algorithm 1: per-object RC4 key — md5(file key + 3
+    low-order bytes of the object number + 2 of the generation),
+    truncated to min(n + 5, 16)."""
+    h = hashlib.md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_value(v, okey: bytes):
+    """Recursively RC4-decrypt every string inside a parsed object
+    (names/numbers/refs pass through untouched)."""
+    if isinstance(v, bytes):
+        return _rc4(okey, v)
+    if isinstance(v, dict):
+        return {k: _decrypt_value(x, okey) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_decrypt_value(x, okey) for x in v]
+    return v
+
+
+# ---------------------------------------------------------------------------
 # document
 
 
@@ -448,8 +557,13 @@ class PdfDocument:
         self._order: list[int] = []
         self._obj_pos: dict[int, list[int]] | None = None
         self._def_pos: dict[int, int] = {}
+        self._gen: dict[int, int] = {}
         self._font_cmap_cache: dict[int, "_CMap | None"] = {}
         self._scan_objects()
+        # decryption must precede object-stream expansion: an /ObjStm
+        # container is encrypted as a whole, its members' strings are
+        # already clear once the container stream decrypts
+        self._decrypt_if_needed()
         self._expand_object_streams()
         if not self.objects:
             raise PdfError("no indirect objects found")
@@ -486,10 +600,79 @@ class PdfDocument:
             # last definition wins (incremental updates append re-definitions)
             self.objects[num] = val
             self._def_pos[num] = m.start()
+            self._gen[num] = int(m.group(2))
             if raw is not None:
                 self.streams[num] = raw
             elif num in self.streams:
                 del self.streams[num]
+
+    def _trailer_dicts(self) -> list[dict]:
+        """Every parseable trailer dict in file order, plus xref-stream
+        dicts (PDF 1.5 files carry /Encrypt, /ID and /Root there)."""
+        out: list[dict] = []
+        for m in _RE_TRAILER.finditer(self.data):
+            try:
+                t = _parse_value(_Lexer(self.data, m.end()))
+            except PdfError:
+                continue
+            if isinstance(t, dict):
+                out.append(t)
+        for num in self._order:
+            v = self.objects[num]
+            if isinstance(v, dict) and v.get("/Type") == "/XRef":
+                out.append(v)
+        return out
+
+    def _decrypt_if_needed(self) -> None:
+        """ISO 32000-1 §7.6: when a trailer names an /Encrypt dict for
+        the standard security handler at the RC4 tier (/V 1-2), derive
+        the file key with the EMPTY user password, verify it against
+        /U, and decrypt every string and stream in place under each
+        object's §7.6.2 key. The /Encrypt dict's own strings (O, U) and
+        cross-reference streams are exempt per spec."""
+        enc_ref, id0 = None, b""
+        for t in self._trailer_dicts():
+            if "/Encrypt" in t:
+                enc_ref = t["/Encrypt"]
+                ids = self.resolve(t.get("/ID"))
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    id0 = ids[0]
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfError("unreadable /Encrypt dictionary")
+        if self.resolve(enc.get("/Filter")) != "/Standard":
+            raise PdfError(
+                f"unsupported security handler {enc.get('/Filter')!r}"
+            )
+        v = int(self.resolve(enc.get("/V", 0)) or 0)
+        r = int(self.resolve(enc.get("/R", 2)) or 2)
+        if v >= 4 or r >= 4:
+            raise EncryptedAes(f"/V {v} /R {r} crypt filters not supported")
+        if v not in (1, 2) or r not in (2, 3):
+            raise PdfError(f"unsupported encryption /V {v} /R {r}")
+        n = 5 if r == 2 else max(5, int(self.resolve(enc.get("/Length", 40))) // 8)
+        o = self.resolve(enc.get("/O"))
+        u = self.resolve(enc.get("/U"))
+        p = self.resolve(enc.get("/P"))
+        if not isinstance(o, bytes) or not isinstance(u, bytes) or p is None:
+            raise PdfError("malformed /Encrypt dictionary (O/U/P)")
+        key = _std_file_key(b"", o, int(p), id0, n, r)
+        if not _user_password_matches(key, u, id0, r):
+            raise PasswordProtected("empty user password rejected by /U")
+        enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+        for num in self._order:
+            if num == enc_num:
+                continue
+            val = self.objects[num]
+            # xref streams are written unencrypted (§7.5.8.2)
+            if isinstance(val, dict) and val.get("/Type") == "/XRef":
+                continue
+            okey = _object_key(key, num, self._gen.get(num, 0))
+            self.objects[num] = _decrypt_value(val, okey)
+            if num in self.streams:
+                self.streams[num] = _rc4(okey, self.streams[num])
 
     def _expand_object_streams(self) -> None:
         """Register the members of every ``/Type /ObjStm`` stream (PDF 1.5

@@ -35,6 +35,14 @@ Variants exercise distinct parser surfaces so one query covers them all:
   rest) — the subset-font path of real scanned/office PDFs. Falls back
   to variant-0 literal strings when a document's charset exceeds the
   224 assignable codes.
+* 9 — RC4-encrypted (ISO 32000-1 §7.6 standard security handler) with
+  an EMPTY user password and owner password ``saxgen-owner`` — the
+  "owner-locked" shape ubiquitous in real crawls. Revision cycles by
+  text length: R2 (/V 1, 40-bit) and R3 (/V 2, 128-bit). Content
+  streams are Flate-compressed THEN encrypted (matching write order:
+  filter, then encrypt); an /Info object carries an encrypted literal
+  string so string decryption is exercised, and the trailer gains
+  /Encrypt + a deterministic md5-of-text /ID.
 * 8 — a simple font with an Annex D base-encoding NAME
   (``/WinAnsiEncoding`` / ``/MacRomanEncoding`` / ``/StandardEncoding``,
   cycled deterministically by text length): show strings are 1-byte
@@ -106,7 +114,7 @@ def _differences_array(codes: dict[str, int]) -> bytes:
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 9
+N_VARIANTS = 10
 
 _BASE_ENCODINGS = (b"WinAnsiEncoding", b"MacRomanEncoding", b"StandardEncoding")
 
@@ -126,6 +134,82 @@ def _base_enc_codes(text: str, enc_name: bytes) -> dict[str, int] | None:
     if not charset <= rev.keys():
         return None
     return {c: rev[c] for c in charset}
+
+
+# -- §7.6 standard security handler (writer side; independent
+# transcription of the published algorithms — the kernel's reader-side
+# implementation is the differential twin, like lzw_encode/_lzw_decode)
+
+_ENC_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4_ks(key: bytes, data: bytes) -> bytes:
+    s = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    i = j = 0
+    out = bytearray()
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def _std_security(
+    owner_pwd: bytes, user_pwd: bytes, p: int, id0: bytes, r: int
+) -> tuple[bytes, bytes, bytes]:
+    """ISO 32000-1 §7.6.3 Algorithms 3 (/O), 2 (file key) and 4/5 (/U)
+    → (O, U, file_key). NB the 50-round md5 loops differ: Algorithm 3
+    re-hashes the FULL digest, Algorithm 2 only the first n bytes."""
+    import hashlib  # noqa: PLC0415
+
+    n = 5 if r == 2 else 16
+    h = hashlib.md5((owner_pwd + _ENC_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = _rc4_ks(okey, (user_pwd + _ENC_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4_ks(bytes(c ^ i for c in okey), o)
+    h = hashlib.md5(
+        (user_pwd + _ENC_PAD)[:32]
+        + o
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    if r == 2:
+        u = _rc4_ks(key, _ENC_PAD)
+    else:
+        u = _rc4_ks(key, hashlib.md5(_ENC_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4_ks(bytes(c ^ i for c in key), u)
+        u += bytes(16)
+    return o, u, key
+
+
+def _enc_obj_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    import hashlib  # noqa: PLC0415
+
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()[: min(len(key) + 5, 16)]
 
 
 def lzw_encode(data: bytes, early: int = 1) -> bytes:
@@ -402,7 +486,7 @@ def build_pdf(
             num = next_num
             next_num += 1
             content_refs.append(b"%d 0 R" % num)
-            if variant in (1, 2):
+            if variant in (1, 2, 9):
                 raw = zlib.compress(chunk)
                 if variant == 1:  # indirect /Length
                     len_num = next_num
@@ -451,6 +535,41 @@ def build_pdf(
         )
         objs = {}
 
+    trailer_extra = b""
+    if variant == 9:
+        import hashlib  # noqa: PLC0415
+
+        # revision cycles deterministically: R2 (40-bit /V 1) for
+        # even-length texts, R3 (128-bit /V 2) for odd
+        r = 2 if len(text) % 2 == 0 else 3
+        p = -44  # typical print-allowed permission mask
+        id0 = hashlib.md5(text.encode("utf-8")).digest()
+        o, u, key = _std_security(b"saxgen-owner", b"", p, id0, r)
+        # streams encrypt AFTER filtering (write order: filter, then
+        # encrypt); RC4 preserves length so /Length stays valid
+        for num, (sd, raw) in list(streams.items()):
+            streams[num] = (sd, _rc4_ks(_enc_obj_key(key, num), raw))
+        info_num = next_num
+        next_num += 1
+        prod = _rc4_ks(
+            _enc_obj_key(key, info_num), b"sax-wasm-spark pdfgen (encrypted)"
+        )
+        objs[info_num] = b"<< /Producer <" + prod.hex().encode() + b"> >>"
+        enc_num = next_num
+        next_num += 1
+        ver = b"/V 1 /R 2 /Length 40" if r == 2 else b"/V 2 /R 3 /Length 128"
+        objs[enc_num] = (
+            b"<< /Filter /Standard " + ver
+            + b" /O <" + o.hex().encode()
+            + b"> /U <" + u.hex().encode()
+            + b"> /P %d >>" % p
+        )
+        idhex = b"<" + id0.hex().encode() + b">"
+        trailer_extra = (
+            b" /Encrypt %d 0 R /Info %d 0 R /ID [" % (enc_num, info_num)
+            + idhex + b" " + idhex + b"]"
+        )
+
     # serialize body
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if variant == 6
                     else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -473,7 +592,9 @@ def build_pdf(
         else:
             out += b"0000000000 65535 f \n"
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (max_num + 1, xref_pos)
+        b"trailer\n<< /Size %d /Root 1 0 R" % (max_num + 1)
+        + trailer_extra
+        + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     )
 
     if variant == 3:

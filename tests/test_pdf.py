@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", [0, 1, 2, 3, 4, 5, 6, 7, 8])
+@pytest.mark.parametrize("variant", list(range(10)))
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -192,7 +192,7 @@ _doc = st.lists(_line, min_size=1, max_size=8).map("\n".join)
 
 
 @settings(max_examples=150, deadline=None)
-@given(text=_doc, variant=st.integers(0, 8), two_col=st.booleans())
+@given(text=_doc, variant=st.integers(0, 9), two_col=st.booleans())
 def test_roundtrip_property(text, variant, two_col):
     pdf = build_pdf(text, variant=variant, two_column=two_col)
     assert extract_pdf_text(pdf) == text
@@ -628,3 +628,91 @@ def test_variant8_cycles_encodings_and_falls_back():
     pdf = build_pdf(t, variant=8)
     assert b"Encoding" not in pdf or b"/WinAnsiEncoding" not in pdf
     assert extract_pdf_text(pdf) == t
+
+
+# -- §7.6 encryption (variant 9, VERDICT r5 item 5)
+
+
+def test_variant9_both_revisions_roundtrip_and_decrypt_strings():
+    from sax_wasm_spark.kernel.pdftext import PdfDocument
+
+    for t, ver in (("even-len", b"/V 1 /R 2"), ("odd-len!!", b"/V 2 /R 3")):
+        pdf = build_pdf(t, variant=9)
+        assert ver in pdf
+        assert b"/Encrypt" in pdf and b"/ID [" in pdf
+        # content must actually be ciphertext: the flate magic bytes of
+        # the compressed stream cannot appear in the clear
+        assert b"(" + t.encode() + b")" not in pdf
+        assert extract_pdf_text(pdf) == t
+        # encrypted literal string (Info /Producer) decrypts in place
+        doc = PdfDocument(pdf)
+        prods = [
+            v["/Producer"]
+            for v in doc.objects.values()
+            if isinstance(v, dict) and "/Producer" in v
+        ]
+        assert prods == [b"sax-wasm-spark pdfgen (encrypted)"]
+
+
+def test_variant9_multipage_and_two_column():
+    text = "\n".join(f"line {i} of secret page" for i in range(9))
+    assert extract_pdf_text(build_pdf(text, variant=9, lines_per_page=3)) == text
+    assert extract_pdf_text(build_pdf(text, variant=9, two_column=True)) == text
+
+
+def test_encrypted_aes_and_unknown_handler_raise_typed_errors():
+    from sax_wasm_spark.kernel.pdftext import EncryptedAes
+
+    pdf = build_pdf("aes probe", variant=9)
+    aes = pdf.replace(b"/V 1 /R 2 /Length 40", b"/V 4 /R 4 /Length 128").replace(
+        b"/V 2 /R 3 /Length 128", b"/V 4 /R 4 /Length 128"
+    )
+    with pytest.raises(EncryptedAes):
+        extract_pdf_text(aes)
+    assert extract_pdf_document(aes)[3] == "error:EncryptedAes"
+
+    other = pdf.replace(b"/Filter /Standard", b"/Filter /MyCustomSec")
+    with pytest.raises(PdfError, match="security handler"):
+        extract_pdf_text(other)
+
+
+def test_wrong_user_password_rejected_via_u():
+    """Tampering /U (≡ a document whose user password is non-empty)
+    must fail closed with PasswordProtected, mapped to a per-row error
+    status — never emit garbage text."""
+    from sax_wasm_spark.kernel.pdftext import PasswordProtected
+
+    pdf = build_pdf("locked tight", variant=9)
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
+    assert m
+    bad = bytes.fromhex(m.group(1).decode())
+    bad = bytes([bad[0] ^ 0xFF]) + bad[1:]
+    tampered = pdf.replace(m.group(1), bad.hex().encode())
+    with pytest.raises(PasswordProtected):
+        extract_pdf_text(tampered)
+    assert extract_pdf_document(tampered)[3] == "error:PasswordProtected"
+
+
+def test_writer_reader_key_derivation_agree():
+    """Differential twin check: the writer's Algorithm 2/3/4/5
+    transcription against the reader's Algorithm 2 + U-verify, for both
+    revisions and several /P values."""
+    from sax_wasm_spark.kernel.pdftext import (
+        _std_file_key,
+        _user_password_matches,
+    )
+    from sax_wasm_spark.sources.pdfgen import _std_security
+
+    id0 = bytes(range(16))
+    for r in (2, 3):
+        for p in (-44, -1, -3904):
+            o, u, key = _std_security(b"owner-pw", b"", p, id0, r)
+            n = 5 if r == 2 else 16
+            rkey = _std_file_key(b"", o, p, id0, n, r)
+            assert rkey == key
+            assert _user_password_matches(rkey, u, id0, r)
+            # a different password must NOT validate
+            wrong = _std_file_key(b"guess", o, p, id0, n, r)
+            assert not _user_password_matches(wrong, u, id0, r)
