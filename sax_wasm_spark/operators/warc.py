@@ -207,9 +207,10 @@ def render_warc_column(
     """(id…, text) → (id…, warc:binary): one 3-record gzipped WARC file
     per document (warcinfo + request + response — the reader's record
     filtering is always exercised). The response shape cycles
-    ``first_id % 6`` (identity / chunked / gzip HTTP bodies, a
-    WARC-Truncated record, a lone segment-1 record, and a complete
-    reassemblable segment chain — see ``build_warc``); url defaults to a deterministic function of the
+    ``first_id % 7`` (identity / chunked / gzip HTTP bodies, a
+    WARC-Truncated record, a lone segment-1 record, a complete
+    reassemblable segment chain, and deflate HTTP bodies — see
+    ``build_warc``); url defaults to a deterministic function of the
     first id. Partitioning-invariant. Oracle twin of warc_to_pages —
     change the cycle in BOTH or the warc_roundtrip oracle breaks."""
     import pyarrow as pa  # noqa: PLC0415
@@ -242,7 +243,7 @@ def render_warc_column(
                     u,
                     "2024-01-01T00:00:00Z",
                     (t if t is not None else "").encode("utf-8"),
-                    variant=int(i) % 6,
+                    variant=int(i) % 7,
                 )
                 for i, u, t in zip(ids[0], urls, texts)
             ]

@@ -944,9 +944,10 @@ def pdf_extract_roundtrip_sql():
 def warc_roundtrip(spark, sf_dir):
     """Crawl-ingestion leg (sources/warc.py, operators/warc.py):
     documents are rendered into deterministic 3-record gzipped WARC
-    files — ``doc_id % 6`` cycles the response shape (identity /
+    files — ``doc_id % 7`` cycles the response shape (identity /
     chunked / Content-Encoding-gzip HTTP bodies, a WARC-Truncated
-    record, a LONE segment-1 record, a complete two-segment chain) —
+    record, a LONE segment-1 record, a complete two-segment chain,
+    Content-Encoding-deflate bodies in both zlib and raw framing) —
     then parsed back into pages rows. Round-trip equality (url, body
     text, HTTP status, row status, and exactly ONE row per file
     despite the warcinfo/request records) is the closed-form oracle
@@ -975,13 +976,13 @@ def warc_roundtrip(spark, sf_dir):
 def warc_roundtrip_sql():
     return """
     SELECT doc_id,
-           CASE WHEN doc_id % 6 = 4 THEN NULL
+           CASE WHEN doc_id % 7 = 4 THEN NULL
                 ELSE 'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR)
            END AS url,
-           CASE WHEN doc_id % 6 = 4 THEN NULL ELSE text END AS page_text,
-           CASE WHEN doc_id % 6 = 4 THEN NULL ELSE 200 END AS http_status,
-           CASE WHEN doc_id % 6 = 4 THEN 'segmented'
-                WHEN doc_id % 6 = 3 THEN 'truncated'
+           CASE WHEN doc_id % 7 = 4 THEN NULL ELSE text END AS page_text,
+           CASE WHEN doc_id % 7 = 4 THEN NULL ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 7 = 4 THEN 'segmented'
+                WHEN doc_id % 7 = 3 THEN 'truncated'
                 ELSE 'ok'
            END AS status
     FROM documents ORDER BY doc_id

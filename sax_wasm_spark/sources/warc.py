@@ -159,6 +159,17 @@ def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
             body = gzip.decompress(body)
         except OSError as exc:
             raise WarcError(f"http: bad gzip body: {exc}") from exc
+    elif enc == "deflate":
+        # RFC 9112 names the zlib wrapper (RFC 1950), but a long tail
+        # of real servers sends raw DEFLATE (RFC 1951) under the same
+        # token — try wrapped first, fall back to raw
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as exc:
+                raise WarcError(f"http: bad deflate body: {exc}") from exc
     elif enc in ("", "identity"):
         pass
     else:
@@ -408,7 +419,9 @@ def _record(warc_type: str, headers: list[tuple[str, str]], body: bytes) -> byte
 def _http_response(
     body: bytes, content_type: str, variant: int
 ) -> bytes:
-    """variant 0: identity; 1: chunked (two chunks); 2: gzip body."""
+    """variant 0: identity; 1: chunked (two chunks); 2: gzip body;
+    6: deflate body (zlib-wrapped for even body lengths, raw DEFLATE
+    for odd — both shapes real servers send under the token)."""
     headers = [b"HTTP/1.1 200 OK", b"Content-Type: " + content_type.encode()]
     if variant == 1:
         half = len(body) // 2
@@ -421,6 +434,14 @@ def _http_response(
     elif variant == 2:
         payload = gzip.compress(body, mtime=0)
         headers.append(b"Content-Encoding: gzip")
+        headers.append(b"Content-Length: %d" % len(payload))
+    elif variant == 6:
+        if len(body) % 2 == 0:
+            payload = zlib.compress(body)
+        else:
+            co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+            payload = co.compress(body) + co.flush()
+        headers.append(b"Content-Encoding: deflate")
         headers.append(b"Content-Length: %d" % len(payload))
     else:
         payload = body
@@ -439,7 +460,8 @@ def build_warc(
     """One document as a 3-record WARC file (warcinfo + request +
     response), each record its own deterministic gzip member when
     ``gzipped`` (the Common Crawl layout). ``variant`` picks the
-    response shape: 0 identity, 1 chunked, 2 gzip HTTP bodies; 3 an
+    response shape: 0 identity, 1 chunked, 2 gzip, 6 deflate (zlib or
+    raw by body-length parity) HTTP bodies; 3 an
     identity body whose record carries ``WARC-Truncated: length`` (the
     crawler flagged a length-capped fetch — the reader must surface it,
     not pass it as complete); 4 a LONE ``WARC-Segment-Number: 1``

@@ -14,7 +14,7 @@ URL = "https://ex.com/p/1"
 DATE = "2024-01-01T00:00:00Z"
 
 
-@pytest.mark.parametrize("variant", [0, 1, 2])
+@pytest.mark.parametrize("variant", [0, 1, 2, 6])
 @pytest.mark.parametrize("gzipped", [True, False])
 def test_roundtrip_variants(variant, gzipped):
     body = f"héllo wörld 漢字 \U0001f600 v{variant}\nline2".encode()
@@ -93,7 +93,7 @@ def test_spark_operator_roundtrip_and_poison(spark):
     )
     assert len(rows) == 30
     for r in rows:
-        mod = r.doc_id % 6
+        mod = r.doc_id % 7
         if mod == 4:
             # lone segment-1 record: skipped with accounting, no page
             # fields (its continuation is in another shard)
@@ -448,7 +448,7 @@ def test_mutation_fuzz_lenient_parse_contract(seed, n_mut):
         b"".join(
             build_warc(
                 f"https://f.com/{i}", DATE, b"fuzz doc %d" % i,
-                variant=i % 6, gzipped=(i % 2 == 0),
+                variant=i % 7, gzipped=(i % 2 == 0),
             )
             for i in range(3)
         )
@@ -523,3 +523,33 @@ def test_stitch_rejects_headless_and_orphan_chains(spark):
     assert all(r.status == "segment_error" for r in stitched), stitched
     # headless chain (2 records) + orphan (1 record) both reconcile
     assert sorted(r.n_segment_records for r in stitched) == [1, 2]
+
+
+def test_deflate_both_framings_and_poison():
+    """Content-Encoding: deflate (VERDICT r5 item 8): the writer emits
+    zlib-wrapped (RFC 1950) for even body lengths and raw DEFLATE
+    (RFC 1951) for odd — the reader must accept both; undecodable
+    deflate raises WarcError (poison row, not a task kill)."""
+    import zlib
+
+    from sax_wasm_spark.sources.warc import WarcError, parse_warc
+
+    even, odd = b"ab" * 8, b"xyz" * 5  # len 16 / 15
+    for body in (even, odd):
+        shard = build_warc(URL, DATE, body, variant=6)
+        (p,) = parse_warc(shard)
+        assert p.body == body and p.status == 200
+    plain = build_warc(URL, DATE, even, variant=6, gzipped=False)
+    assert b"Content-Encoding: deflate" in plain
+    # framing really differs: the even body's payload is zlib-wrapped
+    assert zlib.compress(even) in plain
+    raw_co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    assert (raw_co.compress(odd) + raw_co.flush()) in build_warc(
+        URL, DATE, odd, variant=6, gzipped=False
+    )
+    # poison: garbage bytes under the deflate token
+    shard = bytearray(build_warc(URL, DATE, even, variant=6, gzipped=False))
+    i = shard.rindex(b"\r\n\r\n", 0, shard.rindex(b"\r\n\r\n")) + 4
+    shard[i:i + 4] = b"\x00\x01\x02\x03"
+    with pytest.raises(WarcError, match="deflate"):
+        parse_warc(bytes(shard))
