@@ -1868,11 +1868,22 @@ def q44_host_politeness(spark, sf_dir):
     read as a fetch log — each event's URL is CONSTRUCTED
     deterministically (messy case, default port, and credentials, so
     ``url_host``'s userinfo handling is oracle-proven end-to-end), keyed
-    by host via ``url_host``, then q42's lag-window pattern yields per-
-    host fetch gaps. Output per host: fetch count, gap violations
-    (< 5 s between consecutive fetches) and crawl sessions (30-min
-    inactivity split). At 10^12 scale this is one sort-shuffle on the
-    host key (both windows share it) + a partial-agg groupBy."""
+    by host via ``url_host``, then a lag pattern yields per-host fetch
+    gaps. Output per host: fetch count, gap violations (< 5 s between
+    consecutive fetches) and crawl sessions (30-min inactivity split).
+
+    Scale shape (VERDICT r5 item 7 — mega-host safe): the row-level
+    window is SALTED by event-time bucket — partitioned by (host,
+    1-hour window) instead of host alone, so a host holding 50% of a
+    100-TB fetch log spreads across as many partitions as it spans
+    hours instead of serializing into one straggler. Cross-bucket
+    correctness: each row's missing within-bucket lag (the bucket's
+    first row) is filled from the previous non-empty bucket's max ts,
+    carried by a lag window over the per-(host, bucket) AGGREGATES —
+    a frame whose size is #buckets, not #events, so the only
+    host-partitioned work is skew-free. (q49's schedule rank is
+    inherently per-host and stays so — bound documented in
+    SCALE_DESIGN.md.)"""
     from ..functions.url import url_host  # noqa: PLC0415
 
     e = load(spark, sf_dir, "events")
@@ -1882,10 +1893,24 @@ def q44_host_politeness(spark, sf_dir):
         F.lit(".Example.COM:443/p/"),
         F.col("event_id").cast("string"),
     )
-    d = e.select(url_host(url).alias("host"), "ts", "event_id")
-    w = Window.partitionBy("host").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    flagged = d.select(
+    d = e.select(url_host(url).alias("host"), "ts", "event_id").withColumn(
+        "bucket", F.window("ts", "1 hour")["start"]
+    )
+    wb = Window.partitionBy("host", "bucket").orderBy("ts", "event_id")
+    prev_in_bucket = F.lag("ts").over(wb)
+    # per-bucket tail ts; its lag (per host, over the tiny aggregate
+    # frame) is the prev for each bucket's first row
+    wh = Window.partitionBy("host").orderBy("bucket")
+    bucket_prev = (
+        d.groupBy("host", "bucket")
+        .agg(F.max("ts").alias("_last_ts"))
+        .select("host", "bucket", F.lag("_last_ts").over(wh).alias("_prev_last"))
+    )
+    joined = d.join(bucket_prev, ["host", "bucket"]).withColumn(
+        "_prev", F.coalesce(prev_in_bucket, F.col("_prev_last"))
+    )
+    prev = F.col("_prev")
+    flagged = joined.select(
         "host",
         F.when(
             prev.isNotNull() & (F.col("ts") < prev + F.expr("INTERVAL 5 SECONDS")), 1

@@ -194,17 +194,27 @@ def test_whole_stage_codegen_present(spark):
     assert "* HashAggregate" in plan and "* Filter" in plan, plan[:3000]
 
 
-def test_q44_windows_share_one_sort_shuffle(spark):
-    """q44 computes two lag-derived flags and a groupBy over the SAME
-    (host) key: the two windows must share ONE hashpartitioning
-    exchange, and the groupBy must reuse that partitioning instead of
-    adding its own — total exchanges ≤ 2 (window hash + final orderBy
-    range)."""
+def test_q44_row_window_is_time_bucket_salted(spark):
+    """q44's ROW-LEVEL lag window must be salted by event-time bucket
+    (VERDICT r5 item 7): partitioned by (host, bucket), never host
+    alone — a mega-host spreads across its hours instead of
+    serializing into one straggler. Host-only partitioning may appear
+    only on the per-(host, bucket) AGGREGATE frame (#buckets rows) and
+    the final partial-agg'd groupBy."""
     from sax_wasm_spark.plans.queries import q44_host_politeness
 
     plan = plan_of(q44_host_politeness(spark, SF))
-    assert len(re.findall(r"\(\d+\) Window", plan)) <= 1, plan[:3000]
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:3000]
+    # exactly two windows: the salted row-level lag + the bucket-
+    # aggregate boundary lag
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan[:3000]
+    assert re.search(r"hashpartitioning\(host#\d+, bucket#\d+", plan), plan[:3000]
+    # every Sort feeding a Window over raw events must include bucket;
+    # equivalently: each host-only exchange is immediately downstream
+    # of a HashAggregate (the tiny frames), checked structurally by
+    # asserting the row count of host-only sorts that order by event_id
+    # (the raw-row sort key) is zero
+    for m in re.finditer(r"Arguments: \[host#\d+ ASC NULLS FIRST, ts#\d+ ASC", plan):
+        raise AssertionError("raw-row sort keyed by host alone:\n" + plan[:3000])
 
 
 def test_q45_window_is_shard_partitioned(spark):
