@@ -13,6 +13,10 @@ Tiers, each exposed as an oracle-checked query in plans/queries.py:
   twin only — O(n²))                                  (q25)
 - embedding near-dup, LSH-blocked (the scale path:
   band-bucket join, NO cartesian product)             (q31)
+- incremental dedup: refresh churn classification →
+  re-shingle churned docs only → band join against
+  the persisted signature store → merge with still-
+  valid previous verified pairs                       (q51)
 
 Scale design: shingling and minhash signatures are built WITHIN the
 row with higher-order array functions (split → filter → transform/
@@ -161,20 +165,20 @@ def minhash_signatures(
     return sa.select(id_col, *cols)
 
 
-def minhash_lsh_pairs(
+def band_buckets(
     df: DataFrame,
     n_hashes: int = 8,
     band_size: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
     k_shingle: int = 3,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidate pairs: docs agreeing on ALL hashes of at least
-    one band. The per-doc (band, bucket) rows come from ONE posexplode
-    of the in-row bucket array (round 1 unioned n_bands DataFrames);
-    the only shuffle is the self-join on (band, bucket). ``max_bucket``
-    arms the hot-bucket guard (see :func:`_guard_hot_buckets`)."""
+    """(id, band, bucket) LSH band-bucket rows, built in-row (one
+    posexplode of the per-doc bucket array — zero shuffles). This is
+    the persistable SIGNATURE STORE: a dedup run writes it next to its
+    pair tables so a corpus refresh can re-shingle only churned docs
+    and join their fresh rows against the store
+    (:func:`incremental_verified_pairs`)."""
     sigs = minhash_signatures(df, n_hashes, id_col, text_col, k_shingle)
     n_bands = n_hashes // band_size
     bucket_arr = F.array(
@@ -187,10 +191,30 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    buckets = _guard_hot_buckets(
-        sigs.select(id_col, F.posexplode(bucket_arr).alias("band", "bucket")),
-        max_bucket,
-    )
+    return sigs.select(id_col, F.posexplode(bucket_arr).alias("band", "bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    max_bucket: int | None = None,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs agreeing on ALL hashes of at least
+    one band. The per-doc (band, bucket) rows come from ONE posexplode
+    of the in-row bucket array (round 1 unioned n_bands DataFrames);
+    the only shuffle is the self-join on (band, bucket). ``max_bucket``
+    arms the hot-bucket guard (see :func:`_guard_hot_buckets`).
+    ``buckets`` short-circuits the signature stage with a precomputed
+    store frame (:func:`band_buckets` written to and read back from
+    parquet) so the job layer computes signatures exactly once."""
+    if buckets is None:
+        buckets = band_buckets(df, n_hashes, band_size, id_col, text_col, k_shingle)
+    buckets = _guard_hot_buckets(buckets, max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     out = (
@@ -248,6 +272,135 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def content_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, content_hash) — the 32-byte-per-row projection a dedup run
+    persists so the NEXT refresh can classify churn without comparing
+    texts."""
+    return df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+
+
+def dedup_churn(
+    new_hashes: DataFrame, prev_hashes: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Classify a refresh against the previous run's hash table:
+    returns ``(churned_ids, unchanged_ids)`` — both subsets of the NEW
+    corpus. Unchanged requires the id unique in BOTH snapshots with
+    equal hashes (the same never-reuse-duplicates rule as
+    run_extraction_incremental / snapshot_diff); everything else in
+    the new corpus (added, changed, duplicated) is churned and gets
+    re-shingled. Ids only in the previous snapshot are deleted — they
+    appear in neither output, so their store rows and pairs simply
+    fail the unchanged semi-joins downstream. One join over two
+    hash-table projections; texts never shuffle."""
+    n = new_hashes.groupBy(id_col).agg(
+        F.count("*").alias("_n_new"), F.min("content_hash").alias("_h_new")
+    )
+    p = prev_hashes.groupBy(id_col).agg(
+        F.count("*").alias("_n_prev"), F.min("content_hash").alias("_h_prev")
+    )
+    j = n.join(p, id_col, "left")
+    unchanged = j.where(
+        (F.col("_n_new") == 1)
+        & (F.col("_n_prev") == 1)
+        & F.col("_h_new").eqNullSafe(F.col("_h_prev"))
+    ).select(id_col)
+    churned = j.join(unchanged, id_col, "left_anti").select(id_col)
+    return churned, unchanged
+
+
+def incremental_band_buckets(
+    docs: DataFrame,
+    prev_buckets: DataFrame,
+    churned_ids: DataFrame,
+    unchanged_ids: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """The refreshed signature store: unchanged docs keep their
+    previous (band, bucket) rows verbatim (no shingling, no minhash —
+    at a few percent churn this skips ~95% of the signature stage);
+    churned docs are re-shingled fresh. Deleted/changed ids drop out
+    via the unchanged semi-join. The result is exactly
+    ``band_buckets(docs)`` for the current corpus (minhash is a pure
+    function of the text), so a refresh chain never drifts from a
+    from-scratch run."""
+    kept = prev_buckets.join(unchanged_ids, id_col, "left_semi")
+    fresh = band_buckets(
+        docs.join(churned_ids, id_col, "left_semi"),
+        n_hashes,
+        band_size,
+        id_col,
+        text_col,
+        k_shingle,
+    )
+    return kept.unionByName(fresh)
+
+
+def incremental_verified_pairs(
+    docs: DataFrame,
+    new_buckets: DataFrame,
+    prev_verified: DataFrame,
+    churned_ids: DataFrame,
+    unchanged_ids: DataFrame,
+    jaccard: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs after a refresh, WITHOUT re-running the
+    bucket self-join over the whole corpus: candidate pairs are only
+    (churned × store) — the churned side's band rows joined against the
+    full refreshed store on (band, bucket) — and only those candidates
+    pay the exact-Jaccard check. Pairs between two UNCHANGED docs are
+    carried over from the previous run's verified table (their texts,
+    shingles, buckets and Jaccard are all unchanged); pairs with a
+    churned endpoint are recomputed; pairs with a deleted/changed
+    endpoint fail the unchanged semi-join and drop. The two sets are
+    disjoint by construction (every fresh candidate has ≥1 churned
+    endpoint), so the union needs no dedup.
+
+    Equivalence to from-scratch holds exactly when the hot-bucket
+    guard's verdicts don't change between runs: a previously-verified
+    pair whose bucket has since crossed ``max_bucket`` is KEPT here
+    (strictly more recall than from-scratch, and Jaccard-verified), and
+    a bucket that cooled below the threshold only yields new pairs for
+    churned members. With the guard unarmed (``None``, the oracle
+    setting) the result is exactly the from-scratch pair set."""
+    guarded = _guard_hot_buckets(new_buckets, max_bucket)
+    churn_side = guarded.join(churned_ids, id_col, "left_semi")
+    a, b = churn_side.alias("a"), guarded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    fresh = ngram_jaccard(docs, cand, id_col, text_col, k_shingle).where(
+        F.col("jaccard") >= jaccard
+    )
+    kept = prev_verified.join(
+        unchanged_ids.withColumnRenamed(id_col, "doc_a"), "doc_a", "left_semi"
+    ).join(
+        unchanged_ids.withColumnRenamed(id_col, "doc_b"), "doc_b", "left_semi"
+    )
+    out = kept.select("doc_a", "doc_b", "jaccard").unionByName(fresh)
+    out._sax_persisted = getattr(guarded, "_sax_persisted", None)
+    return out
 
 
 def embedding_neardup_pairs(

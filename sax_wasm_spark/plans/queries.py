@@ -527,16 +527,22 @@ def q16_minhash_signature(spark, sf_dir):
 
 # Shared shingle CTE (DuckDB): whitespace tokens with empties filtered,
 # 3-word shingles via list_slice — mirrors dedup.shingle_array exactly.
-_SHINGLE_CTE = """
+# ``src`` parametrizes the source relation (q51 runs it over a derived
+# "new crawl" CTE instead of the documents table).
+def _shingle_cte(src: str = "documents") -> str:
+    return f"""
     toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
-      FROM documents
+      FROM {src}
     ), shing AS (
       SELECT doc_id,
              list_transform(generate_series(1, len(toks) - 2),
                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
       FROM toks WHERE len(toks) >= 3
     )"""
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 
 def q16_sql():
@@ -1096,9 +1102,9 @@ def q23_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(d, n_hashes=8, band_size=2).orderBy("doc_a", "doc_b")
 
 
-def _lsh_cte():
+def _lsh_cte(src: str = "documents"):
     """Shingle → in-row minhash → band buckets → candidate pairs, as a
-    reusable DuckDB CTE chain (q23/q24/q32 share it). Mirrors
+    reusable DuckDB CTE chain (q23/q24/q32/q51 share it). Mirrors
     dedup.minhash_signatures / minhash_lsh_pairs (8 hashes, 4 bands of
     2, hash_i(s) = md5('i:' || s))."""
     mh = ", ".join(
@@ -1108,7 +1114,7 @@ def _lsh_cte():
         f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sigs"
         for b in range(4)
     )
-    return f"""{_SHINGLE_CTE}, sigs AS (
+    return f"""{_shingle_cte(src)}, sigs AS (
       SELECT doc_id, {mh} FROM shing
     ), buckets AS ({bands}), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2051,6 +2057,95 @@ def q50_sql():
     """
 
 
+def q51_incremental_dedup(spark, sf_dir):
+    """Incremental dedup refresh (VERDICT r5 item 6;
+    operators/dedup.dedup_churn / incremental_band_buckets /
+    incremental_verified_pairs): a deterministic "new crawl" is derived
+    from the documents snapshot (every 7th doc's text changed, every
+    doc_id%7==1 dropped, near-copies of every doc_id%7==2 appended as
+    new ids), the PREVIOUS run's state (hash table, band-bucket
+    signature store, verified pairs) is built from the old snapshot
+    with the from-scratch operators, and the refresh then re-shingles
+    ONLY the churned docs, joins their band rows against the store, and
+    carries unchanged pairs over verbatim. The oracle computes verified
+    pairs FROM SCRATCH over the same derived corpus in DuckDB — so the
+    equality being checked is exactly `incremental == from-scratch`
+    against an independent implementation. Scale shape: churn
+    classification joins two 32-byte/row hash tables; signature work is
+    O(churn); the pair join is (churn × store) on (band, bucket), never
+    a full self-join."""
+    from ..operators.dedup import (  # noqa: PLC0415
+        band_buckets,
+        content_hashes,
+        dedup_churn,
+        incremental_band_buckets,
+        incremental_verified_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    old = d.select("doc_id", "text")
+    new = (
+        d.where(did % 7 != 1)
+        .select(
+            "doc_id",
+            F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.where(did % 7 == 2).select(
+                (did + 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            )
+        )
+    )
+    tau = 0.5
+    prev_verified = ngram_jaccard(old, minhash_lsh_pairs(old)).where(
+        F.col("jaccard") >= tau
+    )
+    churned, unchanged = dedup_churn(content_hashes(new), content_hashes(old))
+    store = incremental_band_buckets(new, band_buckets(old), churned, unchanged)
+    return (
+        incremental_verified_pairs(
+            new, store, prev_verified, churned, unchanged, jaccard=tau
+        )
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q51_sql():
+    # From-scratch verified pairs over the SAME derived corpus — the
+    # independent ground truth the incremental path must reproduce.
+    newdocs = """newdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 1
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text || ' tail' AS text
+      FROM documents WHERE doc_id % 7 = 2
+    )"""
+    return f"""
+    WITH {newdocs}, {_lsh_cte("newdocs")}, sets AS (
+      SELECT doc_id, list_distinct(sh) AS shset FROM shing
+    ), scored AS (
+      SELECT p.doc_a, p.doc_b,
+             round(len(list_intersect(sa.shset, sb.shset))
+                   / (len(sa.shset) + len(sb.shset)
+                      - len(list_intersect(sa.shset, sb.shset))), 6) AS jaccard
+      FROM pairs p
+      JOIN sets sa ON sa.doc_id = p.doc_a
+      JOIN sets sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored
+    WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
 def q49_crawl_schedule(spark, sf_dir):
     """Politeness-correct fetch scheduling — the synthesis of the
     crawl-politeness triplet (q44 audits actual gaps, q46 gates what
@@ -2352,9 +2447,11 @@ def q44_sql():
 # with 58 registered, 8 long-green rows absorb the cap at the tail.
 # Round-6 rotation (VERDICT r5 item 3): q35–q42 move into the checked
 # window (they sat in the dark all of round 5); q01–q08 — green since
-# round 1 and sf-stable — take the tail this round. Rotate the tail
-# slice every round so each query is driver-checked at least every
-# other round; the sax_*/pdf/warc flagships stay in-window permanently.
+# round 1 and sf-stable — take the tail this round, and new q51 pushes
+# q34 (driver-green in r5) to position 51. Rotate the tail slice every
+# round so each query is driver-checked at least every other round; the
+# sax_*/pdf/warc flagships stay in-window permanently. Round-7 tail
+# candidates: q09–q16 out, q01–q08 + q34 back in.
 QUERIES = {
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
@@ -2367,6 +2464,7 @@ QUERIES = {
     "q48_warc_cross_shard": q48_warc_cross_shard,
     "q49_crawl_schedule": q49_crawl_schedule,
     "q50_snapshot_diff": q50_snapshot_diff,
+    "q51_incremental_dedup": q51_incremental_dedup,
     "q47_sequence_emit": q47_sequence_emit,
     "q46_robots_gate": q46_robots_gate,
     "q45_sequence_pack": q45_sequence_pack,
@@ -2467,6 +2565,7 @@ ORACLES = {
     "q48_warc_cross_shard": q48_sql(),
     "q49_crawl_schedule": q49_sql(),
     "q50_snapshot_diff": q50_sql(),
+    "q51_incremental_dedup": q51_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -359,6 +359,64 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert kept | set(drops) == {r[0] for r in rows}
 
 
+def test_dedup_job_incremental_matches_from_scratch(spark, tmp_path):
+    """run_dedup_incremental (VERDICT r5 item 6): a refresh with a few
+    churned docs must (a) reuse the previous run's signature store and
+    verified pairs for unchanged docs, (b) produce pairs/drops/kept
+    tables row-identical to a from-scratch run on the new corpus, and
+    (c) refuse to write in place."""
+    import pytest as _pytest
+    from jobs.dedup_job import run_dedup, run_dedup_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    other = "totally different words " + "x y z w v u t s r q " * 6
+    old_rows = [
+        (1, base),
+        (2, base + "tail one"),
+        (3, base + "tail two"),
+        (10, other),
+        (11, "another unrelated doc " + "m n o p q r s t u v " * 6),
+        (20, "exact twin content " + "a b c d e f g h i j " * 6),
+        (21, "exact twin content " + "a b c d e f g h i j " * 6),
+    ]
+    # refresh: drop 3, change 11 into a near-dup of 10 (new cross-pair
+    # between a churned and an unchanged doc), add 30 as a near-dup of
+    # 1 (added doc joins an existing cluster), keep the rest unchanged
+    new_rows = [
+        (1, base),
+        (2, base + "tail one"),
+        (10, other),
+        (11, other + "slightly"),
+        (20, "exact twin content " + "a b c d e f g h i j " * 6),
+        (21, "exact twin content " + "a b c d e f g h i j " * 6),
+        (30, base + "tail three"),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out0, out1, out2 = (str(tmp_path / d) for d in ("base", "inc", "scratch"))
+    run_dedup(spark, old, out0, jaccard=0.5)
+    stats = run_dedup_incremental(spark, new, out1, previous_path=out0, jaccard=0.5)
+    run_dedup(spark, new, out2, jaccard=0.5)
+
+    assert stats["n_churned"] == 2  # 11 changed + 30 added
+    assert stats["n_sigs_reused"] == 5
+    for table in ("pairs", "drops", "kept", "buckets", "hashes"):
+        a = sorted(map(tuple, spark.read.parquet(f"{out1}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{out2}/{table}").collect()))
+        assert a == b, f"{table} diverged between incremental and scratch"
+    kept = {r.doc_id for r in spark.read.parquet(f"{out1}/kept").collect()}
+    # the added doc joined cluster {1,2,30}; the changed doc paired
+    # with unchanged 10; deleted 3 is gone everywhere
+    assert 1 in kept and 2 not in kept and 30 not in kept
+    assert 10 in kept and 11 not in kept
+    assert 3 not in kept | {
+        r.drop_id for r in spark.read.parquet(f"{out1}/drops").collect()
+    }
+
+    with _pytest.raises(ValueError, match="in place"):
+        run_dedup_incremental(spark, new, out0, previous_path=out0)
+
+
 def test_prepare_corpus_pipeline_end_to_end(spark, pages, tmp_path):
     """jobs/prepare_corpus_job.run_pipeline: extract → filter → dedup →
     stats over the synthetic pages corpus, then a second run resumes
