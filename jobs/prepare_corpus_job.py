@@ -54,6 +54,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _has_dedup_state(spark, previous_path: str | None) -> bool:
+    """True iff the previous run persisted the incremental-dedup state
+    (hashes + buckets + pairs). Only a missing table counts as absent;
+    other read errors propagate (same rule as the extraction refresh's
+    fresh-root probe)."""
+    if not previous_path:
+        return False
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    for t in ("hashes", "buckets", "pairs"):
+        try:
+            spark.read.parquet(f"{previous_path}/{t}").schema
+        except AnalysisException:
+            return False
+    return True
+
+
 def run_pipeline(
     spark,
     pages,
@@ -81,7 +98,7 @@ def run_pipeline(
 ) -> dict:
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    from jobs.dedup_job import run_dedup  # noqa: PLC0415
+    from jobs.dedup_job import run_dedup, run_dedup_incremental  # noqa: PLC0415
     from sax_wasm_spark.functions.text import (  # noqa: PLC0415
         dup_bigram_fraction,
         lang_guess,
@@ -206,13 +223,33 @@ def run_pipeline(
     n_filtered = docs.count()
 
     # ---- 3. dedup (exact + near → clusters → survivors) ----
-    de_stats = run_dedup(
-        spark,
-        docs,
-        out_path,
-        jaccard=jaccard,
-        max_bucket=max_bucket,
-    )
+    # with --previous AND a prior run that persisted its dedup state
+    # (hashes/buckets/pairs), the refresh re-shingles only churned
+    # docs and joins their bands against the persisted signature
+    # store — the dedup leg of the same incremental story stage 1
+    # already tells. Filter-threshold changes between runs are just
+    # churn (docs entering/leaving the filtered set) and classify
+    # correctly. Prior runs from before the state tables existed fall
+    # back to a from-scratch dedup.
+    prev_dedup = previous_path if _has_dedup_state(spark, previous_path) else None
+    if prev_dedup:
+        de_stats = run_dedup_incremental(
+            spark,
+            docs,
+            out_path,
+            previous_path=prev_dedup,
+            jaccard=jaccard,
+            max_bucket=max_bucket,
+        )
+    else:
+        de_stats = run_dedup(
+            spark,
+            docs,
+            out_path,
+            jaccard=jaccard,
+            max_bucket=max_bucket,
+        )
+    de_stats["incremental"] = bool(prev_dedup)
 
     # ---- 4. optional decontamination + deterministic mix ----
     kept = spark.read.parquet(f"{out_path}/kept")

@@ -504,6 +504,53 @@ def test_prepare_corpus_pipeline_end_to_end(spark, pages, tmp_path):
     assert 0 < filtered3.count() <= stats["n_filtered"]
 
 
+def test_pipeline_full_incremental_refresh(spark, pages, tmp_path):
+    """The complete refresh story: run_pipeline with --previous chains
+    the extraction refresh (stage 1 reuses unchanged pages' rows) INTO
+    incremental dedup (stage 3 re-shingles only churned docs against
+    the persisted signature store), and the refreshed corpus equals a
+    from-scratch pipeline run on the new crawl."""
+    from pyspark.sql import functions as F
+
+    from jobs.prepare_corpus_job import run_pipeline
+    from sax_wasm_spark.sources.pages import synthesize_pages
+
+    base = str(tmp_path / "base")
+    kw = dict(num_shards=4, min_quality=0.0, min_chars=10)
+    run_pipeline(spark, pages, base, run_id="b", **kw)
+
+    # new crawl: drop 3 urls, mutate 4 pages, add 5 new ones
+    urls = sorted(r.url for r in pages.select("url").collect())
+    dropped, mutated = set(urls[:3]), set(urls[3:7])
+    new_pages = (
+        pages.where(~F.col("url").isin(*dropped))
+        .withColumn(
+            "html",
+            F.when(
+                F.col("url").isin(*mutated),
+                F.concat(F.col("html"), F.lit(b"<p>fresh content this round</p>")),
+            ).otherwise(F.col("html")),
+        )
+        .unionByName(synthesize_pages(spark, 5, partitions=1, start_id=70_000))
+    )
+
+    inc = str(tmp_path / "inc")
+    stats = run_pipeline(
+        spark, new_pages, inc, previous_path=base, run_id="i", **kw
+    )
+    assert stats["extract"]["n_reused"] == len(urls) - 3 - 4
+    assert stats["dedup"]["incremental"] is True
+    assert stats["dedup"]["n_sigs_reused"] > 0
+
+    scratch = str(tmp_path / "scratch")
+    s2 = run_pipeline(spark, new_pages, scratch, run_id="s", **kw)
+    assert s2["dedup"]["incremental"] is False
+    cols = ["url", "doc_id", "text", "lang"]
+    a = sorted(map(tuple, spark.read.parquet(f"{inc}/kept").select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{scratch}/kept").select(*cols).collect()))
+    assert a == b
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, ["image", "audio", "video"][i % 3], bytes([i % 251]) * (100 + i)) for i in range(30)]
     # duplicate payloads for dedup
