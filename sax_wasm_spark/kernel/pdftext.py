@@ -1236,12 +1236,35 @@ def _parse_tounicode(data: bytes) -> _CMap | None:
 # content-stream text interpreter
 
 
+# PDFDocEncoding (ISO 32000-1 Annex D.3, Table D.2) deltas vs Latin-1:
+# 0x18-0x1F accent modifiers, 0x80-0x9E typographic punctuation +
+# ligatures + Latin-extended letters, 0xA0 the euro sign. Bytes the
+# table leaves undefined (0x7F, 0x9F, 0xAD) decode leniently as their
+# Latin-1 identity — a real crawl's malformed metadata should degrade,
+# not error.
+_PDFDOC_DELTAS = {
+    0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ", 0x1B: "˙",
+    0x1C: "˝", 0x1D: "˛", 0x1E: "˚", 0x1F: "˜",
+    0x80: "•", 0x81: "†", 0x82: "‡", 0x83: "…",
+    0x84: "—", 0x85: "–", 0x86: "ƒ", 0x87: "⁄",
+    0x88: "‹", 0x89: "›", 0x8A: "−", 0x8B: "‰",
+    0x8C: "„", 0x8D: "“", 0x8E: "”", 0x8F: "‘",
+    0x90: "’", 0x91: "‚", 0x92: "™", 0x93: "ﬁ",
+    0x94: "ﬂ", 0x95: "Ł", 0x96: "Œ", 0x97: "Š",
+    0x98: "Ÿ", 0x99: "Ž", 0x9A: "ı", 0x9B: "ł",
+    0x9C: "œ", 0x9D: "š", 0x9E: "ž", 0xA0: "€",
+}
+_PDFDOC_MAP = str.maketrans({chr(i): s for i, s in _PDFDOC_DELTAS.items()})
+
+
 def _decode_text(b: bytes) -> str:
+    """Spec text-string decoding (§7.9.2.2): UTF-16 when BOM-tagged,
+    else PDFDocEncoding via the Annex D table."""
     if b[:2] == b"\xfe\xff":
         return b[2:].decode("utf-16-be", "replace")
     if b[:2] == b"\xff\xfe":
         return b[2:].decode("utf-16-le", "replace")
-    return b.decode("latin-1")
+    return b.decode("latin-1").translate(_PDFDOC_MAP)
 
 
 _TEXT_OPS = frozenset(

@@ -265,19 +265,35 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+# Latin-1-encodable chars whose byte means something ELSE under
+# PDFDocEncoding (the reader's non-BOM decoding, Annex D Table D.2):
+# NBSP's 0xA0 byte is the euro sign there, so such text must take the
+# BOM-tagged UTF-16 path. (Bytes the table leaves undefined decode
+# leniently as Latin-1 identity on the reader side, so they are safe.)
+_NON_PDFDOC_LATIN1 = {"\xa0"}
+
+
+def _latin1_pdfdoc(s: str) -> bytes | None:
+    """s as PDFDoc-safe Latin-1 bytes, or None → use UTF-16BE."""
+    if any(c in _NON_PDFDOC_LATIN1 for c in s):
+        return None
+    try:
+        return s.encode("latin-1")
+    except UnicodeEncodeError:
+        return None
+
+
 def _lit(s: str) -> bytes:
     """Literal or UTF-16BE-hex string for arbitrary text."""
-    try:
-        raw = s.encode("latin-1")
-    except UnicodeEncodeError:
+    raw = _latin1_pdfdoc(s)
+    if raw is None:
         return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode() + b">"
     return b"(" + raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)") + b")"
 
 
 def _hex(s: str) -> bytes:
-    try:
-        raw = s.encode("latin-1")
-    except UnicodeEncodeError:
+    raw = _latin1_pdfdoc(s)
+    if raw is None:
         raw = b"\xfe\xff" + s.encode("utf-16-be")
     return b"<" + raw.hex().encode() + b">"
 

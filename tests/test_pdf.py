@@ -716,3 +716,23 @@ def test_writer_reader_key_derivation_agree():
             # a different password must NOT validate
             wrong = _std_file_key(b"guess", o, p, id0, n, r)
             assert not _user_password_matches(wrong, u, id0, r)
+
+
+def test_pdfdoc_encoding_non_bom_strings():
+    """Non-BOM text strings decode via PDFDocEncoding (ISO 32000-1
+    Annex D.3), not Latin-1: typographic punctuation at 0x80-0x9E,
+    euro at 0xA0, accent modifiers at 0x18-0x1F; undefined bytes
+    degrade to Latin-1 identity. The writer twin routes any char whose
+    Latin-1 byte means something else under PDFDoc (NBSP) through the
+    BOM-tagged UTF-16 path so round-trips hold."""
+    from sax_wasm_spark.kernel.pdftext import _decode_text
+
+    assert _decode_text(bytes([0x80, 0x84, 0x8D, 0x93, 0xA0])) == "•—“ﬁ€"
+    assert _decode_text(bytes([0x18, 0x1F])) == "˘˜"
+    assert _decode_text(b"\x7f\x9f\xad") == "\x7f\x9f\xad"  # lenient
+    # BOM-tagged strings unaffected
+    assert _decode_text(b"\xfe\xff" + "€".encode("utf-16-be")) == "€"
+    # writer: NBSP must NOT be emitted as a raw 0xA0 literal byte
+    t = "hard\xa0space and €uro"
+    for v in (0, 2, 9):
+        assert extract_pdf_text(build_pdf(t, variant=v)) == t
