@@ -363,6 +363,115 @@ def warc_benchmark(cores: int = 8) -> dict:
         spark.stop()
 
 
+def refresh_benchmark(cores: int = 8) -> dict:
+    """Incremental-refresh economics (round 6), measured two ways over
+    real-crawl-sized pages (~37 KB avg, scale=64) at 5% churn.
+
+    ``stage``: the COMPUTE the refresh avoids — from-scratch kernel
+    extraction over the full new corpus vs (churn classification
+    against the previous snapshot + kernel on churned pages only).
+    This ratio is the one that scales: the avoided work is O(corpus),
+    the incremental work O(churn) + a hash join.
+
+    ``e2e``: full run_extraction vs run_extraction_incremental
+    including the snapshot WRITE — which is common to both sides and,
+    on this sandbox (local NVMe writes at ~75 MB/s vs kernel at
+    ~50 MB/s, plus per-job fixed costs over only a few thousand
+    docs), floors the end-to-end ratio near 1. Reported anyway —
+    an honest small-scale number with the floor analysis in
+    BENCH_BASELINE.md beats a flattering one. On a 1000-executor
+    cluster the kernel stage dominates wall-clock and e2e approaches
+    the stage ratio; an Iceberg merge-on-read sink (env-blocked here)
+    removes the rewrite floor entirely."""
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.operators.extract import extract_main_content
+    from sax_wasm_spark.plans.lineage import (
+        read_extracted,
+        run_extraction,
+        run_extraction_incremental,
+        with_shard,
+    )
+    from sax_wasm_spark.session import get_spark
+    from sax_wasm_spark.sources.pages import synthesize_pages
+
+    tmp = tempfile.mkdtemp(prefix="sax_refresh_bench_")
+    spark = get_spark(
+        app_name="bench-refresh",
+        cores=cores,
+        shuffle_partitions=max(2 * cores, 16),
+    )
+    try:
+        n = min(N_PAGES, 20_000)
+        pages = synthesize_pages(spark, n, partitions=8 * cores, scale=64).persist()
+        avg_kb = (
+            pages.agg(F.avg(F.length("html")).alias("b")).first()["b"] / 1024
+        )
+        base = os.path.join(tmp, "base")
+        run_extraction(spark, pages, base, num_shards=64, run_id="bench-base")
+        churn = F.abs(F.xxhash64("url")) % 20 == 0  # ~5% deterministic
+        new_pages = pages.withColumn(
+            "html",
+            F.when(
+                churn, F.concat(F.col("html"), F.lit(b"<p>bench delta</p>"))
+            ).otherwise(F.col("html")),
+        )
+
+        # -- stage ratio: the compute the refresh avoids (no writes)
+        t0 = time.perf_counter()
+        extract_main_content(with_shard(new_pages, 64)).count()
+        stage_scratch = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        prev = read_extracted(spark, base).select(
+            "url", F.col("html_hash").alias("_ph")
+        )
+        hashed = with_shard(new_pages, 64).withColumn(
+            "html_hash", F.md5(F.coalesce(F.col("html"), F.lit(b"")))
+        )
+        # one md5 pass: churned rows selected directly via a left join
+        # against the previous (url, hash) projection
+        churned_pages = (
+            hashed.join(prev, "url", "left")
+            .where(
+                F.col("_ph").isNull() | (F.col("html_hash") != F.col("_ph"))
+            )
+            .drop("_ph")
+        )
+        extract_main_content(churned_pages).count()
+        stage_inc = time.perf_counter() - t0
+
+        # -- end-to-end including the (common) snapshot write
+        t0 = time.perf_counter()
+        run_extraction(
+            spark, new_pages, os.path.join(tmp, "scratch"),
+            num_shards=64, run_id="bench-scratch",
+        )
+        e2e_scratch = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        stats = run_extraction_incremental(
+            spark, new_pages, os.path.join(tmp, "inc"), base,
+            num_shards=64, run_id="bench-inc",
+        )
+        e2e_inc = time.perf_counter() - t0
+        pages.unpersist()
+        return {
+            "cores": cores,
+            "n_pages": n,
+            "avg_page_kb": round(avg_kb, 1),
+            "churn_frac": 0.05,
+            "stage_scratch_sec": round(stage_scratch, 3),
+            "stage_incremental_sec": round(stage_inc, 3),
+            "refresh_stage_speedup": round(stage_scratch / stage_inc, 2),
+            "e2e_scratch_sec": round(e2e_scratch, 3),
+            "e2e_incremental_sec": round(e2e_inc, 3),
+            "refresh_e2e_speedup": round(e2e_scratch / e2e_inc, 2),
+            "n_reused": stats["n_reused"],
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _measure_level_subprocess(cores: int, path: str) -> dict:
     """Run one parallelism level in a fresh OS process: JVMs and Python
     worker daemons from other levels cannot interfere (observed: stale
@@ -473,6 +582,9 @@ def main():
         if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
             result["skew"] = skew_benchmark(corpus_dir, cores=hi0)
 
+        if os.environ.get("SPARK_GRAFT_BENCH_REFRESH", "1") != "0":
+            result["refresh"] = refresh_benchmark(cores=hi0)
+
         for c in levels:
             result[f"extract_docs_per_sec_{c}c"] = round(best[c]["tput"], 2)
             result[f"extract_mb_per_sec_{c}c"] = round(best[c]["mbs"], 2)
@@ -572,6 +684,10 @@ def compact_result(result: dict) -> dict:
     if "mb_per_sec" in warc:
         out["warc_mb_per_sec"] = warc["mb_per_sec"]
         out["warc_shards_per_sec"] = warc.get("shards_per_sec")
+    refresh = result.get("refresh") or {}
+    if "refresh_stage_speedup" in refresh:
+        out["refresh_stage_speedup"] = refresh["refresh_stage_speedup"]
+        out["refresh_e2e_speedup"] = refresh.get("refresh_e2e_speedup")
     out["detail"] = "BENCH_DETAIL.json"
     return out
 

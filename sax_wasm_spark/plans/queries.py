@@ -1902,39 +1902,69 @@ def q44_host_politeness(spark, sf_dir):
     d = e.select(url_host(url).alias("host"), "ts", "event_id").withColumn(
         "bucket", F.window("ts", "1 hour")["start"]
     )
+    # ONE corpus scan, ONE salted shuffle, NO self-join: interior flags
+    # (rows with a within-bucket predecessor) come from the salted lag;
+    # each bucket's FIRST row is flagged at the aggregate level, where a
+    # per-host lag over (first_ts, last_ts) bucket summaries supplies
+    # its cross-boundary predecessor. The counts then merge in the same
+    # aggregation — so the heavy url_host expression evaluates once per
+    # row and the aggregates flow partial-agg all the way.
     wb = Window.partitionBy("host", "bucket").orderBy("ts", "event_id")
-    prev_in_bucket = F.lag("ts").over(wb)
-    # per-bucket tail ts; its lag (per host, over the tiny aggregate
-    # frame) is the prev for each bucket's first row
-    wh = Window.partitionBy("host").orderBy("bucket")
-    bucket_prev = (
-        d.groupBy("host", "bucket")
-        .agg(F.max("ts").alias("_last_ts"))
-        .select("host", "bucket", F.lag("_last_ts").over(wh).alias("_prev_last"))
-    )
-    joined = d.join(bucket_prev, ["host", "bucket"]).withColumn(
-        "_prev", F.coalesce(prev_in_bucket, F.col("_prev_last"))
-    )
-    prev = F.col("_prev")
-    flagged = joined.select(
+    prev_in = F.lag("ts").over(wb)
+    flagged = d.select(
         "host",
+        "bucket",
+        "ts",
         F.when(
-            prev.isNotNull() & (F.col("ts") < prev + F.expr("INTERVAL 5 SECONDS")), 1
+            prev_in.isNotNull()
+            & (F.col("ts") < prev_in + F.expr("INTERVAL 5 SECONDS")),
+            1,
         )
         .otherwise(0)
-        .alias("violation"),
+        .alias("viol_in"),
         F.when(
-            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+            prev_in.isNotNull()
+            & (F.col("ts") > prev_in + F.expr("INTERVAL 30 MINUTES")),
+            1,
         )
         .otherwise(0)
-        .alias("new_session"),
+        .alias("sess_in"),
+    )
+    per_bucket = flagged.groupBy("host", "bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("viol_in").alias("viol_in"),
+        F.sum("sess_in").alias("sess_in"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    wh = Window.partitionBy("host").orderBy("bucket")
+    prev_last = F.lag("last_ts").over(wh)
+    merged = per_bucket.select(
+        "host",
+        "n",
+        "viol_in",
+        "sess_in",
+        F.when(
+            prev_last.isNotNull()
+            & (F.col("first_ts") < prev_last + F.expr("INTERVAL 5 SECONDS")),
+            1,
+        )
+        .otherwise(0)
+        .alias("viol_b"),
+        F.when(
+            prev_last.isNull()
+            | (F.col("first_ts") > prev_last + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("sess_b"),
     )
     return (
-        flagged.groupBy("host")
+        merged.groupBy("host")
         .agg(
-            F.count("*").alias("n_fetches"),
-            F.sum("violation").alias("n_violations"),
-            F.sum("new_session").alias("n_sessions"),
+            F.sum("n").alias("n_fetches"),
+            (F.sum("viol_in") + F.sum("viol_b")).alias("n_violations"),
+            (F.sum("sess_in") + F.sum("sess_b")).alias("n_sessions"),
         )
         .orderBy("host")
     )

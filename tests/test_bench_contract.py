@@ -57,6 +57,19 @@ _FULL = {
         "shards_per_sec": 1234.5,
         "mb_per_sec": 123.45,
     },
+    "refresh": {
+        "cores": 8,
+        "n_pages": 20000,
+        "avg_page_kb": 40.1,
+        "churn_frac": 0.05,
+        "stage_scratch_sec": 123.456,
+        "stage_incremental_sec": 12.345,
+        "refresh_stage_speedup": 12.34,
+        "e2e_scratch_sec": 123.456,
+        "e2e_incremental_sec": 112.345,
+        "refresh_e2e_speedup": 1.23,
+        "n_reused": 19000,
+    },
     "extract_docs_per_sec_2c": 3180.12,
     "extract_mb_per_sec_2c": 55.12,
     "extract_wall_2c_sec": 123.456,
@@ -94,6 +107,8 @@ def test_compact_keeps_driver_contract_fields():
     assert compact["salting_speedup"] == 2.39
     assert compact["recall_tuned"] == 0.9055
     assert compact["warc_mb_per_sec"] == 123.45
+    assert compact["refresh_stage_speedup"] == 12.34
+    assert compact["refresh_e2e_speedup"] == 1.23
 
 
 def test_compact_line_is_last_across_merged_streams(tmp_path, monkeypatch):
