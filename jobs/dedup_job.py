@@ -67,10 +67,12 @@ def run_dedup(
         ngram_jaccard,
     )
 
-    # 0. persist the refresh state FIRST: the content-hash table and
-    # the band-bucket signature store are what a later incremental run
-    # (--previous) diffs against. Both are also reused below, so the
-    # signature stage runs exactly once (read back from parquet).
+    # 0. persist the refresh state FIRST: the content-hash table, the
+    # band-bucket signature store, and the LSH/verify parameters are
+    # what a later incremental run (--previous) diffs against. Hashes
+    # and buckets are also reused below, so the signature stage runs
+    # exactly once (read back from parquet).
+    _write_params(spark, out_path, jaccard, n_hashes, band_size)
     hashes = content_hashes(docs, id_col, text_col)
     hashes.write.mode("overwrite").parquet(f"{out_path}/hashes")
     hashes = spark.read.parquet(f"{out_path}/hashes")
@@ -105,6 +107,41 @@ def run_dedup(
         cached.unpersist()
 
     return _finish_dedup(spark, docs, out_path, exact_drops, id_col)
+
+
+def _write_params(spark, out_path: str, jaccard: float, n_hashes: int, band_size: int):
+    """One-row parquet recording the parameters the persisted state
+    was built with — the incremental path validates against it, since
+    carried-over pairs filtered at a different jaccard (or a store
+    built with a different LSH geometry) would silently break the
+    incremental == from-scratch guarantee (round-6 review)."""
+    spark.createDataFrame(
+        [(float(jaccard), int(n_hashes), int(band_size))],
+        "jaccard double, n_hashes int, band_size int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/params")
+
+
+def _check_params(spark, previous_path: str, jaccard: float, n_hashes: int, band_size: int):
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        row = spark.read.parquet(f"{previous_path}/params").first()
+    except AnalysisException:
+        raise ValueError(
+            f"previous run at {previous_path!r} has no params table — "
+            "it predates incremental-state persistence; re-run dedup "
+            "from scratch once to establish a refreshable state"
+        ) from None
+    prev = (row["jaccard"], row["n_hashes"], row["band_size"])
+    cur = (float(jaccard), int(n_hashes), int(band_size))
+    if prev != cur:
+        raise ValueError(
+            f"incremental dedup parameter drift: previous state was built "
+            f"with (jaccard, n_hashes, band_size)={prev}, refresh asked "
+            f"for {cur}. Carried-over pairs/store rows would not match a "
+            "from-scratch run — re-run without --previous to change "
+            "parameters"
+        )
 
 
 def _exact_drops(hashes, id_col: str):
@@ -203,6 +240,8 @@ def run_dedup_incremental(
             "differ from previous_path (the previous state is lazily "
             "read during the refresh writes)"
         )
+    _check_params(spark, previous_path, jaccard, n_hashes, band_size)
+    _write_params(spark, out_path, jaccard, n_hashes, band_size)
     prev_hashes = spark.read.parquet(f"{previous_path}/hashes")
     prev_buckets = spark.read.parquet(f"{previous_path}/buckets")
     prev_verified = spark.read.parquet(f"{previous_path}/pairs")

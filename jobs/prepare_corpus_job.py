@@ -63,7 +63,7 @@ def _has_dedup_state(spark, previous_path: str | None) -> bool:
         return False
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
-    for t in ("hashes", "buckets", "pairs"):
+    for t in ("hashes", "buckets", "pairs", "params"):
         try:
             spark.read.parquet(f"{previous_path}/{t}").schema
         except AnalysisException:

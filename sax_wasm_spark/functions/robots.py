@@ -24,13 +24,16 @@ Parser/evaluator scope, per the RFC:
   for 4xx); ``Crawl-delay`` (a de-facto extension, not RFC-normative)
   is surfaced per group via :func:`crawl_delay`.
 
-Scale shape: robots bodies are a PER-HOST dim table (tiny next to the
-url corpus). ``with_robots_allowed`` joins urls to their host's robots
-text (broadcast — millions of hosts ≈ a few GB at most, and the join
-key is the url_host salting key the pipeline already uses), then a
-vectorized pandas UDF COMPILES each distinct robots body once
-(memoized) and evaluates paths against the compiled rule list —
-regex-free matching, no per-row Python reparse.
+Scale shape: robots bodies are a PER-HOST dim table (small next to the
+url corpus, but NOT always broadcast-small — a full-web host dim runs
+to 10^8+ hosts × KBs of robots.txt). ``with_robots_allowed`` joins
+urls to their host's robots text with a SIZE-GATED strategy
+(broadcast | shuffle | auto — auto counts the dim against a 500k-host
+limit and falls back to a shuffled hash join on host, the same
+url_host key the pipeline already salts on), then a vectorized pandas
+UDF COMPILES each distinct robots body once (memoized) and evaluates
+paths against the compiled rule list — regex-free matching, no
+per-row Python reparse.
 """
 
 from __future__ import annotations
@@ -309,9 +312,13 @@ def _join_robots_dim(
     executor (fine for crawl-scoped host lists), ``shuffle`` forces a
     shuffled hash join on host (the 100-TB path — a full-web host dim
     exceeds broadcast size), ``auto`` (default) counts the dim and
-    picks: ≤ ``broadcast_limit`` hosts → broadcast, else shuffle. The
-    auto count is one cheap metadata-ish job over the (small-column)
-    dim, paid once per pipeline, not per row."""
+    picks: ≤ ``broadcast_limit`` hosts → broadcast, else shuffle. NB
+    the auto count is an EAGER Spark job over the dim's host column at
+    DataFrame-construction time — it executes the dim's upstream
+    lineage once before the joined plan even runs. Cheap for a dim
+    read from parquet; on repeated-call paths or dims derived by
+    expensive queries, persist the dim first or pass an explicit
+    strategy (round-6 review)."""
     from .url import url_host  # noqa: PLC0415
 
     if strategy not in ("broadcast", "shuffle", "auto"):

@@ -797,13 +797,8 @@ class PdfDocument:
 
     def catalog(self):
         root = None
-        for m in _RE_TRAILER.finditer(self.data):
-            lex = _Lexer(self.data, m.end())
-            try:
-                t = _parse_value(lex)
-            except PdfError:
-                continue
-            if isinstance(t, dict) and "/Root" in t:
+        for t in self._trailer_dicts():
+            if "/Root" in t:
                 root = t["/Root"]
         if root is not None:
             cat = self.resolve(root)

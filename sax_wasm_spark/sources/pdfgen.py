@@ -65,7 +65,11 @@ from __future__ import annotations
 
 import zlib
 
-from ..kernel.pdftext import _AGL, SPACE_KERN  # noqa: F401  (doc cross-link)
+from ..kernel.pdftext import (  # noqa: F401  (doc cross-link)
+    _AGL,
+    _PDFDOC_DELTAS,
+    SPACE_KERN,
+)
 
 # unicode char -> canonical glyph name (first AGL entry wins)
 _AGL_REV: dict[str, str] = {}
@@ -266,11 +270,15 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
 
 
 # Latin-1-encodable chars whose byte means something ELSE under
-# PDFDocEncoding (the reader's non-BOM decoding, Annex D Table D.2):
-# NBSP's 0xA0 byte is the euro sign there, so such text must take the
-# BOM-tagged UTF-16 path. (Bytes the table leaves undefined decode
-# leniently as Latin-1 identity on the reader side, so they are safe.)
-_NON_PDFDOC_LATIN1 = {"\xa0"}
+# PDFDocEncoding (the reader's non-BOM decoding, Annex D Table D.2) —
+# every byte the delta table remaps: 0x18-0x1F accent modifiers,
+# 0x80-0x9E C1 range (NEL 0x85 appears in real converted text!),
+# 0xA0 (euro there, NBSP in Latin-1). Such text must take the
+# BOM-tagged UTF-16 path or the round-trip silently corrupts
+# (round-6 review finding, confirmed by execution). Bytes the table
+# leaves undefined decode leniently as Latin-1 identity on the reader
+# side, so they stay on the literal path.
+_NON_PDFDOC_LATIN1 = {chr(k) for k in _PDFDOC_DELTAS}
 
 
 def _latin1_pdfdoc(s: str) -> bytes | None:

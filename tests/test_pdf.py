@@ -736,3 +736,9 @@ def test_pdfdoc_encoding_non_bom_strings():
     t = "hard\xa0space and €uro"
     for v in (0, 2, 9):
         assert extract_pdf_text(build_pdf(t, variant=v)) == t
+    # round-6 review regression: EVERY byte the delta table remaps must
+    # leave the Latin-1 literal path — C1 controls like NEL (0x85, seen
+    # in real converted text) previously came back as their PDFDoc glyph
+    for t in ("a\x85b", "esc\x1bseq", "c1\x92quote\x80bullet"):
+        for v in (0, 2, 5, 9):
+            assert extract_pdf_text(build_pdf(t, variant=v)) == t, (repr(t), v)

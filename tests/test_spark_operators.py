@@ -416,6 +416,25 @@ def test_dedup_job_incremental_matches_from_scratch(spark, tmp_path):
     with _pytest.raises(ValueError, match="in place"):
         run_dedup_incremental(spark, new, out0, previous_path=out0)
 
+    # round-6 review: parameter drift against the persisted state must
+    # fail fast (carried-over pairs filtered at a different jaccard
+    # would silently break incremental == from-scratch)
+    out3 = str(tmp_path / "drift")
+    with _pytest.raises(ValueError, match="parameter drift"):
+        run_dedup_incremental(spark, new, out3, previous_path=out0, jaccard=0.8)
+    with _pytest.raises(ValueError, match="parameter drift"):
+        run_dedup_incremental(
+            spark, new, out3, previous_path=out0, jaccard=0.5, n_hashes=16
+        )
+    # a pre-params legacy state refuses incremental with guidance
+    import shutil as _shutil
+
+    legacy = str(tmp_path / "legacy_state")
+    _shutil.copytree(out0, legacy)
+    _shutil.rmtree(f"{legacy}/params")
+    with _pytest.raises(ValueError, match="no params table"):
+        run_dedup_incremental(spark, new, out3, previous_path=legacy, jaccard=0.5)
+
 
 def test_prepare_corpus_pipeline_end_to_end(spark, pages, tmp_path):
     """jobs/prepare_corpus_job.run_pipeline: extract → filter → dedup →
