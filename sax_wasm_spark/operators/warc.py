@@ -62,6 +62,12 @@ WARC_PAGE_FIELDS = [
     # (ISO 28500 requires continuations to carry WARC-Target-URI too,
     # so the url alone cannot prove headness)
     StructField("segment_is_head", BooleanType(), True),
+    # populated ONLY on status='revisit' rows (ISO 28500 §6.7.2
+    # identical-payload-digest records — crawl-level dedup): the
+    # referred capture's target uri (else record id). The payload is
+    # not re-stored, so html is NULL; downstream resolves the page by
+    # joining against the referred capture.
+    StructField("revisit_of", StringType(), True),
 ]
 
 
@@ -102,10 +108,11 @@ def warc_to_pages(
             urls, dates, statuses, ctypes, htmls, row_status, bad, seg = (
                 [], [], [], [], [], [], [], [],
             )
-            seg_origin, seg_no, seg_total, seg_head = [], [], [], []
+            seg_origin, seg_no, seg_total, seg_head, rev = [], [], [], [], []
 
             def emit(r, url, date, status, ctype, html, st, n_bad, n_seg,
-                     origin=None, number=None, total=None, is_head=None):
+                     origin=None, number=None, total=None, is_head=None,
+                     revisit=None):
                 for j in range(n_id):
                     out_ids[j].append(ids[j][r])
                 urls.append(url)
@@ -120,6 +127,7 @@ def warc_to_pages(
                 seg_no.append(number)
                 seg_total.append(total)
                 seg_head.append(is_head)
+                rev.append(revisit)
 
             for r, blob in enumerate(blobs):
                 try:
@@ -172,11 +180,18 @@ def warc_to_pages(
                          n_skipped, n_segmented)
                     continue
                 for p in pages:
-                    emit(
-                        r, p.url, p.warc_date, p.status, p.content_type,
-                        p.body, "truncated" if p.truncated else "ok",
-                        n_skipped, n_segmented,
-                    )
+                    if p.revisit_of is not None:
+                        emit(
+                            r, p.url, p.warc_date, p.status, p.content_type,
+                            None, "revisit", n_skipped, n_segmented,
+                            revisit=p.revisit_of,
+                        )
+                    else:
+                        emit(
+                            r, p.url, p.warc_date, p.status, p.content_type,
+                            p.body, "truncated" if p.truncated else "ok",
+                            n_skipped, n_segmented,
+                        )
             arrays = [
                 pa.array(out_ids[j], type=arrow_fields[j].type) for j in range(n_id)
             ] + [
@@ -192,6 +207,7 @@ def warc_to_pages(
                 pa.array(seg_no, pa.int64()),
                 pa.array(seg_total, pa.int64()),
                 pa.array(seg_head, pa.bool_()),
+                pa.array(rev, pa.string()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
@@ -207,10 +223,10 @@ def render_warc_column(
     """(id…, text) → (id…, warc:binary): one 3-record gzipped WARC file
     per document (warcinfo + request + response — the reader's record
     filtering is always exercised). The response shape cycles
-    ``first_id % 7`` (identity / chunked / gzip HTTP bodies, a
+    ``first_id % 8`` (identity / chunked / gzip HTTP bodies, a
     WARC-Truncated record, a lone segment-1 record, a complete
-    reassemblable segment chain, and deflate HTTP bodies — see
-    ``build_warc``); url defaults to a deterministic function of the
+    reassemblable segment chain, deflate HTTP bodies, and a §6.7.2
+    revisit record — see ``build_warc``); url defaults to a deterministic function of the
     first id. Partitioning-invariant. Oracle twin of warc_to_pages —
     change the cycle in BOTH or the warc_roundtrip oracle breaks."""
     import pyarrow as pa  # noqa: PLC0415
@@ -243,7 +259,7 @@ def render_warc_column(
                     u,
                     "2024-01-01T00:00:00Z",
                     (t if t is not None else "").encode("utf-8"),
-                    variant=int(i) % 7,
+                    variant=int(i) % 8,
                 )
                 for i, u, t in zip(ids[0], urls, texts)
             ]
@@ -305,6 +321,7 @@ def stitch_segments(
         F.col("segment_number"),
         F.col("segment_total"),
         F.col("segment_is_head"),
+        F.lit(None).cast("string").alias("revisit_of"),
     )
     grouped = (
         seg.where(F.col("segment_origin").isNotNull())
@@ -409,6 +426,7 @@ def stitch_segments(
                 pa.array(n_col, pa.int64()),
                 pa.array(t_col, pa.int64()),
                 pa.array(h_col, pa.bool_()),
+                pa.array([None] * len(o_col), pa.string()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 

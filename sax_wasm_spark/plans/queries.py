@@ -950,10 +950,11 @@ def pdf_extract_roundtrip_sql():
 def warc_roundtrip(spark, sf_dir):
     """Crawl-ingestion leg (sources/warc.py, operators/warc.py):
     documents are rendered into deterministic 3-record gzipped WARC
-    files — ``doc_id % 7`` cycles the response shape (identity /
+    files — ``doc_id % 8`` cycles the response shape (identity /
     chunked / Content-Encoding-gzip HTTP bodies, a WARC-Truncated
     record, a LONE segment-1 record, a complete two-segment chain,
-    Content-Encoding-deflate bodies in both zlib and raw framing) —
+    Content-Encoding-deflate bodies in both zlib and raw framing,
+    a §6.7.2 identical-payload-digest REVISIT record) —
     then parsed back into pages rows. Round-trip equality (url, body
     text, HTTP status, row status, and exactly ONE row per file
     despite the warcinfo/request records) is the closed-form oracle
@@ -961,8 +962,10 @@ def warc_roundtrip(spark, sf_dir):
     decoding, body decompression, truncation flagging
     (status='truncated', body kept), segmented-record skip accounting
     (status='segmented', no page fields — the continuation is in
-    another shard), and within-shard segment REASSEMBLY (§5.20: the
-    complete chain comes back as an ordinary ok page)."""
+    another shard), within-shard segment REASSEMBLY (§5.20: the
+    complete chain comes back as an ordinary ok page), and revisit
+    surfacing (status='revisit', html NULL, revisit_of naming the
+    referred capture — crawl-level dedup must not vanish)."""
     from ..operators.warc import render_warc_column, warc_to_pages  # noqa: PLC0415
 
     d = load(spark, sf_dir, "documents").repartition(
@@ -976,21 +979,26 @@ def warc_roundtrip(spark, sf_dir):
         F.col("html").cast("string").alias("page_text"),
         F.col("http_status").cast("int").alias("http_status"),
         "status",
+        "revisit_of",
     ).orderBy("doc_id")
 
 
 def warc_roundtrip_sql():
     return """
     SELECT doc_id,
-           CASE WHEN doc_id % 7 = 4 THEN NULL
+           CASE WHEN doc_id % 8 = 4 THEN NULL
                 ELSE 'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR)
            END AS url,
-           CASE WHEN doc_id % 7 = 4 THEN NULL ELSE text END AS page_text,
-           CASE WHEN doc_id % 7 = 4 THEN NULL ELSE 200 END AS http_status,
-           CASE WHEN doc_id % 7 = 4 THEN 'segmented'
-                WHEN doc_id % 7 = 3 THEN 'truncated'
+           CASE WHEN doc_id % 8 IN (4, 7) THEN NULL ELSE text END AS page_text,
+           CASE WHEN doc_id % 8 = 4 THEN NULL ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 8 = 4 THEN 'segmented'
+                WHEN doc_id % 8 = 3 THEN 'truncated'
+                WHEN doc_id % 8 = 7 THEN 'revisit'
                 ELSE 'ok'
-           END AS status
+           END AS status,
+           CASE WHEN doc_id % 8 = 7
+                THEN 'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR)
+           END AS revisit_of
     FROM documents ORDER BY doc_id
     """
 

@@ -66,6 +66,14 @@ class WarcPage(NamedTuple):
     # responses and SET this header (ISO 28500 §5.13) — such bodies must
     # not pass silently as complete (VERDICT r4 item 4)
     truncated: str = ""
+    # Non-None = this page is a REVISIT record (ISO 28500 §6.7.2): the
+    # crawler fetched the url again and the payload matched a previous
+    # capture (identical-payload-digest profile — Common Crawl's
+    # crawl-level dedup). The value is the referred capture
+    # (WARC-Refers-To-Target-URI, else the WARC-Refers-To record id;
+    # may be '' when the record declares neither). ``body`` is empty —
+    # the payload lives at the referred capture.
+    revisit_of: str | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -242,6 +250,33 @@ def _parse_records(
             if strict:
                 raise WarcError("segmented record (strict mode)")
             segment_records.append((headers, body))
+            continue
+        if warc_type == "revisit":
+            # §6.7.2: the block carries only the NEW response's HTTP
+            # headers (the payload was identical to the referred
+            # capture, so it is not re-stored). Surfaced as a body-less
+            # page with ``revisit_of`` set — downstream resolves the
+            # dedup; dropping these silently would make a crawl's
+            # re-fetches vanish from accounting.
+            ref = (
+                headers.get("warc-refers-to-target-uri")
+                or headers.get("warc-refers-to", "")
+            ).strip()
+            block = body if b"\r\n\r\n" in body else body + b"\r\n\r\n"
+            try:
+                status, ctype, _ = _parse_http_response(block)
+            except WarcError:
+                status, ctype = 0, ""
+            pages.append(
+                WarcPage(
+                    url=headers.get("warc-target-uri", ""),
+                    warc_date=headers.get("warc-date", ""),
+                    status=status,
+                    content_type=ctype,
+                    body=b"",
+                    revisit_of=ref,
+                )
+            )
             continue
         if warc_type == "response":
             truncated = ""
@@ -469,9 +504,13 @@ def build_warc(
     skip it with accounting, never emit the fragment as a page); 5 a
     COMPLETE two-segment chain (segment-1 response + continuation with
     WARC-Segment-Origin-ID and WARC-Segment-Total-Length, §5.20 — the
-    reader reassembles it into an ordinary page)."""
+    reader reassembles it into an ordinary page); 7 a §6.7.2 REVISIT
+    record (identical-payload-digest: HTTP headers only, no payload,
+    WARC-Refers-To-* naming an earlier capture of the same url — the
+    reader surfaces it as a body-less revisit page)."""
     extra_resp: list[tuple[str, str]] = []
     segmented_chain = False
+    revisit = False
     if variant == 3:
         extra_resp.append(("WARC-Truncated", "length"))
         variant = 0
@@ -480,6 +519,9 @@ def build_warc(
         variant = 0
     elif variant == 5:
         segmented_chain = True
+        variant = 0
+    elif variant == 7:
+        revisit = True
         variant = 0
     info = _record(
         "warcinfo",
@@ -496,7 +538,34 @@ def build_warc(
         b"GET / HTTP/1.1\r\nHost: synthetic\r\n\r\n",
     )
     payload = _http_response(body, content_type, variant)
-    if segmented_chain:
+    if revisit:
+        # §6.7.2 identical-payload-digest revisit: the record block is
+        # the NEW response's HTTP headers only; the payload lives at
+        # the referred (earlier) capture of the same url
+        head = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + content_type.encode()
+            + b"\r\n\r\n"
+        )
+        resp = _record(
+            "revisit",
+            [
+                ("WARC-Record-ID", f"<urn:det:{url}#rev>"),
+                ("WARC-Date", date),
+                ("WARC-Target-URI", url),
+                (
+                    "WARC-Profile",
+                    "http://netpreserve.org/warc/1.1/revisit/"
+                    "identical-payload-digest",
+                ),
+                ("WARC-Refers-To", f"<urn:det:{url}#resp>"),
+                ("WARC-Refers-To-Target-URI", url),
+                ("WARC-Refers-To-Date", "2023-01-01T00:00:00Z"),
+            ],
+            head,
+        )
+        records = (info, req, resp)
+    elif segmented_chain:
         half = len(payload) // 2
         resp = _record(
             "response",

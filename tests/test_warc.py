@@ -93,7 +93,12 @@ def test_spark_operator_roundtrip_and_poison(spark):
     )
     assert len(rows) == 30
     for r in rows:
-        mod = r.doc_id % 7
+        mod = r.doc_id % 8
+        if mod == 7:
+            # revisit record: body-less page naming the referred capture
+            assert r.status == "revisit" and r.html is None
+            assert r.url == f"https://synth.example.com/p/{r.doc_id}"
+            continue
         if mod == 4:
             # lone segment-1 record: skipped with accounting, no page
             # fields (its continuation is in another shard)
@@ -448,7 +453,7 @@ def test_mutation_fuzz_lenient_parse_contract(seed, n_mut):
         b"".join(
             build_warc(
                 f"https://f.com/{i}", DATE, b"fuzz doc %d" % i,
-                variant=i % 7, gzipped=(i % 2 == 0),
+                variant=i % 8, gzipped=(i % 2 == 0),
             )
             for i in range(3)
         )
@@ -553,3 +558,25 @@ def test_deflate_both_framings_and_poison():
     shard[i:i + 4] = b"\x00\x01\x02\x03"
     with pytest.raises(WarcError, match="deflate"):
         parse_warc(bytes(shard))
+
+
+def test_revisit_records_surface_with_reference():
+    """ISO 28500 §6.7.2 identical-payload-digest revisit records
+    (Common Crawl's crawl-level dedup): surfaced as body-less pages
+    with revisit_of naming the referred capture — never silently
+    dropped, never passed off as a full capture."""
+    from sax_wasm_spark.sources.warc import parse_warc, parse_warc_lenient
+
+    w = build_warc(URL, DATE, b"payload irrelevant", variant=7)
+    (p,) = parse_warc(w)
+    assert p.revisit_of == URL and p.body == b"" and p.status == 200
+    assert p.url == URL and p.content_type == "text/html"
+    # ordinary responses have revisit_of None (not ''):
+    (q,) = parse_warc(build_warc(URL, DATE, b"x", variant=0))
+    assert q.revisit_of is None
+    # a revisit whose block is unparseable still surfaces (status 0)
+    plain = build_warc(URL, DATE, b"y", variant=7, gzipped=False)
+    broken = plain.replace(b"HTTP/1.1 200 OK", b"NOT-HTTP GARBAGE!")
+    pages, skipped, _ = parse_warc_lenient(broken)
+    assert len(pages) == 1 and pages[0].revisit_of == URL
+    assert pages[0].status == 0
