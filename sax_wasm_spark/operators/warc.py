@@ -219,6 +219,7 @@ def render_warc_column(
     text_col: str = "text",
     id_cols: tuple[str, ...] = ("doc_id",),
     url_col: str | None = None,
+    variant_col: str | None = None,
 ) -> DataFrame:
     """(id…, text) → (id…, warc:binary): one 3-record gzipped WARC file
     per document (warcinfo + request + response — the reader's record
@@ -226,8 +227,9 @@ def render_warc_column(
     ``first_id % 8`` (identity / chunked / gzip HTTP bodies, a
     WARC-Truncated record, a lone segment-1 record, a complete
     reassemblable segment chain, deflate HTTP bodies, and a §6.7.2
-    revisit record — see ``build_warc``); url defaults to a deterministic function of the
-    first id. Partitioning-invariant. Oracle twin of warc_to_pages —
+    revisit record — see ``build_warc``) unless ``variant_col`` names a
+    per-row variant column; url defaults to a deterministic function of
+    the first id. Partitioning-invariant. Oracle twin of warc_to_pages —
     change the cycle in BOTH or the warc_roundtrip oracle breaks."""
     import pyarrow as pa  # noqa: PLC0415
 
@@ -241,7 +243,11 @@ def render_warc_column(
         pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in out_schema.fields
     ]
     arrow_schema = pa.schema(arrow_fields)
-    cols = list(id_cols) + [text_col] + ([url_col] if url_col else [])
+    cols = list(id_cols) + [text_col]
+    if url_col:
+        cols.append(url_col)
+    if variant_col:
+        cols.append(variant_col)
     src = df.select(*cols)
     n_id = len(id_cols)
 
@@ -249,19 +255,24 @@ def render_warc_column(
         for rb in batches:
             ids = [rb.column(j).to_pylist() for j in range(n_id)]
             texts = rb.column(n_id).to_pylist()
-            urls = (
-                rb.column(n_id + 1).to_pylist()
-                if url_col
-                else [f"https://synth.example.com/p/{i}" for i in ids[0]]
-            )
+            col_at = n_id + 1
+            if url_col:
+                urls = rb.column(col_at).to_pylist()
+                col_at += 1
+            else:
+                urls = [f"https://synth.example.com/p/{i}" for i in ids[0]]
+            if variant_col:
+                variants = rb.column(col_at).to_pylist()
+            else:
+                variants = [int(i) % 8 for i in ids[0]]
             blobs = [
                 build_warc(
                     u,
                     "2024-01-01T00:00:00Z",
                     (t if t is not None else "").encode("utf-8"),
-                    variant=int(i) % 8,
+                    variant=int(v),
                 )
-                for i, u, t in zip(ids[0], urls, texts)
+                for i, u, t, v in zip(ids[0], urls, texts, variants)
             ]
             arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [
                 pa.array(blobs, pa.binary())
@@ -497,3 +508,55 @@ def render_warc_split_column(
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     return src.mapInArrow(run, schema=out_schema)
+
+
+def resolve_revisits(pages: DataFrame, keep_unresolved: bool = True) -> DataFrame:
+    """Fill ``status='revisit'`` rows' payloads from their referred
+    captures: each revisit row joins against the corpus's full captures
+    (``status in (ok, truncated)``) on ``revisit_of == url`` and, when
+    a capture exists, takes its html/content_type and becomes
+    ``status='revisit_resolved'``. Rows whose referred capture is not
+    in this corpus (another crawl, an unsurfaced shard) stay
+    ``'revisit'`` when ``keep_unresolved`` (the accounting-honest
+    default) or drop otherwise. Non-revisit rows pass through
+    untouched.
+
+    Scale shape: the captures side first reduces to ONE representative
+    row per url (max over a (warc_date, http_status, content_type,
+    html) struct — latest capture wins, full lexicographic tiebreak so
+    the choice is deterministic under any partitioning), then ONE
+    url-keyed join against only the revisit subset — the join's left
+    side is the corpus's revisit fraction, not the corpus."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    cap = F.struct("warc_date", "http_status", "content_type", "html")
+    captures = (
+        pages.where(F.col("status").isin("ok", "truncated"))
+        .groupBy(F.col("url").alias("_cap_url"))
+        .agg(F.max(cap).alias("_cap"))
+    )
+    revisits = pages.where(F.col("status") == "revisit")
+    others = pages.where(F.col("status") != "revisit")
+    joined = revisits.join(
+        captures, revisits["revisit_of"] == captures["_cap_url"], "left"
+    )
+    resolved = joined.select(
+        *[
+            c
+            for c in revisits.columns
+            if c not in ("http_status", "content_type", "html", "status")
+        ],
+        F.coalesce(F.col("_cap.http_status"), F.col("http_status")).alias(
+            "http_status"
+        ),
+        F.coalesce(F.col("_cap.content_type"), F.col("content_type")).alias(
+            "content_type"
+        ),
+        F.col("_cap.html").alias("html"),
+        F.when(F.col("_cap_url").isNotNull(), F.lit("revisit_resolved"))
+        .otherwise(F.lit("revisit"))
+        .alias("status"),
+    )
+    if not keep_unresolved:
+        resolved = resolved.where(F.col("status") == "revisit_resolved")
+    return others.unionByName(resolved.select(*others.columns))

