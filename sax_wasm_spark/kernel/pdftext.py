@@ -531,16 +531,50 @@ def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
-def _decrypt_value(v, okey: bytes):
-    """Recursively RC4-decrypt every string inside a parsed object
-    (names/numbers/refs pass through untouched)."""
+def _decrypt_value(v, fn):
+    """Recursively decrypt every string inside a parsed object through
+    ``fn(bytes) -> bytes`` (names/numbers/refs pass through)."""
     if isinstance(v, bytes):
-        return _rc4(okey, v)
+        return fn(v)
     if isinstance(v, dict):
-        return {k: _decrypt_value(x, okey) for k, x in v.items()}
+        return {k: _decrypt_value(x, fn) for k, x in v.items()}
     if isinstance(v, list):
-        return [_decrypt_value(x, okey) for x in v]
+        return [_decrypt_value(x, fn) for x in v]
     return v
+
+
+def _aes_object_decrypt(okey: bytes, data: bytes) -> bytes:
+    """§7.6.2 AES payload layout: a 16-byte IV prepended to the
+    CBC ciphertext, PKCS#7-padded. An empty string encrypts to at
+    least IV + one padding block; anything shorter is malformed."""
+    from .aescipher import aes_cbc_decrypt  # noqa: PLC0415
+
+    if len(data) < 32:
+        # lenient: some writers emit empty strings UNencrypted
+        if not data:
+            return b""
+        raise PdfError("AES payload shorter than IV + one block")
+    return aes_cbc_decrypt(okey, data[:16], data[16:])
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B (the R6 password hash;
+    R5 is plain sha256). The hardening loop encrypts with
+    AES-128-CBC-NoPadding keyed from the running digest."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    from .aescipher import aes_cbc_encrypt  # noqa: PLC0415
+
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 # ---------------------------------------------------------------------------
@@ -624,11 +658,23 @@ class PdfDocument:
         return out
 
     def _decrypt_if_needed(self) -> None:
-        """ISO 32000-1 §7.6: when a trailer names an /Encrypt dict for
-        the standard security handler at the RC4 tier (/V 1-2), derive
-        the file key with the EMPTY user password, verify it against
-        /U, and decrypt every string and stream in place under each
-        object's §7.6.2 key. The /Encrypt dict's own strings (O, U) and
+        """ISO 32000 §7.6 standard security handler, EMPTY user
+        password, all three wire formats:
+
+        * /V 1-2, /R 2-3 — RC4 with the Algorithm 2 md5 file key;
+        * /V 4, /R 4 — crypt filters: /AESV2 (AES-128-CBC, per-object
+          key salted with b"sAlT") or /V2 (RC4) per the /StdCF /CFM,
+          honoring /StmF and /StrF (Identity = that class stays
+          clear), /EncryptMetadata folded into the key derivation;
+        * /V 5, /R 5-6 — AES-256: the empty password validates against
+          /U's hash+salts via Algorithm 2.B (sha256/384/512 + AES-CBC
+          hardening loop; plain sha256 for the deprecated R5), the
+          file key unwraps from /UE, and every string/stream decrypts
+          directly under it (no per-object derivation at V5).
+
+        Unknown handlers/CFMs raise (EncryptedAes for AES-shaped ones
+        we don't implement); a rejected empty password raises
+        PasswordProtected. The /Encrypt dict's own strings and
         cross-reference streams are exempt per spec."""
         enc_ref, id0 = None, b""
         for t in self._trailer_dicts():
@@ -648,19 +694,7 @@ class PdfDocument:
             )
         v = int(self.resolve(enc.get("/V", 0)) or 0)
         r = int(self.resolve(enc.get("/R", 2)) or 2)
-        if v >= 4 or r >= 4:
-            raise EncryptedAes(f"/V {v} /R {r} crypt filters not supported")
-        if v not in (1, 2) or r not in (2, 3):
-            raise PdfError(f"unsupported encryption /V {v} /R {r}")
-        n = 5 if r == 2 else max(5, int(self.resolve(enc.get("/Length", 40))) // 8)
-        o = self.resolve(enc.get("/O"))
-        u = self.resolve(enc.get("/U"))
-        p = self.resolve(enc.get("/P"))
-        if not isinstance(o, bytes) or not isinstance(u, bytes) or p is None:
-            raise PdfError("malformed /Encrypt dictionary (O/U/P)")
-        key = _std_file_key(b"", o, int(p), id0, n, r)
-        if not _user_password_matches(key, u, id0, r):
-            raise PasswordProtected("empty user password rejected by /U")
+        dec_string, dec_stream = self._build_decryptors(enc, v, r, id0)
         enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
         for num in self._order:
             if num == enc_num:
@@ -669,10 +703,118 @@ class PdfDocument:
             # xref streams are written unencrypted (§7.5.8.2)
             if isinstance(val, dict) and val.get("/Type") == "/XRef":
                 continue
-            okey = _object_key(key, num, self._gen.get(num, 0))
-            self.objects[num] = _decrypt_value(val, okey)
-            if num in self.streams:
-                self.streams[num] = _rc4(okey, self.streams[num])
+            gen = self._gen.get(num, 0)
+            if dec_string is not None:
+                self.objects[num] = _decrypt_value(
+                    val, lambda b, _n=num, _g=gen: dec_string(_n, _g, b)
+                )
+            if dec_stream is not None and num in self.streams:
+                self.streams[num] = dec_stream(num, gen, self.streams[num])
+
+    def _build_decryptors(self, enc: dict, v: int, r: int, id0: bytes):
+        """(dec_string, dec_stream) for the declared format — each a
+        ``fn(num, gen, data) -> bytes`` or None for Identity."""
+        o = self.resolve(enc.get("/O"))
+        u = self.resolve(enc.get("/U"))
+        p = self.resolve(enc.get("/P"))
+        if v in (1, 2) and r in (2, 3):
+            if not isinstance(o, bytes) or not isinstance(u, bytes) or p is None:
+                raise PdfError("malformed /Encrypt dictionary (O/U/P)")
+            n = 5 if r == 2 else max(
+                5, int(self.resolve(enc.get("/Length", 40))) // 8
+            )
+            key = _std_file_key(b"", o, int(p), id0, n, r)
+            if not _user_password_matches(key, u, id0, r):
+                raise PasswordProtected("empty user password rejected by /U")
+
+            def rc4_fn(num, gen, b):
+                return _rc4(_object_key(key, num, gen), b)
+
+            return rc4_fn, rc4_fn
+        if v == 4 and r == 4:
+            return self._build_v4(enc, o, u, p, id0)
+        if v == 5 and r in (5, 6):
+            return self._build_v5(enc, o, u)
+        if v >= 4 or r >= 4:
+            raise EncryptedAes(f"/V {v} /R {r} not supported")
+        raise PdfError(f"unsupported encryption /V {v} /R {r}")
+
+    def _build_v4(self, enc: dict, o, u, p, id0: bytes):
+        if not isinstance(o, bytes) or not isinstance(u, bytes) or p is None:
+            raise PdfError("malformed /Encrypt dictionary (O/U/P)")
+        cf = self.resolve(enc.get("/CF")) or {}
+        n = max(5, int(self.resolve(enc.get("/Length", 128))) // 8)
+        meta = self.resolve(enc.get("/EncryptMetadata"))
+        extra = b"\xff\xff\xff\xff" if meta is False else b""
+        # Algorithm 2 with R>=3 iteration; EncryptMetadata=false appends
+        # 0xFFFFFFFF to the md5 input (§7.6.3.3 step f)
+        padded = (b"" + _PWD_PAD)[:32]
+        h = hashlib.md5(
+            padded + o[:32] + (int(p) & 0xFFFFFFFF).to_bytes(4, "little")
+            + id0 + extra
+        ).digest()
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+        key = h[:n]
+        if not _user_password_matches(key, u, id0, 3):
+            raise PasswordProtected("empty user password rejected by /U")
+
+        def make(filter_name):
+            if filter_name in (None, "/Identity"):
+                return None
+            spec = self.resolve(cf.get(filter_name))
+            cfm = self.resolve(spec.get("/CFM")) if isinstance(spec, dict) else None
+            if cfm == "/V2":
+                return lambda num, gen, b: _rc4(_object_key(key, num, gen), b)
+            if cfm == "/AESV2":
+                def aes_fn(num, gen, b):
+                    okey = hashlib.md5(
+                        key
+                        + (num & 0xFFFFFF).to_bytes(3, "little")
+                        + (gen & 0xFFFF).to_bytes(2, "little")
+                        + b"sAlT"
+                    ).digest()[: min(n + 5, 16)]
+                    return _aes_object_decrypt(okey, b)
+
+                return aes_fn
+            raise EncryptedAes(f"unsupported crypt filter method {cfm!r}")
+
+        return (
+            make(self.resolve(enc.get("/StrF", "/Identity"))),
+            make(self.resolve(enc.get("/StmF", "/Identity"))),
+        )
+
+    def _build_v5(self, enc: dict, o, u):
+        from .aescipher import aes_cbc_decrypt  # noqa: PLC0415
+
+        r = int(self.resolve(enc.get("/R", 6)) or 6)
+        ue = self.resolve(enc.get("/UE"))
+        if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
+            raise PdfError("malformed /Encrypt dictionary (U/UE)")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if _hash_2b(b"", vsalt, b"", r) != u[:32]:
+            raise PasswordProtected("empty user password rejected by /U")
+        ikey = _hash_2b(b"", ksalt, b"", r)
+        file_key = aes_cbc_decrypt(ikey, bytes(16), ue[:32], unpad=False)
+
+        def aes_fn(num, gen, b):  # V5: one key for every object
+            return _aes_object_decrypt(file_key, b)
+
+        cf = self.resolve(enc.get("/CF")) or {}
+
+        def gate(filter_name):
+            if filter_name in (None, "/Identity"):
+                return None
+            spec = self.resolve(cf.get(filter_name))
+            cfm = self.resolve(spec.get("/CFM")) if isinstance(spec, dict) else None
+            if cfm != "/AESV3":
+                raise EncryptedAes(f"unsupported crypt filter method {cfm!r}")
+            return aes_fn
+
+        return (
+            gate(self.resolve(enc.get("/StrF", "/Identity"))),
+            gate(self.resolve(enc.get("/StmF", "/Identity"))),
+        )
 
     def _expand_object_streams(self) -> None:
         """Register the members of every ``/Type /ObjStm`` stream (PDF 1.5

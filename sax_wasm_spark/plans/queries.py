@@ -915,12 +915,13 @@ def sax_extract_roundtrip_sql():
 def pdf_extract_roundtrip(spark, sf_dir):
     """The PDF/layout leg of the extraction pipeline (north rule):
     documents are rendered into deterministic synthetic PDFs —
-    ``doc_id % 10`` cycles the generator variants (uncompressed Tj,
+    ``doc_id % 11`` cycles the generator variants (uncompressed Tj,
     Flate + indirect /Length, TJ-kerning + hex strings, split content
     streams + incremental update, LZWDecode, /ToUnicode CID-font
     2-byte codes, /ObjStm object streams, /Encoding /Differences
     glyph-name fonts, Annex D base-encoding names, RC4-encrypted
-    §7.6 standard-security docs at both revisions) — then parsed back
+    §7.6 standard-security docs at both revisions, AES-encrypted docs
+    at both crypt-filter tiers /AESV2 and /AESV3) — then parsed back
     by the from-scratch
     PDF kernel. Round-trip text equality is the closed-form oracle for
     the whole object-layer → filter → page-tree → text-operator →

@@ -43,6 +43,14 @@ Variants exercise distinct parser surfaces so one query covers them all:
   filter, then encrypt); an /Info object carries an encrypted literal
   string so string decryption is exercised, and the trailer gains
   /Encrypt + a deterministic md5-of-text /ID.
+* 10 — AES-encrypted via crypt filters: /V 4 /R 4 /AESV2
+  (AES-128-CBC, per-object md5+"sAlT" keys) for most texts,
+  /V 5 /R 6 /AESV3 (ISO 32000-2 AES-256: Hash-2B salted password
+  digests, /UE-wrapped file key, /Perms block) when
+  len(text) % 16 == 1 — both with an
+  empty user password, Flate-then-encrypt streams (IV ‖ CBC, PKCS#7),
+  and an encrypted /Info string. The AES core is the from-scratch
+  FIPS-197 implementation in kernel/aescipher.py.
 * 8 — a simple font with an Annex D base-encoding NAME
   (``/WinAnsiEncoding`` / ``/MacRomanEncoding`` / ``/StandardEncoding``,
   cycled deterministically by text length): show strings are 1-byte
@@ -118,7 +126,7 @@ def _differences_array(codes: dict[str, int]) -> bytes:
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 10
+N_VARIANTS = 11
 
 _BASE_ENCODINGS = (b"WinAnsiEncoding", b"MacRomanEncoding", b"StandardEncoding")
 
@@ -208,12 +216,35 @@ def _std_security(
     return o, u, key
 
 
-def _enc_obj_key(key: bytes, num: int, gen: int = 0) -> bytes:
+def _enc_obj_key(key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
     import hashlib  # noqa: PLC0415
 
+    salt = b"sAlT" if aes else b""
     return hashlib.md5(
-        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
     ).digest()[: min(len(key) + 5, 16)]
+
+
+def _hash_2b_w(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """Writer-side transcription of ISO 32000-2 Algorithm 2.B (reader
+    twin: kernel.pdftext._hash_2b)."""
+    import hashlib  # noqa: PLC0415
+
+    from ..kernel.aescipher import aes_cbc_encrypt  # noqa: PLC0415
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def lzw_encode(data: bytes, early: int = 1) -> bytes:
@@ -510,7 +541,7 @@ def build_pdf(
             num = next_num
             next_num += 1
             content_refs.append(b"%d 0 R" % num)
-            if variant in (1, 2, 9):
+            if variant in (1, 2, 9, 10):
                 raw = zlib.compress(chunk)
                 if variant == 1:  # indirect /Length
                     len_num = next_num
@@ -560,6 +591,108 @@ def build_pdf(
         objs = {}
 
     trailer_extra = b""
+    if variant == 10:
+        import hashlib  # noqa: PLC0415
+
+        from ..kernel.aescipher import (  # noqa: PLC0415
+            aes_cbc_encrypt,
+            aes_encrypt_block,
+        )
+
+        # AES tier: /V 4 /R 4 /AESV2 (AES-128 crypt filters — the
+        # overwhelming real-crawl shape); /V 5 /R 6 /AESV3 (AES-256,
+        # PDF 2.0) when len(text) % 16 == 1 (~6% of encrypted docs).
+        # The R6 Hash-2B is a deliberately-slow password KDF (64+
+        # AES-CBC hardening rounds ≈ 1.5 s/doc on CPython), so its
+        # synthetic share mirrors its real rarity instead of
+        # dominating the corpus render time; the tier itself is fully
+        # pinned by tests/test_pdf.py (roundtrips, writer/reader
+        # Hash-2B differential, /U tamper rejection)
+        aes256 = len(text) % 16 == 1
+        p = -44
+        id0 = hashlib.md5(b"aes:" + text.encode("utf-8")).digest()
+
+        def enc_stream(okey: bytes, num: int, raw: bytes) -> bytes:
+            iv = hashlib.md5(b"iv:%d:" % num + id0).digest()
+            return iv + aes_cbc_encrypt(okey, iv, raw)
+
+        info_num = next_num
+        next_num += 1
+        enc_num = next_num
+        next_num += 1
+        if not aes256:
+            # O/U are computed with the R3 algorithms (R4 reuses them)
+            o, u, key = _std_security(b"saxgen-owner", b"", p, id0, 3)
+            for num, (sd, raw) in list(streams.items()):
+                ct = enc_stream(_enc_obj_key(key, num, aes=True), num, raw)
+                streams[num] = (
+                    b"<< /Length %d /Filter /FlateDecode >>" % len(ct),
+                    ct,
+                )
+            prod = enc_stream(
+                _enc_obj_key(key, info_num, aes=True),
+                info_num,
+                b"sax-wasm-spark pdfgen (AESV2)",
+            )
+            objs[enc_num] = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+                b" /O <" + o.hex().encode()
+                + b"> /U <" + u.hex().encode()
+                + b"> /P %d >>" % p
+            )
+        else:
+            # ISO 32000-2 Algorithms 8/9/10: salts + Hash-2B password
+            # digests wrap a random-free deterministic 256-bit file key
+            file_key = hashlib.sha256(b"fk:" + id0).digest()
+            vs = hashlib.md5(b"vs:" + id0).digest()[:8]
+            ks = hashlib.md5(b"ks:" + id0).digest()[:8]
+            u48 = _hash_2b_w(b"", vs, b"", 6) + vs + ks
+            ue = aes_cbc_encrypt(
+                _hash_2b_w(b"", ks, b"", 6), bytes(16), file_key, pad=False
+            )
+            ovs = hashlib.md5(b"ovs:" + id0).digest()[:8]
+            oks = hashlib.md5(b"oks:" + id0).digest()[:8]
+            o48 = _hash_2b_w(b"saxgen-owner", ovs, u48, 6) + ovs + oks
+            oe = aes_cbc_encrypt(
+                _hash_2b_w(b"saxgen-owner", oks, u48, 6),
+                bytes(16),
+                file_key,
+                pad=False,
+            )
+            perms = aes_encrypt_block(
+                file_key,
+                (p & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xffTadbdet0",
+            )
+            for num, (sd, raw) in list(streams.items()):
+                ct = enc_stream(file_key, num, raw)
+                streams[num] = (
+                    b"<< /Length %d /Filter /FlateDecode >>" % len(ct),
+                    ct,
+                )
+            prod = enc_stream(
+                file_key, info_num, b"sax-wasm-spark pdfgen (AESV3)"
+            )
+            objs[enc_num] = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+                b" /O <" + o48.hex().encode()
+                + b"> /U <" + u48.hex().encode()
+                + b"> /OE <" + oe.hex().encode()
+                + b"> /UE <" + ue.hex().encode()
+                + b"> /Perms <" + perms.hex().encode()
+                + b"> /P %d >>" % p
+            )
+        objs[info_num] = b"<< /Producer <" + prod.hex().encode() + b"> >>"
+        idhex = b"<" + id0.hex().encode() + b">"
+        trailer_extra = (
+            b" /Encrypt %d 0 R /Info %d 0 R /ID [" % (enc_num, info_num)
+            + idhex + b" " + idhex + b"]"
+        )
+
     if variant == 9:
         import hashlib  # noqa: PLC0415
 

@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", list(range(10)))
+@pytest.mark.parametrize("variant", list(range(11)))
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -192,7 +192,7 @@ _doc = st.lists(_line, min_size=1, max_size=8).map("\n".join)
 
 
 @settings(max_examples=150, deadline=None)
-@given(text=_doc, variant=st.integers(0, 9), two_col=st.booleans())
+@given(text=_doc, variant=st.integers(0, 10), two_col=st.booleans())
 def test_roundtrip_property(text, variant, two_col):
     pdf = build_pdf(text, variant=variant, two_column=two_col)
     assert extract_pdf_text(pdf) == text
@@ -660,16 +660,24 @@ def test_variant9_multipage_and_two_column():
     assert extract_pdf_text(build_pdf(text, variant=9, two_column=True)) == text
 
 
-def test_encrypted_aes_and_unknown_handler_raise_typed_errors():
+def test_unsupported_encryption_shapes_raise_typed_errors():
+    """AES is now SUPPORTED (variant 10) — typed errors remain for the
+    shapes outside scope: unknown crypt-filter methods, /V beyond 5,
+    and non-Standard security handlers."""
     from sax_wasm_spark.kernel.pdftext import EncryptedAes
 
     pdf = build_pdf("aes probe", variant=9)
-    aes = pdf.replace(b"/V 1 /R 2 /Length 40", b"/V 4 /R 4 /Length 128").replace(
-        b"/V 2 /R 3 /Length 128", b"/V 4 /R 4 /Length 128"
+    future = pdf.replace(b"/V 1 /R 2 /Length 40", b"/V 6 /R 7 /Length 256").replace(
+        b"/V 2 /R 3 /Length 128", b"/V 6 /R 7 /Length 256"
     )
     with pytest.raises(EncryptedAes):
-        extract_pdf_text(aes)
-    assert extract_pdf_document(aes)[3] == "error:EncryptedAes"
+        extract_pdf_text(future)
+    assert extract_pdf_document(future)[3] == "error:EncryptedAes"
+
+    aes = build_pdf("unknown cfm!", variant=10)  # even len -> AESV2
+    weird = aes.replace(b"/CFM /AESV2", b"/CFM /AESV9")
+    with pytest.raises(EncryptedAes, match="crypt filter"):
+        extract_pdf_text(weird)
 
     other = pdf.replace(b"/Filter /Standard", b"/Filter /MyCustomSec")
     with pytest.raises(PdfError, match="security handler"):
@@ -742,3 +750,112 @@ def test_pdfdoc_encoding_non_bom_strings():
     for t in ("a\x85b", "esc\x1bseq", "c1\x92quote\x80bullet"):
         for v in (0, 2, 5, 9):
             assert extract_pdf_text(build_pdf(t, variant=v)) == t, (repr(t), v)
+
+
+# -- AES tier (variant 10, round 6)
+
+
+def test_aes_core_fips197_vectors():
+    """The from-scratch AES core is pinned to FIPS-197 Appendix B/C
+    and an SP 800-38A CBC vector — transcription bugs in generated
+    S-boxes/key expansion cannot survive these."""
+    from sax_wasm_spark.kernel.aescipher import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        aes_decrypt_block,
+        aes_encrypt_block,
+    )
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    ct = aes_encrypt_block(key, pt)
+    assert ct == bytes.fromhex("3925841d02dc09fbdc118597196a0b32")
+    assert aes_decrypt_block(key, ct) == pt
+    pt2 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for khex, want in (
+        ("000102030405060708090a0b0c0d0e0f", "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ):
+        k = bytes.fromhex(khex)
+        assert aes_encrypt_block(k, pt2).hex() == want
+        assert aes_decrypt_block(k, bytes.fromhex(want)) == pt2
+    # SP 800-38A CBC-AES128.Encrypt block 1
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert aes_cbc_encrypt(k, iv, p, pad=False).hex() == (
+        "7649abac8119b246cee98e9b12e9197d"
+    )
+    # CBC pad/unpad round-trips at every length class
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(200))[:n]
+        assert aes_cbc_decrypt(k, iv, aes_cbc_encrypt(k, iv, data)) == data
+    with pytest.raises(ValueError, match="padding"):
+        aes_cbc_decrypt(k, iv, bytes(16))
+
+
+def test_variant10_both_tiers_and_multipage():
+    from sax_wasm_spark.kernel.pdftext import PdfDocument
+
+    # AESV3 fires when len(text) % 16 == 1 (see pdfgen variant 10)
+    for t, cfm, prod in (
+        ("evenlen!", b"/CFM /AESV2", b"sax-wasm-spark pdfgen (AESV2)"),
+        ("seventeen chars!!", b"/CFM /AESV3", b"sax-wasm-spark pdfgen (AESV3)"),
+    ):
+        pdf = build_pdf(t, variant=10)
+        assert cfm in pdf and b"/Encrypt" in pdf
+        assert b"(" + t.encode() + b")" not in pdf  # really ciphertext
+        assert extract_pdf_text(pdf) == t
+        doc = PdfDocument(pdf)
+        prods = [
+            v["/Producer"]
+            for v in doc.objects.values()
+            if isinstance(v, dict) and "/Producer" in v
+        ]
+        assert prods == [prod]
+    text = "\n".join(f"aes page line {i}" for i in range(9))
+    assert extract_pdf_text(build_pdf(text, variant=10, lines_per_page=3)) == text
+
+
+def test_v5_wrong_password_and_hash2b_differential():
+    """AES-256 (R6): tampering the /U hash must raise
+    PasswordProtected; the writer's Algorithm 2.B transcription must
+    agree with the reader's for empty and non-empty passwords."""
+    import re as _re
+
+    from sax_wasm_spark.kernel.pdftext import PasswordProtected, _hash_2b
+    from sax_wasm_spark.sources.pdfgen import _hash_2b_w
+
+    pdf = build_pdf("seventeen chars!!", variant=10)  # len 17 -> AESV3
+    m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
+    u = bytes.fromhex(m.group(1).decode())
+    bad = bytes([u[0] ^ 0xFF]) + u[1:]
+    with pytest.raises(PasswordProtected):
+        extract_pdf_text(pdf.replace(m.group(1), bad.hex().encode()))
+    assert extract_pdf_document(pdf.replace(m.group(1), bad.hex().encode()))[3] == (
+        "error:PasswordProtected"
+    )
+    for pwd in (b"", b"hunter2", b"longer password bytes here"):
+        for r in (5, 6):
+            for salt in (bytes(8), b"saltsalt"):
+                assert _hash_2b(pwd, salt, b"", r) == _hash_2b_w(pwd, salt, b"", r)
+                assert _hash_2b(pwd, salt, b"u" * 48, r) == _hash_2b_w(
+                    pwd, salt, b"u" * 48, r
+                )
+
+
+def test_v4_identity_filters_leave_content_clear():
+    """/StmF /Identity under /V 4 means streams are NOT encrypted —
+    the gate must honor it rather than garbling clear content."""
+    pdf = build_pdf("evenlen!", variant=10)
+    # point both stream+string filters at Identity; content stays
+    # encrypted so extraction yields garbage, but structurally this
+    # asserts the Identity branch returns None (no decrypt attempt →
+    # no CBC padding error kills the parse)
+    ident = pdf.replace(b"/StmF /StdCF /StrF /StdCF", b"/StmF /Identity /StrF /Identity")
+    text, n_pages, n_runs, status = extract_pdf_document(ident)
+    assert status in ("ok", "error:PdfError")  # never a crash path
