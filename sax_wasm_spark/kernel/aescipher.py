@@ -18,6 +18,8 @@ PDF's handler only uses CBC.
 
 from __future__ import annotations
 
+import functools
+
 __all__ = [
     "aes_cbc_decrypt",
     "aes_cbc_encrypt",
@@ -140,14 +142,18 @@ def _key_words(rk: list[bytes]) -> list[tuple[int, int, int, int]]:
     ]
 
 
+@functools.lru_cache(maxsize=64)
 def _enc_schedule(key: bytes) -> list[tuple[int, int, int, int]]:
     return _key_words(_expand_key(key))
 
 
+@functools.lru_cache(maxsize=64)
 def _dec_schedule(key: bytes) -> list:
     """Preprocessed decrypt schedule: word keys with the middle rounds
-    already InvMixColumns-transformed (computed once per key, not per
-    block)."""
+    already InvMixColumns-transformed. lru_cached by key (round-6
+    review): a V5 document decrypts every string and stream under the
+    ONE file key, so per-call schedule builds were pure waste on the
+    mapInArrow hot path."""
     rk = _key_words(_expand_key(key))
     mid = [tuple(_inv_mix_word(w) for w in kw) for kw in rk[1:-1]]
     return [rk[0], *mid, rk[-1]]

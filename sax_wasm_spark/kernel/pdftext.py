@@ -491,14 +491,17 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(
-    password: bytes, o: bytes, p: int, id0: bytes, n: int, r: int
+    password: bytes, o: bytes, p: int, id0: bytes, n: int, r: int,
+    extra: bytes = b"",
 ) -> bytes:
     """§7.6.3.3 Algorithm 2: the file encryption key from a user
     password (empty for owner-locked documents), /O, /P (as a SIGNED
-    32-bit little-endian), and the first document /ID element."""
+    32-bit little-endian), and the first document /ID element.
+    ``extra`` carries step f's 0xFFFFFFFF suffix when /V 4 declares
+    /EncryptMetadata false."""
     padded = (password + _PWD_PAD)[:32]
     h = hashlib.md5(
-        padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0 + extra
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -519,14 +522,15 @@ def _user_password_matches(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
     return x == u[:16]
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """§7.6.2 Algorithm 1: per-object RC4 key — md5(file key + 3
-    low-order bytes of the object number + 2 of the generation),
-    truncated to min(n + 5, 16)."""
+def _object_key(file_key: bytes, num: int, gen: int, salt: bytes = b"") -> bytes:
+    """§7.6.2 Algorithm 1: per-object key — md5(file key + 3 low-order
+    bytes of the object number + 2 of the generation [+ b"sAlT" for
+    AESV2 crypt filters]), truncated to min(n + 5, 16)."""
     h = hashlib.md5(
         file_key
         + (num & 0xFFFFFF).to_bytes(3, "little")
         + (gen & 0xFFFF).to_bytes(2, "little")
+        + salt
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
@@ -743,19 +747,30 @@ class PdfDocument:
         if not isinstance(o, bytes) or not isinstance(u, bytes) or p is None:
             raise PdfError("malformed /Encrypt dictionary (O/U/P)")
         cf = self.resolve(enc.get("/CF")) or {}
-        n = max(5, int(self.resolve(enc.get("/Length", 128))) // 8)
+        # Key length at /V 4: the crypt filter's own /Length governs
+        # (Table 25; the top-level /Length "applies only if V is 2 or
+        # 3" — round-6 review). Writers disagree on units, so ≥ 40 is
+        # read as bits, < 40 as bytes; fall back to the top-level
+        # /Length (bits), then 128.
+        def _key_bytes(v) -> int | None:
+            if not isinstance(v, (int, float)):
+                return None
+            v = int(v)
+            return v // 8 if v >= 40 else v
+
+        n = None
+        for fname in ("/StmF", "/StrF"):
+            spec = self.resolve(cf.get(self.resolve(enc.get(fname))))
+            if isinstance(spec, dict):
+                n = _key_bytes(self.resolve(spec.get("/Length")))
+                if n:
+                    break
+        if not n:
+            n = _key_bytes(self.resolve(enc.get("/Length", 128))) or 16
+        n = max(5, min(n, 16))
         meta = self.resolve(enc.get("/EncryptMetadata"))
         extra = b"\xff\xff\xff\xff" if meta is False else b""
-        # Algorithm 2 with R>=3 iteration; EncryptMetadata=false appends
-        # 0xFFFFFFFF to the md5 input (§7.6.3.3 step f)
-        padded = (b"" + _PWD_PAD)[:32]
-        h = hashlib.md5(
-            padded + o[:32] + (int(p) & 0xFFFFFFFF).to_bytes(4, "little")
-            + id0 + extra
-        ).digest()
-        for _ in range(50):
-            h = hashlib.md5(h[:n]).digest()
-        key = h[:n]
+        key = _std_file_key(b"", o, int(p), id0, n, 3, extra)
         if not _user_password_matches(key, u, id0, 3):
             raise PasswordProtected("empty user password rejected by /U")
 
@@ -767,16 +782,9 @@ class PdfDocument:
             if cfm == "/V2":
                 return lambda num, gen, b: _rc4(_object_key(key, num, gen), b)
             if cfm == "/AESV2":
-                def aes_fn(num, gen, b):
-                    okey = hashlib.md5(
-                        key
-                        + (num & 0xFFFFFF).to_bytes(3, "little")
-                        + (gen & 0xFFFF).to_bytes(2, "little")
-                        + b"sAlT"
-                    ).digest()[: min(n + 5, 16)]
-                    return _aes_object_decrypt(okey, b)
-
-                return aes_fn
+                return lambda num, gen, b: _aes_object_decrypt(
+                    _object_key(key, num, gen, salt=b"sAlT"), b
+                )
             raise EncryptedAes(f"unsupported crypt filter method {cfm!r}")
 
         return (

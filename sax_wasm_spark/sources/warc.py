@@ -185,6 +185,32 @@ def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     return status, headers.get("content-type", ""), body
 
 
+def _parse_http_head(block: bytes) -> tuple[int, str]:
+    """(status, content_type) from an HTTP header block WITHOUT body
+    decoding — for §6.7.2 revisit records, whose block replays the
+    original response's headers verbatim but carries NO payload.
+    Running the full response parser there is wrong at the root: a
+    copied ``Content-Encoding: gzip`` or ``Transfer-Encoding:
+    chunked`` header would try to decode the empty body (round-6
+    review: gzip.decompress(b"") raises EOFError, which escaped every
+    handler and turned one revisit record into a whole-shard error).
+    Unparseable heads degrade to (0, '')."""
+    head = block.split(b"\r\n\r\n", 1)[0]
+    status_line, _, header_block = head.partition(b"\r\n")
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        return 0, ""
+    try:
+        status = int(parts[1])
+    except ValueError:
+        return 0, ""
+    try:
+        headers = _parse_headers(header_block) if header_block else {}
+    except WarcError:
+        return status, ""
+    return status, headers.get("content-type", "")
+
+
 def _parse_records(
     data: bytes, strict: bool
 ) -> tuple[list[WarcPage], int, int, list[tuple[dict, bytes]]]:
@@ -262,11 +288,7 @@ def _parse_records(
                 headers.get("warc-refers-to-target-uri")
                 or headers.get("warc-refers-to", "")
             ).strip()
-            block = body if b"\r\n\r\n" in body else body + b"\r\n\r\n"
-            try:
-                status, ctype, _ = _parse_http_response(block)
-            except WarcError:
-                status, ctype = 0, ""
+            status, ctype = _parse_http_head(body)
             pages.append(
                 WarcPage(
                     url=headers.get("warc-target-uri", ""),

@@ -859,3 +859,58 @@ def test_v4_identity_filters_leave_content_clear():
     ident = pdf.replace(b"/StmF /StdCF /StrF /StdCF", b"/StmF /Identity /StrF /Identity")
     text, n_pages, n_runs, status = extract_pdf_document(ident)
     assert status in ("ok", "error:PdfError")  # never a crash path
+
+
+def test_v4_key_length_comes_from_crypt_filter():
+    """Round-6 review: at /V 4 the crypt filter's /Length governs the
+    key size (top-level /Length applies only at V 2-3). A V4 RC4 file
+    declaring its key length only inside /StdCF (in bytes, as Acrobat
+    writes it) must derive the right key and open."""
+    import hashlib
+
+    from sax_wasm_spark.kernel.pdftext import _rc4, _object_key, _std_file_key
+    from sax_wasm_spark.sources.pdfgen import _std_security
+
+    text = "v4 rc4 via crypt filter"
+    base = build_pdf(text, variant=0)
+    # craft a V4 /CFM /V2 file with a 10-byte (80-bit) key declared
+    # ONLY in the crypt filter
+    n = 10
+    id0 = hashlib.md5(b"v4cf").digest()
+    o, u, key = _std_security(b"own", b"", -44, id0, 3)
+    # recompute key at the 10-byte width the dict will declare
+    key = _std_file_key(b"", o, -44, id0, n, 3)
+    from sax_wasm_spark.kernel.pdftext import _user_password_matches
+
+    # build U for THIS key (R3 Algorithm 5, via the writer helpers)
+    from sax_wasm_spark.sources.pdfgen import _ENC_PAD, _rc4_ks
+
+    x = _rc4_ks(key, hashlib.md5(_ENC_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4_ks(bytes(c ^ i for c in key), x)
+    u = x + bytes(16)
+    assert _user_password_matches(key, u, id0, 3)
+    # encrypt the content streams with 10-byte-key RC4 object keys
+    import re as _re
+
+    body = bytearray(base)
+    for m in list(_re.finditer(rb"(\d+) 0 obj\n<< /Length (\d+) >>\nstream\n", base)):
+        num = int(m.group(1))
+        ln = int(m.group(2))
+        start = m.end()
+        body[start : start + ln] = _rc4(
+            _object_key(key, num, 0), base[start : start + ln]
+        )
+    enc_obj = (
+        b"90 0 obj\n<< /Filter /Standard /V 4 /R 4"
+        b" /CF << /StdCF << /CFM /V2 /Length %d >> >>"
+        b" /StmF /StdCF /StrF /StdCF"
+        b" /O <" % n + o.hex().encode()
+        + b"> /U <" + u.hex().encode() + b"> /P -44 >>\nendobj\n"
+    )
+    idhex = b"<" + id0.hex().encode() + b">"
+    pdf = bytes(body).replace(
+        b"trailer\n<< /Size",
+        enc_obj + b"trailer\n<< /Encrypt 90 0 R /ID [" + idhex + b" " + idhex + b"] /Size",
+    )
+    assert extract_pdf_text(pdf) == text
