@@ -209,7 +209,7 @@ def test_mutation_fuzz_never_raises(seed, n_mut):
     import random
 
     rng = random.Random(seed)
-    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 8))
+    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 11))
     for _ in range(n_mut):
         i = rng.randrange(len(base))
         base[i] = rng.randrange(256)
