@@ -914,3 +914,44 @@ def test_v4_key_length_comes_from_crypt_filter():
         enc_obj + b"trailer\n<< /Encrypt 90 0 R /ID [" + idhex + b" " + idhex + b"] /Size",
     )
     assert extract_pdf_text(pdf) == text
+
+
+def test_type3_font_text_via_differences():
+    """Type3 fonts (glyphs as /CharProcs drawing streams, §9.6.5) carry
+    their code→name map in a REQUIRED /Encoding /Differences — the
+    Subtype-agnostic simple-font path decodes their show strings like
+    any subset font, so scanned/generated docs using Type3 extract
+    text without touching the glyph programs."""
+    glyph = b"10 0 0 10 0 0 d1 0 0 5 5 re f"
+    content = b"BT /F9 12 Tf 1 0 0 1 72 720 Tm <414243> Tj ET"
+    head = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F9 5 0 R >> >> >> endobj\n"
+    )
+    font = (
+        b"5 0 obj << /Type /Font /Subtype /Type3"
+        b" /FontBBox [0 0 10 10] /FontMatrix [0.001 0 0 0.001 0 0]"
+        b" /CharProcs << /A 6 0 R /B 6 0 R /C 6 0 R >>"
+        b" /Encoding << /Type /Encoding /Differences [65 /A /B /C] >>"
+        b" /FirstChar 65 /LastChar 67 /Widths [500 500 500] >> endobj\n"
+    )
+    pdf = (
+        head
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content))
+        + content
+        + b"\nendstream endobj\n"
+        + font
+        + (b"6 0 obj << /Length %d >> stream\n" % len(glyph))
+        + glyph
+        + b"\nendstream endobj\n"
+        + b"trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "ABC"
+    # non-AGL glyph names (/gXX subset names) degrade per-CHAR to the
+    # documented Latin-1 identity fallback — here code 66 renders as
+    # 'B' by coincidence of the code assignment, never as an error
+    pdf2 = pdf.replace(b"/Differences [65 /A /B /C]", b"/Differences [65 /A /g02 /C]")
+    assert extract_pdf_text(pdf2) == "ABC"

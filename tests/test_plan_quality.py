@@ -253,3 +253,46 @@ def test_q49_schedule_single_host_window(spark):
     assert re.search(r"hashpartitioning\(host", plan), plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SinglePartition" not in plan.split("Sort")[0], plan[:3000]
+
+
+def test_bucketed_snapshot_join_eliminates_exchange(spark, tmp_path):
+    """SCALE_DESIGN's standing claim for the refresh/diff joins: "with
+    bucketed/co-partitioned snapshot tables the exchange disappears
+    entirely". Demonstrate it: two snapshots written bucketed+sorted
+    by url join WITHOUT any Exchange (and without even a Sort — the
+    bucket files are pre-sorted), versus the plain-parquet join whose
+    plan shuffles both sides."""
+    from pyspark.sql import functions as F
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        docs = spark.read.parquet(SF + "/documents.parquet").select(
+            F.concat(F.lit("https://b.example/p/"), F.col("doc_id").cast("string")).alias("url"),
+            F.md5("text").alias("html_hash"),
+        )
+        for t in ("bucketdemo.snap_a", "bucketdemo.snap_b"):
+            docs.write.bucketBy(8, "url").sortBy("url").mode(
+                "overwrite"
+            ).format("parquet").saveAsTable(t)
+        j = (
+            spark.table("bucketdemo.snap_a")
+            .hint("merge")
+            .join(spark.table("bucketdemo.snap_b"), "url")
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:3000]
+        assert "Bucketed: true" in plan, plan[:3000]
+        # control: the same join over plain parquet shuffles both sides
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/plain_a")
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/plain_b")
+        pj = (
+            spark.read.parquet(f"{tmp_path}/plain_a")
+            .hint("merge")
+            .join(spark.read.parquet(f"{tmp_path}/plain_b"), "url")
+        )
+        assert "Exchange" in plan_of(pj)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
