@@ -224,9 +224,7 @@ def run_dedup_incremental(
     layout and stats match :func:`run_dedup`; with the guard settings
     equal and no hot-bucket threshold crossings the output tables are
     row-identical to a from-scratch run (asserted in
-    tests/test_jobs.py)."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
+    tests/test_spark_operators.py)."""
     from sax_wasm_spark.operators.dedup import (  # noqa: PLC0415
         content_hashes,
         dedup_churn,

@@ -39,16 +39,18 @@ Scope (documented contract, enforced by tests/test_pdf.py):
   /Differences array over the /BaseEncoding; otherwise strings decode
   as UTF-16 when BOM-tagged, else Latin-1 (a documented approximation
   of PDFDocEncoding for the printable range).
-* **Encryption** (ISO 32000-1 §7.6, standard security handler): RC4
-  documents (/V 1-2, /R 2-3) with an EMPTY user password — the common
-  "owner-locked" shape real crawls are full of — decrypt transparently:
-  the §7.6.3.3 file key derives from /O, /P and the document /ID
-  (Algorithm 2, stdlib md5), the empty user password is verified
-  against /U (Algorithms 4/5), then every string and stream decrypts
-  under its object's §7.6.2 per-object key before object streams
-  expand. AES documents (/V ≥ 4) raise :class:`EncryptedAes`; a
-  non-empty user password raises :class:`PasswordProtected` — both map
-  to per-row error statuses in the DataFrame operator.
+* **Encryption** (ISO 32000 §7.6, standard security handler, EMPTY
+  user password — the "owner-locked" shape real crawls are full of):
+  all three wire formats decrypt transparently before object streams
+  expand. /V 1-2 RC4 (Algorithm 2 md5 file key from /O + /P + /ID,
+  /U-verified, per-object §7.6.2 keys); /V 4 crypt filters (/AESV2
+  AES-128-CBC or /V2 RC4 per /StdCF, /StmF//StrF Identity honored,
+  /EncryptMetadata folded into the key); /V 5 AES-256 (Algorithm 2.B
+  Hash-2B password digests, /UE file-key unwrap; the AES core is the
+  from-scratch FIPS-197 implementation in :mod:`aescipher`). Shapes
+  beyond that raise :class:`EncryptedAes`; a rejected empty password
+  raises :class:`PasswordProtected` — both map to per-row error
+  statuses in the DataFrame operator.
 * **Layout**: the text matrix is tracked as a position (e, f translation
   of Tm; Td/TD/T* line moves). Each show op appends to the run at the
   current line origin; runs are grouped into lines by y (±``Y_TOL``),
@@ -97,8 +99,8 @@ class UnsupportedFilter(PdfError):
 
 
 class EncryptedAes(PdfError):
-    """Document encrypted with /V >= 4 (AES crypt filters) — outside
-    the RC4 tier this module implements from the spec."""
+    """Encrypted with a format outside the implemented tiers (an
+    unknown crypt-filter method, or /V beyond 5)."""
 
 
 class PasswordProtected(PdfError):
@@ -458,7 +460,7 @@ def _png_unpredict(data: bytes, parms: dict) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# encryption (ISO 32000-1 §7.6 standard security handler — RC4 tier)
+# encryption (ISO 32000 §7.6 standard security handler: RC4 + AES tiers)
 
 # §7.6.3.3 Algorithm 2 step a: the 32-byte password pad
 _PWD_PAD = bytes(
