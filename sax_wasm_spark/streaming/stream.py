@@ -77,3 +77,24 @@ def extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_pdf_stream(spark: SparkSession, path: str, max_files: int = 64) -> DataFrame:
+    """Streaming PDF ingestion, the ``read_warc_stream`` twin: PDF
+    files landing in ``path`` become (doc_path, text, n_pages, n_runs,
+    status) rows continuously via the batch operator lifted unchanged
+    (operators/pdf.extract_pdf over a binaryFile source). Poison and
+    encrypted-beyond-scope documents flow to the sink as their
+    ``error:*`` status rows — a corrupt upload never wedges the
+    stream."""
+    from ..operators.pdf import extract_pdf  # noqa: PLC0415
+
+    docs = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(F.col("path").alias("doc_path"), F.col("content").alias("pdf"))
+    )
+    return extract_pdf(docs, pdf_col="pdf", id_cols=("doc_path",))

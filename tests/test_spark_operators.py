@@ -1002,3 +1002,38 @@ def test_incremental_edge_cases(spark, tmp_path):
     )
     assert bad == 0
     assert got3.select("shard").distinct().count() <= 7
+
+
+def test_streaming_pdf_ingestion(spark, tmp_path):
+    """PDF files landing in a directory stream into extracted-text rows
+    via the binaryFile source + the batch operator lifted unchanged —
+    incl. an encrypted document and a poison file, which must surface
+    as rows rather than wedging the stream."""
+    from sax_wasm_spark.sources.pdfgen import build_pdf
+    from sax_wasm_spark.streaming.stream import read_pdf_stream
+
+    in_dir = tmp_path / "pdfs"
+    in_dir.mkdir()
+    texts = {}
+    for i, variant in enumerate((0, 2, 9, 10)):  # incl. RC4 + AES docs
+        t = f"streamed document {i} body text"
+        texts[f"doc-{i}.pdf"] = t
+        (in_dir / f"doc-{i}.pdf").write_bytes(build_pdf(t, variant=variant))
+    (in_dir / "poison.pdf").write_bytes(b"%PDF-1.4 garbage with no objects")
+
+    out = str(tmp_path / "out")
+    q = (
+        read_pdf_stream(spark, str(in_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_path.rsplit("/", 1)[-1]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 5
+    for name, want in texts.items():
+        assert got[name].status == "ok" and got[name].text == want, name
+    assert got["poison.pdf"].status.startswith("error:")
