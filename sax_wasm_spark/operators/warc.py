@@ -186,6 +186,12 @@ def warc_to_pages(
                             None, "revisit", n_skipped, n_segmented,
                             revisit=p.revisit_of,
                         )
+                    elif p.conversion:
+                        # WET-style converted payload: no HTTP envelope
+                        emit(
+                            r, p.url, p.warc_date, None, p.content_type,
+                            p.body, "conversion", n_skipped, n_segmented,
+                        )
                     else:
                         emit(
                             r, p.url, p.warc_date, p.status, p.content_type,

@@ -16,9 +16,12 @@ Reader scope (``parse_warc``):
 * record header block parsed case-insensitively; body framed by
   ``Content-Length`` (mandatory per spec) with the trailing CRLFCRLF
   record separator consumed;
-* only ``WARC-Type: response`` records yield pages — warcinfo /
-  request / metadata records are skipped (but must parse, since they
-  share the stream);
+* ``WARC-Type: response`` records yield pages; ``revisit`` records
+  yield body-less pages naming their referred capture (§6.7.2);
+  ``conversion`` records — the entirety of a Common Crawl WET file —
+  yield pages whose body is the converted payload directly (§6.8);
+  warcinfo / request / metadata records are skipped (but must parse,
+  since they share the stream);
 * the HTTP response inside a response record is split into status
   line + headers + body; ``Transfer-Encoding: chunked`` is de-chunked
   (RFC 9112 §7.1) and ``Content-Encoding: gzip`` is decompressed —
@@ -44,6 +47,7 @@ __all__ = [
     "WarcError",
     "WarcPage",
     "build_warc",
+    "build_wet",
     "parse_warc",
     "parse_warc_lenient",
     "parse_warc_with_segments",
@@ -74,6 +78,12 @@ class WarcPage(NamedTuple):
     # may be '' when the record declares neither). ``body`` is empty —
     # the payload lives at the referred capture.
     revisit_of: str | None = None
+    # True = a §6.8 CONVERSION record: the body is a transformed
+    # rendition of another capture (Common Crawl's WET files are
+    # entirely conversion records — the extracted text of each page).
+    # The block is the converted payload directly, NOT an HTTP
+    # message, so http fields are 0/''.
+    conversion: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +310,20 @@ def _parse_records(
                 )
             )
             continue
+        if warc_type == "conversion":
+            # §6.8: the block IS the converted payload (WET: text/plain
+            # extracted text) — no HTTP envelope to parse
+            pages.append(
+                WarcPage(
+                    url=headers.get("warc-target-uri", ""),
+                    warc_date=headers.get("warc-date", ""),
+                    status=0,
+                    content_type=headers.get("content-type", ""),
+                    body=body,
+                    conversion=True,
+                )
+            )
+            continue
         if warc_type == "response":
             truncated = ""
             if "warc-truncated" in headers:
@@ -464,6 +488,44 @@ def parse_warc_with_segments(
 
 # ---------------------------------------------------------------------------
 # deterministic writer (synthesis twin)
+
+
+def build_wet(
+    docs: list[tuple[str, str]],
+    date: str = "2024-01-01T00:00:00Z",
+    gzipped: bool = True,
+) -> bytes:
+    """A Common-Crawl-style WET file: one warcinfo record + one
+    ``conversion`` record per (url, text) — the extracted-text
+    distribution format (each record's block is the plain text, no
+    HTTP envelope). Deterministic; each record its own gzip member
+    when ``gzipped``."""
+    info = _record(
+        "warcinfo",
+        [("WARC-Record-ID", "<urn:det:wet#info>"), ("WARC-Date", date)],
+        b"software: sax-wasm-spark-synth\r\nformat: WARC-WET\r\n",
+    )
+    records = [info]
+    for url, text in docs:
+        records.append(
+            _record(
+                "conversion",
+                [
+                    ("WARC-Record-ID", f"<urn:det:{url}#wet>"),
+                    ("WARC-Date", date),
+                    ("WARC-Target-URI", url),
+                    ("WARC-Refers-To", f"<urn:det:{url}#resp>"),
+                    ("Content-Type", "text/plain"),
+                ],
+                text.encode("utf-8"),
+            )
+        )
+    if not gzipped:
+        return b"".join(records)
+    out = io.BytesIO()
+    for rec in records:
+        out.write(gzip.compress(rec, mtime=0))
+    return out.getvalue()
 
 
 def _record(warc_type: str, headers: list[tuple[str, str]], body: bytes) -> bytes:

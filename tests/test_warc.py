@@ -683,3 +683,30 @@ def _fix_length(raw: bytes) -> bytes:
         )
         out.append(b"WARC/1.0\r\n" + head + b"\r\n\r\n" + body + b"\r\n\r\n")
     return b"".join(out)
+
+
+def test_wet_conversion_records(spark):
+    """Common Crawl WET files (§6.8 conversion records — the extracted
+    -text distribution format): the reader surfaces each record's body
+    as a page with conversion=True and no HTTP fields; through the
+    operator they arrive as status='conversion' rows ready to feed the
+    documents table directly."""
+    from sax_wasm_spark.sources.warc import build_wet, parse_warc
+
+    docs = [(f"https://wet.example/{i}", f"extracted text {i}\nline two") for i in range(5)]
+    wet = build_wet(docs)
+    pages = parse_warc(wet)
+    assert [(p.url, p.body.decode()) for p in pages] == [
+        (u, t) for u, t in docs
+    ]
+    assert all(p.conversion and p.content_type == "text/plain" for p in pages)
+
+    from sax_wasm_spark.operators.warc import warc_to_pages
+
+    shards = spark.createDataFrame([(0, wet)], "shard_id long, warc binary")
+    rows = warc_to_pages(shards, id_cols=("shard_id",)).collect()
+    assert len(rows) == 5
+    for r in sorted(rows, key=lambda r: r.url):
+        assert r.status == "conversion" and r.http_status is None
+    texts = {r.url: bytes(r.html).decode() for r in rows}
+    assert texts == dict(docs)
