@@ -566,3 +566,53 @@ def resolve_revisits(pages: DataFrame, keep_unresolved: bool = True) -> DataFram
     if not keep_unresolved:
         resolved = resolved.where(F.col("status") == "revisit_resolved")
     return others.unionByName(resolved.select(*others.columns))
+
+
+def render_wet_column(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    url_col: str | None = None,
+) -> DataFrame:
+    """(id…, text) → (id…, warc:binary): one WET file per document
+    (warcinfo + a §6.8 conversion record whose block is the text) —
+    the synthesis twin of the conversion-record reader path, mirroring
+    :func:`render_warc_column`. Partitioning-invariant."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
+    from ..sources.warc import build_wet  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields) + [StructField("warc", BinaryType(), False)]
+    )
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable)
+        for f in out_schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+    cols = list(id_cols) + [text_col] + ([url_col] if url_col else [])
+    src = df.select(*cols)
+    n_id = len(id_cols)
+
+    def run(batches):
+        for rb in batches:
+            ids = [rb.column(j).to_pylist() for j in range(n_id)]
+            texts = rb.column(n_id).to_pylist()
+            urls = (
+                rb.column(n_id + 1).to_pylist()
+                if url_col
+                else [f"https://synth.example.com/p/{i}" for i in ids[0]]
+            )
+            blobs = [
+                build_wet([(u, t if t is not None else "")])
+                for u, t in zip(urls, texts)
+            ]
+            arrays = [
+                pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)
+            ] + [pa.array(blobs, pa.binary())]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return src.mapInArrow(run, schema=out_schema)
