@@ -187,10 +187,14 @@ def warc_to_pages(
                             revisit=p.revisit_of,
                         )
                     elif p.conversion:
-                        # WET-style converted payload: no HTTP envelope
+                        # WET-style converted payload: no HTTP envelope;
+                        # a §5.13-capped record keeps the truncation
+                        # signal exactly like the response path
                         emit(
                             r, p.url, p.warc_date, None, p.content_type,
-                            p.body, "conversion", n_skipped, n_segmented,
+                            p.body,
+                            "conversion_truncated" if p.truncated else "conversion",
+                            n_skipped, n_segmented,
                         )
                     else:
                         emit(
@@ -220,28 +224,23 @@ def warc_to_pages(
     return src.mapInArrow(run, schema=out_schema)
 
 
-def render_warc_column(
+def _render_blob_column(
     df: DataFrame,
-    text_col: str = "text",
-    id_cols: tuple[str, ...] = ("doc_id",),
-    url_col: str | None = None,
-    variant_col: str | None = None,
+    text_col: str,
+    id_cols: tuple[str, ...],
+    url_col: str | None,
+    variant_col: str | None,
+    make_blob,
 ) -> DataFrame:
-    """(id…, text) → (id…, warc:binary): one 3-record gzipped WARC file
-    per document (warcinfo + request + response — the reader's record
-    filtering is always exercised). The response shape cycles
-    ``first_id % 8`` (identity / chunked / gzip HTTP bodies, a
-    WARC-Truncated record, a lone segment-1 record, a complete
-    reassemblable segment chain, deflate HTTP bodies, and a §6.7.2
-    revisit record — see ``build_warc``) unless ``variant_col`` names a
-    per-row variant column; url defaults to a deterministic function of
-    the first id. Partitioning-invariant. Oracle twin of warc_to_pages —
-    change the cycle in BOTH or the warc_roundtrip oracle breaks."""
+    """Shared synthesis scaffold of the WARC/WET render twins:
+    (id…, text[, url][, variant]) → (id…, warc:binary) via mapInArrow,
+    with ``make_blob(first_id, url, text, variant) -> bytes`` supplying
+    the per-document file. The default url is the ONE deterministic
+    scheme every oracle states in closed form — keeping it here (not
+    copy-pasted per renderer) is what lets the oracles share it."""
     import pyarrow as pa  # noqa: PLC0415
 
     from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
-
-    from ..sources.warc import build_warc  # noqa: PLC0415
 
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = StructType(list(id_fields) + [StructField("warc", BinaryType(), False)])
@@ -270,14 +269,9 @@ def render_warc_column(
             if variant_col:
                 variants = rb.column(col_at).to_pylist()
             else:
-                variants = [int(i) % 8 for i in ids[0]]
+                variants = [None] * len(texts)
             blobs = [
-                build_warc(
-                    u,
-                    "2024-01-01T00:00:00Z",
-                    (t if t is not None else "").encode("utf-8"),
-                    variant=int(v),
-                )
+                make_blob(i, u, t if t is not None else "", v)
                 for i, u, t, v in zip(ids[0], urls, texts, variants)
             ]
             arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [
@@ -286,6 +280,34 @@ def render_warc_column(
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     return src.mapInArrow(run, schema=out_schema)
+
+
+def render_warc_column(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    url_col: str | None = None,
+    variant_col: str | None = None,
+) -> DataFrame:
+    """(id…, text) → (id…, warc:binary): one 3-record gzipped WARC file
+    per document (warcinfo + request + response — the reader's record
+    filtering is always exercised). The response shape cycles
+    ``first_id % 8`` (identity / chunked / gzip HTTP bodies, a
+    WARC-Truncated record, a lone segment-1 record, a complete
+    reassemblable segment chain, deflate HTTP bodies, and a §6.7.2
+    revisit record — see ``build_warc``) unless ``variant_col`` names a
+    per-row variant column; url defaults to a deterministic function of
+    the first id. Partitioning-invariant. Oracle twin of warc_to_pages —
+    change the cycle in BOTH or the warc_roundtrip oracle breaks."""
+    from ..sources.warc import build_warc  # noqa: PLC0415
+
+    def make_blob(i, url, text, variant):
+        v = int(variant) if variant is not None else int(i) % 8
+        return build_warc(
+            url, "2024-01-01T00:00:00Z", text.encode("utf-8"), variant=v
+        )
+
+    return _render_blob_column(df, text_col, id_cols, url_col, variant_col, make_blob)
 
 
 def stitch_segments(
@@ -576,43 +598,11 @@ def render_wet_column(
 ) -> DataFrame:
     """(id…, text) → (id…, warc:binary): one WET file per document
     (warcinfo + a §6.8 conversion record whose block is the text) —
-    the synthesis twin of the conversion-record reader path, mirroring
-    :func:`render_warc_column`. Partitioning-invariant."""
-    import pyarrow as pa  # noqa: PLC0415
-
-    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
-
+    the synthesis twin of the conversion-record reader path, sharing
+    :func:`render_warc_column`'s scaffold. Partitioning-invariant."""
     from ..sources.warc import build_wet  # noqa: PLC0415
 
-    id_fields = [df.schema[c] for c in id_cols]
-    out_schema = StructType(
-        list(id_fields) + [StructField("warc", BinaryType(), False)]
+    return _render_blob_column(
+        df, text_col, id_cols, url_col, None,
+        lambda i, url, text, variant: build_wet([(url, text)]),
     )
-    arrow_fields = [
-        pa.field(f.name, to_arrow_type(f.dataType), f.nullable)
-        for f in out_schema.fields
-    ]
-    arrow_schema = pa.schema(arrow_fields)
-    cols = list(id_cols) + [text_col] + ([url_col] if url_col else [])
-    src = df.select(*cols)
-    n_id = len(id_cols)
-
-    def run(batches):
-        for rb in batches:
-            ids = [rb.column(j).to_pylist() for j in range(n_id)]
-            texts = rb.column(n_id).to_pylist()
-            urls = (
-                rb.column(n_id + 1).to_pylist()
-                if url_col
-                else [f"https://synth.example.com/p/{i}" for i in ids[0]]
-            )
-            blobs = [
-                build_wet([(u, t if t is not None else "")])
-                for u, t in zip(urls, texts)
-            ]
-            arrays = [
-                pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)
-            ] + [pa.array(blobs, pa.binary())]
-            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
-
-    return src.mapInArrow(run, schema=out_schema)

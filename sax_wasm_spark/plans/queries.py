@@ -2285,7 +2285,7 @@ def q53_sql():
     return """
     SELECT doc_id,
            'https://synth.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
-           text AS wet_text,
+           coalesce(text, '') AS wet_text,
            CAST(NULL AS INTEGER) AS http_status,
            'conversion' AS status,
            'text/plain' AS content_type

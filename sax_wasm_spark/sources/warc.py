@@ -281,7 +281,8 @@ def _parse_records(
         # if complete). Strict mode refuses either way: a
         # "round-trippable" single file should not need reassembly.
         if warc_type == "continuation" or (
-            warc_type == "response" and "warc-segment-number" in headers
+            warc_type in ("response", "conversion")
+            and "warc-segment-number" in headers
         ):
             if strict:
                 raise WarcError("segmented record (strict mode)")
@@ -312,7 +313,9 @@ def _parse_records(
             continue
         if warc_type == "conversion":
             # §6.8: the block IS the converted payload (WET: text/plain
-            # extracted text) — no HTTP envelope to parse
+            # extracted text) — no HTTP envelope to parse. §5.13 allows
+            # WARC-Truncated on ANY record: capped converted text must
+            # carry the flag exactly like the response path does.
             pages.append(
                 WarcPage(
                     url=headers.get("warc-target-uri", ""),
@@ -320,6 +323,11 @@ def _parse_records(
                     status=0,
                     content_type=headers.get("content-type", ""),
                     body=body,
+                    truncated=(
+                        headers["warc-truncated"].strip().lower() or "unspecified"
+                        if "warc-truncated" in headers
+                        else ""
+                    ),
                     conversion=True,
                 )
             )
@@ -360,6 +368,26 @@ def _parse_records(
         reassembled, leftover_segments = _reassemble_segments(segment_records)
         segmented += len(leftover_segments)
         for headers, payload in reassembled:
+            trunc = (
+                headers["warc-truncated"].strip().lower() or "unspecified"
+                if "warc-truncated" in headers
+                else ""
+            )
+            if headers.get("warc-type", "").lower() == "conversion":
+                # a reassembled conversion chain's payload IS the
+                # converted text — no HTTP envelope to parse
+                pages.append(
+                    WarcPage(
+                        url=headers.get("warc-target-uri", ""),
+                        warc_date=headers.get("warc-date", ""),
+                        status=0,
+                        content_type=headers.get("content-type", ""),
+                        body=payload,
+                        truncated=trunc,
+                        conversion=True,
+                    )
+                )
+                continue
             try:
                 status, ctype, decoded = _parse_http_response(payload)
             except WarcError:
@@ -372,11 +400,7 @@ def _parse_records(
                     status=status,
                     content_type=ctype,
                     body=decoded,
-                    truncated=(
-                        headers["warc-truncated"].strip().lower() or "unspecified"
-                        if "warc-truncated" in headers
-                        else ""
-                    ),
+                    truncated=trunc,
                 )
             )
     return pages, skipped, segmented, leftover_segments

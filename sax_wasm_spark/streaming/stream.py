@@ -89,11 +89,13 @@ def read_pdf_stream(spark: SparkSession, path: str, max_files: int = 64) -> Data
     stream."""
     from ..operators.pdf import extract_pdf  # noqa: PLC0415
 
+    # no pathGlobFilter, matching read_warc_stream: a case-sensitive
+    # "*.pdf" glob would silently skip REPORT.PDF with no accounting;
+    # non-PDF files surface as error:* rows instead of vanishing
     docs = (
         spark.readStream.format("binaryFile")
         .schema("path string, modificationTime timestamp, length long, content binary")
         .option("maxFilesPerTrigger", max_files)
-        .option("pathGlobFilter", "*.pdf")
         .load(path)
         .select(F.col("path").alias("doc_path"), F.col("content").alias("pdf"))
     )

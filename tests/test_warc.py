@@ -710,3 +710,83 @@ def test_wet_conversion_records(spark):
         assert r.status == "conversion" and r.http_status is None
     texts = {r.url: bytes(r.html).decode() for r in rows}
     assert texts == dict(docs)
+
+
+def test_segmented_and_truncated_conversion_records():
+    """Round-6 third review: conversion records carrying
+    WARC-Segment-Number must enter the reassembly stash (previously
+    the first segment masqueraded as the full converted text), and a
+    §5.13 WARC-Truncated conversion record keeps its truncation
+    signal (status='conversion_truncated' through the operator)."""
+    from sax_wasm_spark.sources.warc import (
+        _record,
+        parse_warc_lenient,
+    )
+
+    # complete in-shard conversion chain: must reassemble to full text
+    head = _record(
+        "conversion",
+        [
+            ("WARC-Record-ID", "<urn:det:c#1>"),
+            ("WARC-Date", DATE),
+            ("WARC-Target-URI", "https://c.example/x"),
+            ("Content-Type", "text/plain"),
+            ("WARC-Segment-Number", "1"),
+        ],
+        b"FIRST-HALF-",
+    )
+    cont = _record(
+        "continuation",
+        [
+            ("WARC-Record-ID", "<urn:det:c#2>"),
+            ("WARC-Date", DATE),
+            ("WARC-Segment-Number", "2"),
+            ("WARC-Segment-Origin-ID", "<urn:det:c#1>"),
+            ("WARC-Segment-Total-Length", str(len(b"FIRST-HALF-SECOND-HALF"))),
+        ],
+        b"SECOND-HALF",
+    )
+    pages, skipped, segmented = parse_warc_lenient(head + cont)
+    assert skipped == 0 and segmented == 0
+    (p,) = pages
+    assert p.conversion and p.body == b"FIRST-HALF-SECOND-HALF"
+
+    # lone segment-1 conversion: stashed with accounting, NOT emitted
+    pages, skipped, segmented = parse_warc_lenient(head)
+    assert pages == [] and segmented == 1
+
+    # truncated conversion record: flag carried through the operator
+    trunc = _record(
+        "conversion",
+        [
+            ("WARC-Record-ID", "<urn:det:t#1>"),
+            ("WARC-Date", DATE),
+            ("WARC-Target-URI", "https://c.example/t"),
+            ("Content-Type", "text/plain"),
+            ("WARC-Truncated", "length"),
+        ],
+        b"cut tex",
+    )
+    (p,), _, _ = parse_warc_lenient(trunc)
+    assert p.conversion and p.truncated == "length"
+
+
+def test_conversion_truncated_status_through_operator(spark):
+    from sax_wasm_spark.sources.warc import _record
+
+    rec = _record(
+        "conversion",
+        [
+            ("WARC-Record-ID", "<urn:det:t#1>"),
+            ("WARC-Date", DATE),
+            ("WARC-Target-URI", "https://c.example/t"),
+            ("WARC-Truncated", "length"),
+        ],
+        b"cut tex",
+    )
+    from sax_wasm_spark.operators.warc import warc_to_pages
+
+    shards = spark.createDataFrame([(0, rec)], "shard_id long, warc binary")
+    (row,) = warc_to_pages(shards, id_cols=("shard_id",)).collect()
+    assert row.status == "conversion_truncated"
+    assert bytes(row.html) == b"cut tex"
