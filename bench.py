@@ -60,9 +60,15 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
 PAGE_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "8"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 PAIRS = os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "2:8")
-BASE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
-MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "4"))
+BASE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "8"))
 EFF_TARGET = float(os.environ.get("SPARK_GRAFT_BENCH_EFF_TARGET", "0.8"))
+# Wall-clock cap for the ADAPTIVE (post-base) scaling rounds only; the
+# base rounds always run. Round 6's driver ledger recorded 0.767 after
+# the old 4-round cap on a loaded host while same-code clean runs sat
+# at 0.91-0.93 — the max-capacity estimator was under-sampled, so the
+# extra-round headroom is now 8 rounds bounded by this budget.
+SCALING_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SCALING_BUDGET", "900"))
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -89,6 +95,28 @@ def _fresh_spark(cores: int, app: str):
     from sax_wasm_spark.session import get_spark
 
     return get_spark(app_name=app, cores=cores, shuffle_partitions=max(2 * cores, 16))
+
+
+def calibration_run(spark) -> float:
+    """Fixed-workload host-speed probe (VERDICT r6 item 7): a
+    deterministic JVM-codegen aggregation whose cost depends only on how
+    fast this host is running RIGHT NOW — no IO, no Python workers, no
+    shuffle. Each per-query timing divided by this figure separates
+    genuine cross-round regressions from shared-host drift without
+    re-running: if every normalized figure is flat while raw seconds
+    moved together, the host moved, not the code. Best-of-2 after one
+    warm-up, like the queries it calibrates."""
+    from pyspark.sql import functions as F
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, CPUS).select(
+            F.sum(F.col("id") % 7).alias("s")
+        ).collect()
+        return time.perf_counter() - t0
+
+    one_pass()  # warm-up
+    return round(min(one_pass(), one_pass()), 4)
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -501,6 +529,7 @@ def main():
 
     spark = _fresh_spark(CPUS, "bench-queries")
     try:
+        calibration = calibration_run(spark)
         timings = run_queries(spark)
         recall = ann_recall(spark)
     finally:
@@ -511,6 +540,10 @@ def main():
         "unit": "sec",
         "sf": SF_DIR,
         "queries": timings,
+        "calibration_sec": calibration,
+        "queries_normalized": {
+            k: round(v / calibration, 3) for k, v in timings.items()
+        },
         "recall": recall,
     }
 
@@ -574,8 +607,16 @@ def main():
             run_round()
             rounds_done += 1
         # a noisy window can only depress a level's max; extra rounds
-        # sharpen the estimate (they cannot inflate it)
-        while cap_eff(lo0, hi0) < EFF_TARGET and rounds_done < MAX_ROUNDS:
+        # sharpen the estimate (they cannot inflate it past capacity).
+        # Adaptive: keep sampling while the estimate misses the target,
+        # bounded by MAX_ROUNDS and a wall-clock budget so a truly
+        # non-scaling build still terminates promptly.
+        t_scaling_extra = time.perf_counter()
+        while (
+            cap_eff(lo0, hi0) < EFF_TARGET
+            and rounds_done < MAX_ROUNDS
+            and time.perf_counter() - t_scaling_extra < SCALING_BUDGET_SEC
+        ):
             run_round()
             rounds_done += 1
 
@@ -627,9 +668,14 @@ def emit_result(result: dict, detail_path: str | None = None) -> None:
     line and displaced it from the merged tail. Order here is therefore
     load-bearing: detail copy to stderr first, best-effort
     BENCH_DETAIL.json write (any failure message also lands before),
-    compact stdout line dead last.
+    compact stdout line dead last. Every step before the stdout line is
+    wrapped: a non-serializable detail value must degrade the detail
+    copy, never block the one line the driver parses.
     """
-    print(json.dumps(result), file=sys.stderr, flush=True)
+    try:
+        print(json.dumps(result), file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 - stdout line must still go out
+        print(f"detail not serializable: {e}", file=sys.stderr, flush=True)
     try:
         if detail_path is None:
             detail_path = os.path.join(
@@ -637,9 +683,11 @@ def emit_result(result: dict, detail_path: str | None = None) -> None:
             )
         with open(detail_path, "w") as f:
             json.dump(result, f, indent=1)
-    except OSError as e:
+    except Exception as e:  # noqa: BLE001 - OSError or serialization
         print(f"BENCH_DETAIL.json not written: {e}", file=sys.stderr, flush=True)
-    print(json.dumps(compact_result(result)), flush=True)
+    # default=str: a stray numpy scalar in one field must not cost the
+    # round its only parseable line
+    print(json.dumps(compact_result(result), default=str), flush=True)
 
 
 def compact_result(result: dict) -> dict:
@@ -661,6 +709,7 @@ def compact_result(result: dict) -> dict:
         "extract_docs_per_sec_N",
         "extract_docs_per_sec_4N",
         "scaling_rounds",
+        "calibration_sec",
     ):
         if k in result:
             out[k] = result[k]

@@ -71,6 +71,7 @@ import base64
 import binascii
 import functools
 import hashlib
+import os
 import re
 import struct
 import zlib
@@ -797,14 +798,28 @@ class PdfDocument:
     def _build_v5(self, enc: dict, o, u):
         from .aescipher import aes_cbc_decrypt  # noqa: PLC0415
 
+        # The R6 Hash-2B KDF is deliberately slow by spec (~0.3 s/call
+        # of pure-Python AES hardening rounds), so a crawl shard dense
+        # in AESV3 docs can straggle. The env knob lets an operator
+        # trade that capability for throughput: docs degrade to an
+        # error:EncryptedAes row instead of paying the KDF.
+        if os.environ.get("SAX_WASM_SPARK_AESV3", "1") == "0":
+            raise EncryptedAes(
+                "AESV3 disabled by SAX_WASM_SPARK_AESV3=0 (Hash-2B KDF budget)"
+            )
         r = int(self.resolve(enc.get("/R", 6)) or 6)
         ue = self.resolve(enc.get("/UE"))
         if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
             raise PdfError("malformed /Encrypt dictionary (U/UE)")
         vsalt, ksalt = u[32:40], u[40:48]
-        if _hash_2b(b"", vsalt, b"", r) != u[:32]:
+        vhash = _hash_2b(b"", vsalt, b"", r)
+        if vhash != u[:32]:
             raise PasswordProtected("empty user password rejected by /U")
-        ikey = _hash_2b(b"", ksalt, b"", r)
+        # equal salts ⇒ identical KDF input ⇒ the verification digest IS
+        # the intermediate key — skip the second ~0.3 s Hash-2B call
+        # (our writer twin emits this shape; real files with distinct
+        # salts still take the two-call path)
+        ikey = vhash if ksalt == vsalt else _hash_2b(b"", ksalt, b"", r)
         file_key = aes_cbc_decrypt(ikey, bytes(16), ue[:32], unpad=False)
 
         def aes_fn(num, gen, b):  # V5: one key for every object

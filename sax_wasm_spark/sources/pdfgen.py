@@ -644,23 +644,23 @@ def build_pdf(
             )
         else:
             # ISO 32000-2 Algorithms 8/9/10: salts + Hash-2B password
-            # digests wrap a random-free deterministic 256-bit file key
+            # digests wrap a random-free deterministic 256-bit file key.
+            # Each password side uses ONE salt for both its validation
+            # and key slots (any 8-byte values are spec-valid; with an
+            # EMPTY user password the distinct-salt indirection protects
+            # nothing) so each side costs ONE Hash-2B invocation instead
+            # of two — the KDF is a deliberately slow ~0.3 s/call spec
+            # hardening loop and was the pdf-roundtrip straggler at
+            # 6 calls/doc (VERDICT r6 item 3; now 2 writer + 1 reader).
             file_key = hashlib.sha256(b"fk:" + id0).digest()
-            vs = hashlib.md5(b"vs:" + id0).digest()[:8]
-            ks = hashlib.md5(b"ks:" + id0).digest()[:8]
-            u48 = _hash_2b_w(b"", vs, b"", 6) + vs + ks
-            ue = aes_cbc_encrypt(
-                _hash_2b_w(b"", ks, b"", 6), bytes(16), file_key, pad=False
-            )
-            ovs = hashlib.md5(b"ovs:" + id0).digest()[:8]
-            oks = hashlib.md5(b"oks:" + id0).digest()[:8]
-            o48 = _hash_2b_w(b"saxgen-owner", ovs, u48, 6) + ovs + oks
-            oe = aes_cbc_encrypt(
-                _hash_2b_w(b"saxgen-owner", oks, u48, 6),
-                bytes(16),
-                file_key,
-                pad=False,
-            )
+            vs = ks = hashlib.md5(b"vs:" + id0).digest()[:8]
+            uhash = _hash_2b_w(b"", vs, b"", 6)
+            u48 = uhash + vs + ks
+            ue = aes_cbc_encrypt(uhash, bytes(16), file_key, pad=False)
+            ovs = oks = hashlib.md5(b"ovs:" + id0).digest()[:8]
+            ohash = _hash_2b_w(b"saxgen-owner", ovs, u48, 6)
+            o48 = ohash + ovs + oks
+            oe = aes_cbc_encrypt(ohash, bytes(16), file_key, pad=False)
             perms = aes_encrypt_block(
                 file_key,
                 (p & 0xFFFFFFFF).to_bytes(4, "little")

@@ -24,6 +24,8 @@ _FULL = {
     "unit": "sec",
     "sf": "/root/testdata/sf0.1",
     "queries": {name: 123.4567 for name in HEADLINE},
+    "calibration_sec": 12.3456,
+    "queries_normalized": {name: 123.456 for name in HEADLINE},
     "recall": {
         "n_queries": 20,
         "k": 10,
@@ -80,8 +82,10 @@ _FULL = {
     "extract_docs_per_sec_4N": 12118.12,
     "scaling_efficiency": 0.9246,
     "scaling_efficiency_2to8": 0.9246,
-    "scaling_rounds": 4,
-    "scaling_efficiency_per_round": [0.9131, 0.9155, 0.9012, 0.9246],
+    "scaling_rounds": 8,
+    "scaling_efficiency_per_round": [
+        0.9131, 0.9155, 0.9012, 0.9246, 0.7712, 1.0123, 0.7344, 0.9955,
+    ],
     "note": "x" * 430,
     "value": 512.345,
 }
@@ -157,3 +161,31 @@ def test_compact_tolerates_missing_optional_blocks():
     compact = compact_result(minimal)
     assert compact["value"] == 1.0
     assert "np_vs_ref_0x141" not in compact
+
+
+def test_aesv3_share_is_pinned_per_sf():
+    """VERDICT r6 item 8: the AESV3 gate (pdf variant 10 with
+    len(text) % 16 == 1) makes the number of Hash-2B-paying docs a
+    silent function of the corpus — a future testdata tweak could turn
+    pdf_extract_roundtrip into a KDF benchmark unnoticed. Pin the
+    expected count per sf so any shift is a visible test failure, not
+    a mystery bench regression."""
+    import os
+
+    import duckdb
+    import pytest
+
+    expected = {"sf0.001": 2, "sf0.01": 4, "sf0.1": 27}
+    for sf, want in expected.items():
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            pytest.skip(f"{path} absent")
+        got = duckdb.sql(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE doc_id % 11 = 10 AND length(text) % 16 = 1"
+        ).fetchone()[0]
+        assert got == want, (
+            f"{sf}: AESV3-gated doc count moved {want} -> {got}; "
+            "re-budget pdf_extract_roundtrip (each doc pays ~3 Hash-2B "
+            "KDF calls, ~0.3 s each) or adjust the gate"
+        )

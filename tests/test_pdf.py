@@ -955,3 +955,81 @@ def test_type3_font_text_via_differences():
     # 'B' by coincidence of the code assignment, never as an error
     pdf2 = pdf.replace(b"/Differences [65 /A /B /C]", b"/Differences [65 /A /g02 /C]")
     assert extract_pdf_text(pdf2) == "ABC"
+
+
+def test_v5_kdf_call_budget_and_salt_reuse():
+    """VERDICT r6 item 3: the writer emits equal validation/key salts
+    per password side (spec-valid; with an empty user password the
+    distinct-salt indirection protects nothing) and the reader reuses
+    the /U verification digest as the intermediate key when the salts
+    coincide — 3 Hash-2B calls per AESV3 doc total (2 writer + 1
+    reader) instead of 6. Counted, not assumed."""
+    import sax_wasm_spark.kernel.pdftext as kpdf
+    import sax_wasm_spark.sources.pdfgen as gpdf
+
+    calls = {"r": 0, "w": 0}
+    real_r, real_w = kpdf._hash_2b, gpdf._hash_2b_w
+
+    def count_r(*a, **k):
+        calls["r"] += 1
+        return real_r(*a, **k)
+
+    def count_w(*a, **k):
+        calls["w"] += 1
+        return real_w(*a, **k)
+
+    old_r, old_w = kpdf._hash_2b, gpdf._hash_2b_w
+    kpdf._hash_2b, gpdf._hash_2b_w = count_r, count_w
+    try:
+        pdf = build_pdf("seventeen chars!!", variant=10)  # len 17 -> AESV3
+        assert calls["w"] == 2, f"writer ran {calls['w']} Hash-2B calls"
+        assert extract_pdf_text(pdf) == "seventeen chars!!"
+        assert calls["r"] == 1, f"reader ran {calls['r']} Hash-2B calls"
+    finally:
+        kpdf._hash_2b, gpdf._hash_2b_w = old_r, old_w
+    # the salts really are equal in the emitted /U (offsets 32:40 ==
+    # 40:48) — the reader's reuse branch is exercised, not skipped
+    import re as _re
+
+    u = bytes.fromhex(_re.search(rb"/U <([0-9a-f]+)>", pdf).group(1).decode())
+    assert u[32:40] == u[40:48]
+
+
+def test_v5_distinct_salts_still_take_two_call_path():
+    """Real files carry distinct salts; the reuse branch must not leak
+    the validation hash into the key slot there. Build a doc with
+    distinct salts by hand-deriving the /Encrypt values the long way
+    and confirm the reader still opens it."""
+    import re as _re
+
+    from sax_wasm_spark.kernel.aescipher import aes_cbc_decrypt, aes_cbc_encrypt
+    from sax_wasm_spark.kernel.pdftext import _hash_2b
+
+    pdf = build_pdf("seventeen chars!!", variant=10)
+    m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
+    u = bytes.fromhex(m.group(1).decode())
+    m2 = _re.search(rb"/UE <([0-9a-f]+)>", pdf)
+    ue = bytes.fromhex(m2.group(1).decode())
+    file_key = aes_cbc_decrypt(_hash_2b(b"", u[40:48], b"", 6), bytes(16), ue[:32],
+                               unpad=False)
+    ks2 = b"newksalt"
+    u2 = _hash_2b(b"", u[32:40], b"", 6) + u[32:40] + ks2
+    ue2 = aes_cbc_encrypt(_hash_2b(b"", ks2, b"", 6), bytes(16), file_key, pad=False)
+    patched = pdf.replace(m.group(1), u2.hex().encode()).replace(
+        m2.group(1), ue2.hex().encode()
+    )
+    assert extract_pdf_text(patched) == "seventeen chars!!"
+
+
+def test_v5_budget_knob_degrades_to_error_row(monkeypatch):
+    """ADVICE r6: a shard dense in AESV3 docs can straggle on the
+    spec-slow Hash-2B KDF; SAX_WASM_SPARK_AESV3=0 trades the capability
+    for throughput — docs degrade to error:EncryptedAes rows instead of
+    paying the KDF. RC4/AESV2 tiers are unaffected."""
+    monkeypatch.setenv("SAX_WASM_SPARK_AESV3", "0")
+    aes3 = build_pdf("seventeen chars!!", variant=10)
+    assert extract_pdf_document(aes3)[3] == "error:EncryptedAes"
+    # AESV2 (even-length text) still decrypts under the knob
+    assert extract_pdf_text(build_pdf("evenlen!", variant=10)) == "evenlen!"
+    monkeypatch.delenv("SAX_WASM_SPARK_AESV3")
+    assert extract_pdf_text(aes3) == "seventeen chars!!"
