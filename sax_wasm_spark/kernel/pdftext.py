@@ -664,6 +664,23 @@ class PdfDocument:
                 out.append(v)
         return out
 
+    def info(self) -> dict[str, str]:
+        """The document information dictionary (/Info, §14.3.3) with its
+        values decoded as spec TEXT strings (_decode_text: BOM-tagged
+        UTF-16 else PDFDocEncoding) — the one place PDFDocEncoding
+        legitimately applies; show strings inside content streams decode
+        via the font or the WinAnsi fallback instead (ADVICE r6)."""
+        out: dict[str, str] = {}
+        for t in self._trailer_dicts():
+            info = self.resolve(t.get("/Info"))
+            if not isinstance(info, dict):
+                continue
+            for k, v in info.items():
+                v = self.resolve(v)
+                if isinstance(v, bytes):
+                    out[k.lstrip("/")] = _decode_text(v)
+        return out
+
     def _decrypt_if_needed(self) -> None:
         """ISO 32000 §7.6 standard security handler, EMPTY user
         password, all three wire formats:
@@ -1064,9 +1081,33 @@ class PdfDocument:
                         diffs = d
                 if base is not None or diffs is not None:
                     cmap = _differences_cmap(diffs or [], base)
+            if cmap is None:
+                # last decode source before the Latin-1 fallback: the
+                # embedded TrueType program's own 'cmap' table (§9.6.6.4
+                # inverted for extraction — the dominant real-crawl shape
+                # for subset fonts that ship no /ToUnicode)
+                cmap = self._embedded_font_cmap(font)
             if cmap is not None:
                 out[name.lstrip("/")] = cmap
         return out
+
+    def _embedded_font_cmap(self, font: dict) -> "_CMap | None":
+        """/FontDescriptor /FontFile2 → _parse_truetype_cmap, cached per
+        stream object number (a 1000-page doc parses its subset once)."""
+        desc = self.resolve(font.get("/FontDescriptor"))
+        if not isinstance(desc, dict):
+            return None
+        ff = desc.get("/FontFile2")
+        if not isinstance(ff, Ref):
+            return None
+        if ff.num in self._font_cmap_cache:
+            return self._font_cmap_cache[ff.num]
+        try:
+            cmap = _parse_truetype_cmap(self.stream_bytes(ff))
+        except PdfError:
+            cmap = None
+        self._font_cmap_cache[ff.num] = cmap
+        return cmap
 
 
 # ---------------------------------------------------------------------------
@@ -1395,6 +1436,170 @@ def _parse_tounicode(data: bytes) -> _CMap | None:
 
 
 # ---------------------------------------------------------------------------
+# embedded TrueType 'cmap' tables (simple fonts without /ToUnicode)
+#
+# A large share of real-crawl PDFs embed TrueType subsets with neither a
+# /ToUnicode CMap nor an /Encoding /Differences array; their show bytes
+# only become text through the font program's own 'cmap' table (Apple/MS
+# TrueType spec, public). The reference has no PDF counterpart at all
+# (sax-wasm is XML-only — /root/reference/src/sax/parser.rs:1); this is
+# the north rule's "PDF/layout parse" leg.
+
+
+def _tt_subtable(data: bytes, off: int) -> dict[int, int] | None:
+    """One cmap subtable at ``off`` → {code point: glyph id}. Formats 0
+    (byte table), 4 (segment delta, the BMP workhorse), 6 (trimmed) and
+    12 (segmented coverage) are enough for real subsets; anything else
+    returns None. Lenient: truncated tables yield what parsed."""
+    fmt = struct.unpack_from(">H", data, off)[0]
+    out: dict[int, int] = {}
+    if fmt == 0:
+        for code, gid in enumerate(data[off + 6 : off + 262]):
+            if gid:
+                out[code] = gid
+    elif fmt == 4:
+        seg2 = struct.unpack_from(">H", data, off + 6)[0]
+        segs = seg2 // 2
+        ends = struct.unpack_from(">%dH" % segs, data, off + 14)
+        start_off = off + 16 + seg2
+        starts = struct.unpack_from(">%dH" % segs, data, start_off)
+        deltas = struct.unpack_from(">%dh" % segs, data, start_off + seg2)
+        ro_off = start_off + 2 * seg2
+        range_offs = struct.unpack_from(">%dH" % segs, data, ro_off)
+        for i in range(segs):
+            s, e = starts[i], ends[i]
+            if s > e or (s == 0xFFFF and e == 0xFFFF):
+                continue
+            if range_offs[i] == 0:
+                for c in range(s, e + 1):
+                    gid = (c + deltas[i]) & 0xFFFF
+                    if gid:
+                        out[c] = gid
+            else:
+                # glyphIdArray indexing: the offset is relative to the
+                # idRangeOffset WORD itself (the spec's famous quirk)
+                base = ro_off + 2 * i + range_offs[i]
+                for c in range(s, e + 1):
+                    p = base + 2 * (c - s)
+                    if p + 2 > len(data):
+                        break
+                    gid = struct.unpack_from(">H", data, p)[0]
+                    if gid:
+                        out[c] = (gid + deltas[i]) & 0xFFFF
+    elif fmt == 6:
+        first, count = struct.unpack_from(">2H", data, off + 6)
+        gids = struct.unpack_from(">%dH" % count, data, off + 10)
+        for i, gid in enumerate(gids):
+            if gid:
+                out[first + i] = gid
+    elif fmt == 12:
+        n_groups = struct.unpack_from(">I", data, off + 12)[0]
+        p = off + 16
+        budget = 1 << 17  # corrupt group counts must not hang a worker
+        for _ in range(min(n_groups, 1 << 16)):
+            if p + 12 > len(data):
+                break
+            s, e, g = struct.unpack_from(">3I", data, p)
+            p += 12
+            if e < s or e - s > budget:
+                continue
+            for i in range(e - s + 1):
+                out[s + i] = g + i
+            budget -= e - s + 1
+            if budget <= 0:
+                break
+    else:
+        return None
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _parse_truetype_cmap(data: bytes) -> _CMap | None:
+    """Embedded TrueType font program → 1-byte show-code decoder.
+
+    Subtable selection follows what a conforming reader does with a
+    simple TrueType font (ISO 32000-1 §9.6.6.4) inverted for text
+    extraction:
+
+    - symbolic fonts carry a (3,0) Microsoft Symbol cmap keyed by the
+      raw show code (looked up at 0xF000|code first, then code) or a
+      (1,0) Mac Roman cmap keyed by the code directly — either gives
+      code → GID; unicode then comes from inverting the font's (3,1)
+      Windows BMP (or (0,x) Unicode-platform) subtable, GID → the
+      smallest code point that reaches it (deterministic inverse);
+    - fonts with only a Unicode-platform subtable map nonsymbolically:
+      a code decodes as itself exactly when the font actually maps that
+      code point (glyph present ⇒ the code means its own unicode).
+
+    Returns None (caller falls back to the default show decoding) when
+    there is no cmap table, no usable subtable pair, or the program is
+    malformed — per-row degradation, never a crash."""
+    try:
+        if data[:4] not in (b"\x00\x01\x00\x00", b"true", b"OTTO", b"ttcf"):
+            return None
+        if data[:4] == b"ttcf":  # TrueType collection: first font
+            # member directory offsets are absolute within the TTC blob
+            first = struct.unpack_from(">I", data, 12)[0]
+            n_tables = struct.unpack_from(">H", data, first + 4)[0]
+            rec0 = first + 12
+        else:
+            n_tables = struct.unpack_from(">H", data, 4)[0]
+            rec0 = 12
+        cmap_off = None
+        for i in range(min(n_tables, 64)):
+            tag, _cs, off, _ln = struct.unpack_from(">4s3I", data, rec0 + 16 * i)
+            if tag == b"cmap":
+                cmap_off = off
+                break
+        if cmap_off is None:
+            return None
+        n_sub = struct.unpack_from(">H", data, cmap_off + 2)[0]
+        subs: dict[tuple[int, int], dict[int, int]] = {}
+        for i in range(min(n_sub, 16)):
+            plat, enc, rel = struct.unpack_from(
+                ">2HI", data, cmap_off + 4 + 8 * i
+            )
+            if (plat, enc) in subs:
+                continue
+            try:
+                t = _tt_subtable(data, cmap_off + rel)
+            except struct.error:
+                t = None
+            if t:
+                subs[(plat, enc)] = t
+    except (struct.error, IndexError):
+        return None
+
+    uni = subs.get((3, 1)) or subs.get((0, 3)) or subs.get((0, 4))
+    if uni is None:
+        uni = next((t for (p, _e), t in subs.items() if p == 0), None)
+    sym = subs.get((3, 0))
+    mac = subs.get((1, 0))
+    if uni is None:
+        return None
+    mapping: dict[int, str] = {}
+    if sym is not None or mac is not None:
+        gid_to_uni: dict[int, int] = {}
+        for cp, gid in uni.items():
+            if gid not in gid_to_uni or cp < gid_to_uni[gid]:
+                gid_to_uni[gid] = cp
+        for code in range(256):
+            if sym is not None:
+                gid = sym.get(0xF000 | code) or sym.get(code)
+            else:
+                gid = mac.get(code)
+            if gid:
+                cp = gid_to_uni.get(gid)
+                if cp is not None:
+                    mapping[code] = chr(cp)
+    else:
+        for code in range(0x20, 256):
+            if code in uni:
+                mapping[code] = chr(code)
+    return _CMap(1, mapping) if mapping else None
+
+
+# ---------------------------------------------------------------------------
 # content-stream text interpreter
 
 
@@ -1420,13 +1625,44 @@ _PDFDOC_MAP = str.maketrans({chr(i): s for i, s in _PDFDOC_DELTAS.items()})
 
 
 def _decode_text(b: bytes) -> str:
-    """Spec text-string decoding (§7.9.2.2): UTF-16 when BOM-tagged,
-    else PDFDocEncoding via the Annex D table."""
+    """Spec TEXT-STRING decoding (§7.9.2.2): UTF-16 when BOM-tagged,
+    else PDFDocEncoding via the Annex D table. Scope (ADVICE r6): text
+    strings live OUTSIDE content streams — /Info values, outlines,
+    annotations (surfaced via PdfDocument.info()) — never show strings,
+    whose bytes are font codes and decode via _decode_show."""
     if b[:2] == b"\xfe\xff":
         return b[2:].decode("utf-16-be", "replace")
     if b[:2] == b"\xff\xfe":
         return b[2:].decode("utf-16-le", "replace")
     return b.decode("latin-1").translate(_PDFDOC_MAP)
+
+
+# WinAnsiEncoding deltas vs Latin-1 (cp1252's 0x80-0x9F punctuation
+# block): the show-string fallback table. Unencoded simple-font show
+# bytes follow the font's built-in encoding, which in real crawls is
+# overwhelmingly WinAnsi-like — 0x85 is an ellipsis there, not PDFDoc's
+# en-dash (the round-6 accuracy bug on real input). Bytes WinAnsi
+# leaves unassigned (0x81/0x8D/0x8F/0x90/0x9D) stay Latin-1 identity.
+_SHOW_DELTAS: dict[int, str] = {
+    k: v
+    for k, v in (base_encoding_map("/WinAnsiEncoding") or {}).items()
+    if v != chr(k)
+}
+_SHOW_MAP = str.maketrans({chr(k): v for k, v in _SHOW_DELTAS.items()})
+
+
+def _decode_show(b: bytes) -> str:
+    """Fallback decoding for SHOW strings whose font offers no decode
+    source (no /ToUnicode, no /Encoding, no usable embedded cmap):
+    WinAnsi with Latin-1 fallthrough. The BOM checks are a lenient
+    heuristic for synthetic/UTF-16-authored content streams (the writer
+    twin emits them for non-Latin-1 text); real font codes never start
+    with a BOM pair."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    if b[:2] == b"\xff\xfe":
+        return b[2:].decode("utf-16-le", "replace")
+    return b.decode("latin-1").translate(_SHOW_MAP)
 
 
 _TEXT_OPS = frozenset(
@@ -1451,7 +1687,7 @@ def _runs_from_content(
     cmap: _CMap | None = None
 
     def decode(b: bytes) -> str:
-        return cmap.decode(b) if cmap is not None else _decode_text(b)
+        return cmap.decode(b) if cmap is not None else _decode_show(b)
 
     def show(s: str) -> None:
         nonlocal cur, cur_xy

@@ -58,6 +58,19 @@ Variants exercise distinct parser surfaces so one query covers them all:
   are NOT latin-1 (WinAnsi's 0x80-0x9F punctuation, MacRoman's whole
   high range, Standard's quote remaps). Falls back to variant-0
   literal strings when the charset is not representable.
+* 11 — an embedded TrueType subset with NO /ToUnicode and NO
+  /Encoding: the text is recoverable only through the font program's
+  own ``cmap`` table (kernel twin: ``_parse_truetype_cmap``). Shape
+  cycles by text length — even: a SYMBOLIC subset whose show codes are
+  arbitrary 1-byte assignments, carried by a (3,0) Microsoft-Symbol
+  format-6 subtable at ``0xF000|code`` plus a (3,1) Windows-BMP
+  format-4 subtable the reader inverts GID→unicode; odd: a
+  NONSYMBOLIC subset with only the (3,1) table, where a show code
+  decodes as itself exactly when the font maps that code point. The
+  format-4 builder alternates idDelta and idRangeOffset/glyphIdArray
+  segments so both reader branches are exercised per document. Falls
+  back to variant-0 literal strings when the charset doesn't fit
+  (non-BMP chars; >224 chars symbolic; non-Latin-1 nonsymbolic).
 
 Non-Latin-1 text is emitted as BOM-tagged UTF-16BE hex strings (the
 spec's text-string encoding), so any Unicode round-trips.
@@ -71,11 +84,12 @@ reader reconstructs the original line order.
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 from ..kernel.pdftext import (  # noqa: F401  (doc cross-link)
     _AGL,
-    _PDFDOC_DELTAS,
+    _SHOW_DELTAS,
     SPACE_KERN,
 )
 
@@ -126,7 +140,7 @@ def _differences_array(codes: dict[str, int]) -> bytes:
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 11
+N_VARIANTS = 12
 
 _BASE_ENCODINGS = (b"WinAnsiEncoding", b"MacRomanEncoding", b"StandardEncoding")
 
@@ -146,6 +160,129 @@ def _base_enc_codes(text: str, enc_name: bytes) -> dict[str, int] | None:
     if not charset <= rev.keys():
         return None
     return {c: rev[c] for c in charset}
+
+
+# -- minimal TrueType font programs (variant 11: subset fonts that ship
+# no /ToUnicode and no /Encoding — the text is only recoverable through
+# the font program's own 'cmap' table; reader twin:
+# kernel.pdftext._parse_truetype_cmap). The blobs carry just the 'cmap'
+# table: extraction never touches glyph outlines, and lenient real-world
+# parsers (like the kernel) ignore the directory checksums.
+
+
+def _tt_format4(mapping: dict[int, int]) -> bytes:
+    """cmap subtable format 4 for a cp→gid mapping. Contiguous-cp runs
+    with consecutive gids become segments; even-indexed segments take
+    the idDelta path, odd-indexed the idRangeOffset/glyphIdArray path,
+    so one document exercises both reader branches (including the
+    spec's offset-relative-to-the-idRangeOffset-word quirk)."""
+    cps = sorted(mapping)
+    runs: list[list[int]] = []
+    for cp in cps:
+        if runs and cp == runs[-1][1] + 1 and mapping[cp] == mapping[cp - 1] + 1:
+            runs[-1][1] = cp
+        else:
+            runs.append([cp, cp])
+    segs = len(runs) + 1  # + the required 0xFFFF terminator
+    ends: list[int] = []
+    starts: list[int] = []
+    deltas: list[int] = []
+    range_offs: list[int] = []
+    glyph_array: list[int] = []
+    for i, (s, e) in enumerate(runs):
+        ends.append(e)
+        starts.append(s)
+        if i % 2 == 0:
+            deltas.append((mapping[s] - s) & 0xFFFF)
+            range_offs.append(0)
+        else:
+            deltas.append(0)
+            # reader: base = ro_off + 2*i + range_offs[i]; the glyph
+            # array begins at ro_off + 2*segs, so offset past the
+            # remaining idRangeOffset words plus the array prefix
+            range_offs.append(2 * (segs - i) + 2 * len(glyph_array))
+            glyph_array.extend(mapping[c] for c in range(s, e + 1))
+    ends.append(0xFFFF)
+    starts.append(0xFFFF)
+    deltas.append(1)
+    range_offs.append(0)
+    body = (
+        struct.pack(">%dH" % segs, *ends)
+        + b"\x00\x00"
+        + struct.pack(">%dH" % segs, *starts)
+        + struct.pack(
+            ">%dh" % segs,
+            *[d - 0x10000 if d > 0x7FFF else d for d in deltas],
+        )
+        + struct.pack(">%dH" % segs, *range_offs)
+        + struct.pack(">%dH" % len(glyph_array), *glyph_array)
+    )
+    sel = max(segs.bit_length() - 1, 0)
+    search = 2 * (1 << sel)
+    return (
+        struct.pack(">7H", 4, 14 + len(body), 0, 2 * segs, search, sel, 2 * segs - search)
+        + body
+    )
+
+
+def _tt_format6(first: int, gids: list[int]) -> bytes:
+    """cmap subtable format 6: a trimmed gid array starting at ``first``."""
+    return struct.pack(
+        ">5H", 6, 10 + 2 * len(gids), 0, first, len(gids)
+    ) + struct.pack(">%dH" % len(gids), *gids)
+
+
+def _truetype_blob(subtables: list[tuple[int, int, bytes]]) -> bytes:
+    """One-table sfnt wrapping a 'cmap' with the given (platformID,
+    encodingID, subtable-bytes) records."""
+    n = len(subtables)
+    recs = b""
+    bodies = b""
+    off = 4 + 8 * n
+    for plat, enc, body in subtables:
+        recs += struct.pack(">2HI", plat, enc, off)
+        bodies += body
+        off += len(body)
+    cmap = struct.pack(">2H", 0, n) + recs + bodies
+    return (
+        struct.pack(">I4H", 0x00010000, 1, 16, 0, 0)
+        + struct.pack(">4s3I", b"cmap", 0, 28, len(cmap))
+        + cmap
+    )
+
+
+def _truetype_font(
+    text: str, symbolic: bool
+) -> tuple[dict[str, int], bytes] | None:
+    """(char → 1-byte show code, font program) for variant 11, or None
+    when the charset doesn't fit (caller falls back to literal strings).
+
+    symbolic: codes are arbitrary consecutive assignments from 32; the
+    program carries a (3,0) Microsoft-Symbol format-6 subtable keyed at
+    ``0xF000|code`` → GID plus a (3,1) format-4 Unicode subtable; the
+    reader recovers text by inverting (3,1) GID→unicode.
+    nonsymbolic: codes ARE the code points (0x20..0xFF); the program
+    carries only the (3,1) table, and a code decodes as itself exactly
+    when the font maps that code point."""
+    charset = sorted(set(text) - {"\n"})
+    if not charset or any(
+        not 0x20 <= ord(c) <= 0xFFFF or 0xD800 <= ord(c) <= 0xDFFF
+        for c in charset
+    ):
+        return None
+    if symbolic:
+        if len(charset) > 224:
+            return None
+        codes = {c: 32 + i for i, c in enumerate(charset)}
+        gids = {c: i + 1 for i, c in enumerate(charset)}
+        sym = _tt_format6(0xF020, [gids[c] for c in charset])
+        uni = _tt_format4({ord(c): gids[c] for c in charset})
+        return codes, _truetype_blob([(3, 0, sym), (3, 1, uni)])
+    if any(ord(c) > 0xFF for c in charset):
+        return None
+    codes = {c: ord(c) for c in charset}
+    uni = _tt_format4({ord(c): ord(c) - 31 for c in charset})
+    return codes, _truetype_blob([(3, 1, uni)])
 
 
 # -- §7.6 standard security handler (writer side; independent
@@ -300,21 +437,21 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
-# Latin-1-encodable chars whose byte means something ELSE under
-# PDFDocEncoding (the reader's non-BOM decoding, Annex D Table D.2) —
-# every byte the delta table remaps: 0x18-0x1F accent modifiers,
-# 0x80-0x9E C1 range (NEL 0x85 appears in real converted text!),
-# 0xA0 (euro there, NBSP in Latin-1). Such text must take the
-# BOM-tagged UTF-16 path or the round-trip silently corrupts
-# (round-6 review finding, confirmed by execution). Bytes the table
-# leaves undefined decode leniently as Latin-1 identity on the reader
-# side, so they stay on the literal path.
-_NON_PDFDOC_LATIN1 = {chr(k) for k in _PDFDOC_DELTAS}
+# Latin-1-encodable chars whose byte means something ELSE under the
+# reader's show-string fallback (WinAnsi deltas — ADVICE r6 scoped
+# PDFDocEncoding to text strings outside content streams; show bytes
+# decode WinAnsi-with-Latin-1-fallthrough). Every remapped byte
+# (cp1252's 0x80-0x9F punctuation block, NEL 0x85 included) must take
+# the BOM-tagged UTF-16 path or the round-trip silently corrupts.
+# Derived from the kernel's table, never hand-listed — the twins move
+# together by construction.
+_NON_SHOW_LATIN1 = {chr(k) for k in _SHOW_DELTAS}
 
 
-def _latin1_pdfdoc(s: str) -> bytes | None:
-    """s as PDFDoc-safe Latin-1 bytes, or None → use UTF-16BE."""
-    if any(c in _NON_PDFDOC_LATIN1 for c in s):
+def _latin1_show_safe(s: str) -> bytes | None:
+    """s as bytes that the reader's show fallback decodes back to s,
+    or None → use BOM-tagged UTF-16BE."""
+    if any(c in _NON_SHOW_LATIN1 for c in s):
         return None
     try:
         return s.encode("latin-1")
@@ -324,14 +461,14 @@ def _latin1_pdfdoc(s: str) -> bytes | None:
 
 def _lit(s: str) -> bytes:
     """Literal or UTF-16BE-hex string for arbitrary text."""
-    raw = _latin1_pdfdoc(s)
+    raw = _latin1_show_safe(s)
     if raw is None:
         return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode() + b">"
     return b"(" + raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)") + b")"
 
 
 def _hex(s: str) -> bytes:
-    raw = _latin1_pdfdoc(s)
+    raw = _latin1_show_safe(s)
     if raw is None:
         raw = b"\xfe\xff" + s.encode("utf-16-be")
     return b"<" + raw.hex().encode() + b">"
@@ -512,6 +649,33 @@ def build_pdf(
             # same /F3 resource tag as variant 7: _content_ops selects
             # it for any 1-byte-coded simple font
             font_res = b"<< /F1 %d 0 R /F3 %d 0 R >>" % (font_num, enc_font_num)
+    if variant == 11:
+        sub = _truetype_font("".join(lines), symbolic=(len(text) % 2 == 0))
+        if sub is not None:
+            codes, ttf = sub
+            code_width = 1
+            ff_num = next_num
+            desc_num = next_num + 1
+            tt_font_num = next_num + 2
+            next_num += 3
+            streams[ff_num] = (
+                b"<< /Length %d /Length1 %d >>" % (len(ttf), len(ttf)),
+                ttf,
+            )
+            objs[desc_num] = (
+                b"<< /Type /FontDescriptor /FontName /SAXGN+SaxTT"
+                b" /Flags %d /FontFile2 %d 0 R >>"
+                % (4 if len(text) % 2 == 0 else 32, ff_num)
+            )
+            # deliberately NO /ToUnicode and NO /Encoding: the embedded
+            # program's cmap is the only decode source
+            objs[tt_font_num] = (
+                b"<< /Type /Font /Subtype /TrueType /BaseFont /SAXGN+SaxTT"
+                b" /FontDescriptor %d 0 R >>" % desc_num
+            )
+            # same /F3 resource tag as variants 7/8: _content_ops
+            # selects it for any 1-byte-coded simple font
+            font_res = b"<< /F1 %d 0 R /F3 %d 0 R >>" % (font_num, tt_font_num)
     if variant == 5:
         codes = _cid_codes("".join(lines))
         cmap_raw = zlib.compress(_tounicode_cmap(codes))

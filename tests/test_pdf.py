@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", list(range(11)))
+@pytest.mark.parametrize("variant", list(range(12)))
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -209,7 +209,7 @@ def test_mutation_fuzz_never_raises(seed, n_mut):
     import random
 
     rng = random.Random(seed)
-    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 11))
+    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 12))
     for _ in range(n_mut):
         i = rng.randrange(len(base))
         base[i] = rng.randrange(256)
@@ -1033,3 +1033,203 @@ def test_v5_budget_knob_degrades_to_error_row(monkeypatch):
     assert extract_pdf_text(build_pdf("evenlen!", variant=10)) == "evenlen!"
     monkeypatch.delenv("SAX_WASM_SPARK_AESV3")
     assert extract_pdf_text(aes3) == "seventeen chars!!"
+
+
+# ---------------------------------------------------------------------------
+# embedded TrueType cmap fonts — no /ToUnicode, no /Encoding (round 7)
+
+
+def _tt_pdf(ttf: bytes, show: bytes, flags: int = 4) -> bytes:
+    """Minimal page whose only font is an embedded TrueType program."""
+    content = b"BT /FT 12 Tf 1 0 0 1 72 720 Tm <" + show.hex().encode() + b"> Tj ET\n"
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /FT 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"endstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /T "
+        b"/FontDescriptor 6 0 R >> endobj\n"
+        + (b"6 0 obj << /Type /FontDescriptor /FontName /T /Flags %d "
+           b"/FontFile2 7 0 R >> endobj\n" % flags)
+        + (b"7 0 obj << /Length %d /Length1 %d >> stream\n" % (len(ttf), len(ttf)))
+        + ttf + b"\nendstream endobj\n"
+        b"trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_truetype_variant11_roundtrips_both_shapes():
+    """Even text length -> symbolic (3,0)+(3,1); odd -> nonsymbolic
+    (3,1) only. Both must invert exactly, including chars whose show
+    fallback would differ (WinAnsi 0x80-0x9F block)."""
+    for t in ("ellipsis … and — dash!", "ellipsis … and — dash", "plain ascii", "plain ascii!"):
+        assert extract_pdf_text(build_pdf(t, variant=11)) == t
+
+
+def test_truetype_format4_both_segment_paths():
+    """The writer's format-4 builder alternates idDelta and
+    idRangeOffset/glyphIdArray segments; a charset with >=2 contiguous
+    runs exercises both reader branches in one document."""
+    # runs: 'ACE' (three singleton runs) + 'mnop' (one long run)
+    t = "ACE mnop ACE!"  # even len -> symbolic needs the (3,1) inversion
+    assert extract_pdf_text(build_pdf(t, variant=11)) == t
+    t2 = "ACE mnop ACE"  # odd -> nonsymbolic identity mapping
+    assert extract_pdf_text(build_pdf(t2, variant=11)) == t2
+
+
+def test_truetype_subtable_formats_0_6_12():
+    from sax_wasm_spark.kernel.pdftext import _parse_truetype_cmap
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format6
+    import struct
+
+    # format 0: byte table; code 0x41 -> gid 1; (3,1) fmt-6 gives unicode
+    f0 = struct.pack(">3H", 0, 262, 0) + bytes(
+        1 if i == 0x41 else 0 for i in range(256)
+    )
+    uni = _tt_format6(0x005A, [1])  # gid 1 reached from 'Z'
+    cmap = _parse_truetype_cmap(_truetype_blob([(1, 0, f0), (3, 1, uni)]))
+    assert cmap is not None and cmap.decode(b"\x41") == "Z"
+
+    # format 12: segmented coverage as the unicode source
+    # header: fmt(2) reserved(2) length(4) language(4) nGroups(4)
+    f12 = struct.pack(">2H3I", 12, 0, 28, 0, 1) + struct.pack(
+        ">3I", 0x61, 0x63, 5
+    )  # a..c -> gids 5..7
+    sym = _tt_format6(0xF020, [6])  # code 0x20 -> gid 6 ('b')
+    cmap = _parse_truetype_cmap(_truetype_blob([(3, 0, sym), (0, 4, f12)]))
+    assert cmap is not None and cmap.decode(b"\x20") == "b"
+
+
+def test_truetype_symbolic_bare_code_lookup():
+    """(3,0) tables sometimes key glyphs at the bare code, not
+    0xF000|code — the reader must try both."""
+    from sax_wasm_spark.kernel.pdftext import _parse_truetype_cmap
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format6
+
+    sym = _tt_format6(0x0041, [9])  # bare 'A' slot -> gid 9
+    uni = _tt_format6(0x0051, [9])  # gid 9 is 'Q'
+    cmap = _parse_truetype_cmap(_truetype_blob([(3, 0, sym), (3, 1, uni)]))
+    assert cmap is not None and cmap.decode(b"\x41") == "Q"
+
+
+def test_truetype_mac_roman_platform():
+    """A (1,0) Mac Roman table serves as the code->gid source when no
+    (3,0) symbol table exists."""
+    from sax_wasm_spark.kernel.pdftext import _parse_truetype_cmap
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format6
+
+    mac = _tt_format6(0x0042, [3])  # code 'B' -> gid 3
+    uni = _tt_format6(0x00E9, [3])  # gid 3 is e-acute
+    cmap = _parse_truetype_cmap(_truetype_blob([(1, 0, mac), (3, 1, uni)]))
+    assert cmap is not None and cmap.decode(b"\x42") == "é"
+
+
+def test_truetype_gid_inversion_prefers_smallest_cp():
+    """Two code points reaching one gid invert to the SMALLEST —
+    deterministic regardless of subtable ordering."""
+    from sax_wasm_spark.kernel.pdftext import _parse_truetype_cmap
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format6
+
+    sym = _tt_format6(0xF020, [7])
+    uni = _tt_format6(0x0058, [7, 0, 7])  # 'X' and 'Z' both -> gid 7
+    cmap = _parse_truetype_cmap(_truetype_blob([(3, 0, sym), (3, 1, uni)]))
+    assert cmap is not None and cmap.decode(b"\x20") == "X"
+
+
+def test_truetype_malformed_programs_degrade_to_none():
+    from sax_wasm_spark.kernel.pdftext import _parse_truetype_cmap
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format6
+
+    assert _parse_truetype_cmap(b"") is None
+    assert _parse_truetype_cmap(b"not a font at all") is None
+    # valid sfnt, no cmap table
+    import struct
+    no_cmap = struct.pack(">I4H", 0x00010000, 1, 16, 0, 0) + struct.pack(
+        ">4s3I", b"glyf", 0, 28, 4
+    ) + b"\x00" * 4
+    assert _parse_truetype_cmap(no_cmap) is None
+    # cmap with only an unknown-format subtable
+    unk = struct.pack(">2H", 14, 0)
+    assert _parse_truetype_cmap(_truetype_blob([(3, 1, unk)])) is None
+    # truncated mid-directory
+    good = _truetype_blob([(3, 1, _tt_format6(0x41, [1]))])
+    assert _parse_truetype_cmap(good[:10]) is None
+    # (3,0)-only program: code->gid but no unicode source
+    assert _parse_truetype_cmap(
+        _truetype_blob([(3, 0, _tt_format6(0xF020, [1]))])
+    ) is None
+
+
+def test_truetype_format12_budget_guard():
+    """A corrupt format-12 group count (or a group spanning millions of
+    code points) must not hang the worker — the reader caps expansion."""
+    from sax_wasm_spark.kernel.pdftext import _parse_truetype_cmap
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format6
+    import struct
+
+    f12 = struct.pack(">2H3I", 12, 0, 28, 0, 0xFFFFFFFF) + struct.pack(
+        ">3I", 0x20, 0x0FFFFFFF, 1
+    )  # absurd group count AND an absurd single group
+    sym = _tt_format6(0xF020, [1])
+    # must return promptly (group skipped or truncated), not hang
+    cmap = _parse_truetype_cmap(_truetype_blob([(3, 0, sym), (0, 4, f12)]))
+    assert cmap is None or isinstance(cmap.map, dict)
+
+
+def test_truetype_via_full_document_and_cache():
+    """End-to-end through the PDF object layer, and the per-document
+    cmap cache parses the program once for a multi-page doc."""
+    from sax_wasm_spark.sources.pdfgen import _truetype_font
+
+    codes, ttf = _truetype_font("hello", symbolic=True)
+    show = bytes(codes[c] for c in "hello")
+    pdf = _tt_pdf(ttf, show)
+    assert extract_pdf_text(pdf) == "hello"
+
+    t = "\n".join(f"page line {i}" for i in range(30))
+    pdf2 = build_pdf(t + "!", variant=11, lines_per_page=5)  # even -> symbolic
+    assert extract_pdf_text(pdf2) == t + "!"
+
+
+def test_truetype_charset_fallbacks():
+    """Charsets the TrueType shapes can't carry fall back to variant-0
+    literal strings — the roundtrip still holds."""
+    from sax_wasm_spark.sources.pdfgen import _truetype_font
+
+    assert _truetype_font("", symbolic=True) is None
+    assert _truetype_font("\U0001f600", symbolic=True) is None  # non-BMP
+    assert _truetype_font("中文", symbolic=False) is None  # >0xFF nonsymbolic
+    big = "".join(chr(0x100 + i) for i in range(300))
+    assert _truetype_font(big, symbolic=True) is None  # >224 codes
+    # and the full builder still roundtrips via the fallback
+    assert extract_pdf_text(build_pdf("emoji \U0001f600!", variant=11)) == "emoji \U0001f600!"
+
+
+def test_show_string_fallback_is_winansi_not_pdfdoc():
+    """ADVICE r6: unencoded simple-font show bytes follow the font's
+    built-in (WinAnsi-like) encoding — 0x85 is an ellipsis, NOT
+    PDFDocEncoding's en-dash. PDFDocEncoding stays scoped to text
+    strings outside content streams (the /Info dictionary)."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (a\x85b\x97c) Tj ET\n"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"endstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        b"6 0 obj << /Title (caf\x8e \x85 end) >> endobj\n"
+        b"trailer << /Size 7 /Root 1 0 R /Info 6 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "a…b—c"  # ellipsis + em-dash
+    from sax_wasm_spark.kernel.pdftext import PdfDocument
+
+    # /Info values are TEXT strings: PDFDocEncoding applies there —
+    # the same bytes mean different glyphs (Annex D: 0x85 is an EN
+    # DASH, 0x8E a right double quote) than in the show-string fallback
+    info = PdfDocument(pdf).info()
+    assert info["Title"] == "caf” – end"
