@@ -68,6 +68,14 @@ WARC_PAGE_FIELDS = [
     # not re-stored, so html is NULL; downstream resolves the page by
     # joining against the referred capture.
     StructField("revisit_of", StringType(), True),
+    # populated ONLY on status='metadata' rows (ISO 28500 §6.9
+    # application/warc-fields records — CC ships one per response with
+    # the page's discovered links and fetch timing): the outlink values
+    # comma-joined (query outputs never carry array cells — driver
+    # contract) and the fetchTimeMs integer. html is NULL — the record
+    # describes a capture, it isn't one.
+    StructField("outlinks", StringType(), True),
+    StructField("fetch_ms", LongType(), True),
 ]
 
 
@@ -109,10 +117,11 @@ def warc_to_pages(
                 [], [], [], [], [], [], [], [],
             )
             seg_origin, seg_no, seg_total, seg_head, rev = [], [], [], [], []
+            outlinks_col, fetch_col = [], []
 
             def emit(r, url, date, status, ctype, html, st, n_bad, n_seg,
                      origin=None, number=None, total=None, is_head=None,
-                     revisit=None):
+                     revisit=None, outlinks=None, fetch_ms=None):
                 for j in range(n_id):
                     out_ids[j].append(ids[j][r])
                 urls.append(url)
@@ -128,6 +137,8 @@ def warc_to_pages(
                 seg_total.append(total)
                 seg_head.append(is_head)
                 rev.append(revisit)
+                outlinks_col.append(outlinks)
+                fetch_col.append(fetch_ms)
 
             for r, blob in enumerate(blobs):
                 try:
@@ -169,7 +180,8 @@ def warc_to_pages(
                     # produced nothing (ADVICE r4 + round-5 review).
                     # 'segmented' = only cross-shard segments, 'empty' =
                     # records skipped, 'no_responses' = a valid shard of
-                    # warcinfo/request/metadata records only.
+                    # warcinfo/request records only (metadata records
+                    # produce their own rows).
                     if n_segmented and not n_skipped:
                         st = "segmented"
                     elif n_skipped:
@@ -180,7 +192,14 @@ def warc_to_pages(
                          n_skipped, n_segmented)
                     continue
                 for p in pages:
-                    if p.revisit_of is not None:
+                    if p.metadata:
+                        emit(
+                            r, p.url, p.warc_date, None, p.content_type,
+                            None, "metadata", n_skipped, n_segmented,
+                            outlinks=",".join(p.outlinks) or None,
+                            fetch_ms=p.fetch_ms,
+                        )
+                    elif p.revisit_of is not None:
                         emit(
                             r, p.url, p.warc_date, p.status, p.content_type,
                             None, "revisit", n_skipped, n_segmented,
@@ -218,6 +237,8 @@ def warc_to_pages(
                 pa.array(seg_total, pa.int64()),
                 pa.array(seg_head, pa.bool_()),
                 pa.array(rev, pa.string()),
+                pa.array(outlinks_col, pa.string()),
+                pa.array(fetch_col, pa.int64()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
@@ -292,17 +313,18 @@ def render_warc_column(
     """(id…, text) → (id…, warc:binary): one 3-record gzipped WARC file
     per document (warcinfo + request + response — the reader's record
     filtering is always exercised). The response shape cycles
-    ``first_id % 8`` (identity / chunked / gzip HTTP bodies, a
+    ``first_id % 9`` (identity / chunked / gzip HTTP bodies, a
     WARC-Truncated record, a lone segment-1 record, a complete
-    reassemblable segment chain, deflate HTTP bodies, and a §6.7.2
-    revisit record — see ``build_warc``) unless ``variant_col`` names a
+    reassemblable segment chain, deflate HTTP bodies, a §6.7.2
+    revisit record, and a response + §6.9 metadata-record pair — see
+    ``build_warc``) unless ``variant_col`` names a
     per-row variant column; url defaults to a deterministic function of
     the first id. Partitioning-invariant. Oracle twin of warc_to_pages —
     change the cycle in BOTH or the warc_roundtrip oracle breaks."""
     from ..sources.warc import build_warc  # noqa: PLC0415
 
     def make_blob(i, url, text, variant):
-        v = int(variant) if variant is not None else int(i) % 8
+        v = int(variant) if variant is not None else int(i) % 9
         return build_warc(
             url, "2024-01-01T00:00:00Z", text.encode("utf-8"), variant=v
         )
@@ -361,6 +383,8 @@ def stitch_segments(
         F.col("segment_total"),
         F.col("segment_is_head"),
         F.lit(None).cast("string").alias("revisit_of"),
+        F.lit(None).cast("string").alias("outlinks"),
+        F.lit(None).cast("long").alias("fetch_ms"),
     )
     grouped = (
         seg.where(F.col("segment_origin").isNotNull())
@@ -466,6 +490,8 @@ def stitch_segments(
                 pa.array(t_col, pa.int64()),
                 pa.array(h_col, pa.bool_()),
                 pa.array([None] * len(o_col), pa.string()),
+                pa.array([None] * len(o_col), pa.string()),
+                pa.array([None] * len(o_col), pa.int64()),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 

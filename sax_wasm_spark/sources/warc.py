@@ -84,6 +84,15 @@ class WarcPage(NamedTuple):
     # The block is the converted payload directly, NOT an HTTP
     # message, so http fields are 0/''.
     conversion: bool = False
+    # True = a METADATA record (ISO 28500 §6.9): application/warc-fields
+    # describing a concurrent capture — Common Crawl ships one per
+    # response carrying the page's outlinks and fetch timing, the raw
+    # material of crawl-graph and politeness analysis. ``outlinks`` /
+    # ``fetch_ms`` hold the parsed fields; ``body`` is empty and http
+    # fields are 0/''.
+    metadata: bool = False
+    outlinks: tuple[str, ...] = ()
+    fetch_ms: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +135,31 @@ def _parse_headers(block: bytes) -> dict[str, str]:
         last = name.strip().decode("latin-1").lower()
         headers[last] = value.strip().decode("latin-1")
     return headers
+
+
+def _parse_warc_fields(block: bytes) -> list[tuple[str, str]]:
+    """application/warc-fields body → ordered (name, value) pairs.
+    Same Name: Value grammar as the record headers (ISO 28500 §4), but
+    names REPEAT (one ``outlink`` line per discovered link), so this
+    returns pairs instead of a dict. Lenient: malformed lines are
+    skipped — a metadata block is descriptive, never load-bearing for
+    framing."""
+    fields: list[tuple[str, str]] = []
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and fields:
+            name, value = fields[-1]
+            fields[-1] = (name, value + " " + line.strip().decode("latin-1"))
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            continue
+        fields.append(
+            (name.strip().decode("latin-1").lower(),
+             value.strip().decode("latin-1"))
+        )
+    return fields
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -287,6 +321,35 @@ def _parse_records(
             if strict:
                 raise WarcError("segmented record (strict mode)")
             segment_records.append((headers, body))
+            continue
+        if warc_type == "metadata":
+            # §6.9: an application/warc-fields block describing a
+            # concurrent capture (CC ships outlinks + fetch timing per
+            # response). Parsed into a metadata page instead of skipped:
+            # the fields feed crawl-graph/politeness analysis, and
+            # silently dropping them would make link topology invisible
+            # to an auditor reconciling records against rows.
+            fields = _parse_warc_fields(body)
+            links = tuple(v for k, v in fields if k == "outlink" and v)
+            fetch_ms = None
+            for k, v in fields:
+                if k == "fetchtimems":
+                    try:
+                        fetch_ms = int(v)
+                    except ValueError:
+                        fetch_ms = None
+            pages.append(
+                WarcPage(
+                    url=headers.get("warc-target-uri", ""),
+                    warc_date=headers.get("warc-date", ""),
+                    status=0,
+                    content_type=headers.get("content-type", ""),
+                    body=b"",
+                    metadata=True,
+                    outlinks=links,
+                    fetch_ms=fetch_ms,
+                )
+            )
             continue
         if warc_type == "revisit":
             # §6.7.2: the block carries only the NEW response's HTTP
@@ -615,10 +678,15 @@ def build_warc(
     reader reassembles it into an ordinary page); 7 a §6.7.2 REVISIT
     record (identical-payload-digest: HTTP headers only, no payload,
     WARC-Refers-To-* naming an earlier capture of the same url — the
-    reader surfaces it as a body-less revisit page)."""
+    reader surfaces it as a body-less revisit page); 8 an identity
+    response PLUS a §6.9 METADATA record (application/warc-fields:
+    two closed-form ``outlink`` lines derived from the url and a
+    ``fetchTimeMs`` equal to the body's octet length — the CC
+    per-capture shape; the reader surfaces it as a metadata row)."""
     extra_resp: list[tuple[str, str]] = []
     segmented_chain = False
     revisit = False
+    with_metadata = False
     if variant == 3:
         extra_resp.append(("WARC-Truncated", "length"))
         variant = 0
@@ -630,6 +698,9 @@ def build_warc(
         variant = 0
     elif variant == 7:
         revisit = True
+        variant = 0
+    elif variant == 8:
+        with_metadata = True
         variant = 0
     info = _record(
         "warcinfo",
@@ -709,6 +780,28 @@ def build_warc(
             payload,
         )
         records = (info, req, resp)
+    if with_metadata:
+        # §6.9 per-capture metadata, concurrent to the response. The
+        # field values are CLOSED-FORM in (url, body) so the
+        # q54/roundtrip oracles can reconstruct them in SQL: two
+        # deterministic outlinks and fetchTimeMs = octet length.
+        fields = (
+            f"fetchTimeMs: {len(body)}\r\n"
+            f"outlink: {url}/ref/a\r\n"
+            f"outlink: {url}/ref/b\r\n"
+        ).encode()
+        meta = _record(
+            "metadata",
+            [
+                ("WARC-Record-ID", f"<urn:det:{url}#meta>"),
+                ("WARC-Date", date),
+                ("WARC-Target-URI", url),
+                ("WARC-Concurrent-To", f"<urn:det:{url}#resp>"),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            fields,
+        )
+        records = (*records, meta)
     if not gzipped:
         return b"".join(records)
     out = io.BytesIO()

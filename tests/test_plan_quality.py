@@ -296,3 +296,23 @@ def test_bucketed_snapshot_join_eliminates_exchange(spark, tmp_path):
         assert "Exchange" in plan_of(pj)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_q55_link_graph_single_aggregation_exchange(spark):
+    """Both degree directions come from ONE hash aggregation: each edge
+    explodes row-locally into a (src, out) + (dst, in) pair, so the
+    plan carries exactly one hashpartitioning Exchange (the groupBy) —
+    no edge-list self-join, no second aggregation pass. The only other
+    exchange is the presentation sort's range partitioning."""
+    from sax_wasm_spark.plans.queries import q55_link_graph
+
+    plan = plan_of(q55_link_graph(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    # exactly ONE hash-partitioned exchange (the degree groupBy); the
+    # other exchanges are the deliberate round-robin fan-out that
+    # spreads the Python tokenize stage and the final sort's range
+    # partitioning — neither keys on data
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(\w+", plan)
+    assert hash_ex == ["Arguments: hashpartitioning(host"], plan[:3000]
+    # partial aggregation runs upstream of that shuffle
+    assert plan.count("HashAggregate") >= 2, plan[:3000]

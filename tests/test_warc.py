@@ -88,12 +88,24 @@ def test_spark_operator_roundtrip_and_poison(spark):
     pages = warc_to_pages(shards, warc_col="warc", id_cols=("doc_id",))
     rows = (
         pages.join(d.select("doc_id", F.col("text").alias("want")), "doc_id")
-        .select("doc_id", "url", "html", "want", "status")
+        .select("doc_id", "url", "html", "want", "status", "outlinks")
         .collect()
     )
-    assert len(rows) == 30
+    n_meta_docs = sum(1 for r in rows if r.status == "metadata")
+    assert n_meta_docs >= 1  # the 30-doc slice covers the %9=8 shape
+    assert len(rows) == 30 + n_meta_docs
     for r in rows:
-        mod = r.doc_id % 8
+        mod = r.doc_id % 9
+        if r.status == "metadata":
+            # §6.9 metadata record: its own row with parsed fields
+            assert mod == 8 and r.html is None
+            assert r.outlinks == f"{r.url}/ref/a,{r.url}/ref/b"
+            continue
+        if mod == 8:
+            # the metadata-shape doc's RESPONSE row is an ordinary page
+            assert r.status == "ok"
+            assert bytes(r.html).decode() == r.want, r.doc_id
+            continue
         if mod == 7:
             # revisit record: body-less page naming the referred capture
             assert r.status == "revisit" and r.html is None
@@ -453,7 +465,7 @@ def test_mutation_fuzz_lenient_parse_contract(seed, n_mut):
         b"".join(
             build_warc(
                 f"https://f.com/{i}", DATE, b"fuzz doc %d" % i,
-                variant=i % 8, gzipped=(i % 2 == 0),
+                variant=i % 9, gzipped=(i % 2 == 0),
             )
             for i in range(3)
         )
@@ -790,3 +802,94 @@ def test_conversion_truncated_status_through_operator(spark):
     (row,) = warc_to_pages(shards, id_cols=("shard_id",)).collect()
     assert row.status == "conversion_truncated"
     assert bytes(row.html) == b"cut tex"
+
+
+# ---------------------------------------------------------------------------
+# §6.9 metadata records (round 7)
+
+
+def test_metadata_record_roundtrip():
+    """Variant 8: response + concurrent warc-fields metadata record.
+    The reader surfaces BOTH — the page and a metadata row with the
+    parsed outlinks and fetchTimeMs."""
+    body = "méta dôc".encode()
+    for gz in (True, False):
+        pages = parse_warc(build_warc(URL, DATE, body, variant=8, gzipped=gz))
+        assert len(pages) == 2
+        page = next(p for p in pages if not p.metadata)
+        meta = next(p for p in pages if p.metadata)
+        assert (page.url, page.status, page.body) == (URL, 200, body)
+        assert meta.url == URL and meta.body == b""
+        assert meta.outlinks == (f"{URL}/ref/a", f"{URL}/ref/b")
+        assert meta.fetch_ms == len(body)
+        assert meta.content_type == "application/warc-fields"
+
+
+def test_warc_fields_grammar():
+    """Repeated keys preserved in order, obs-fold continuation joined,
+    malformed lines skipped (lenient — metadata is descriptive), bad
+    fetchTimeMs ignored."""
+    from sax_wasm_spark.sources.warc import _parse_warc_fields
+
+    block = (
+        b"outlink: https://a.example/1\r\n"
+        b"fetchTimeMs: 123\r\n"
+        b"outlink: https://a.example/2\r\n"
+        b"  continued-bit\r\n"
+        b"no-colon-line\r\n"
+        b"Outlink: https://a.example/3\r\n"
+    )
+    fields = _parse_warc_fields(block)
+    assert fields == [
+        ("outlink", "https://a.example/1"),
+        ("fetchtimems", "123"),
+        ("outlink", "https://a.example/2 continued-bit"),
+        ("outlink", "https://a.example/3"),
+    ]
+
+
+def test_metadata_record_hand_rolled_edge_cases():
+    """A metadata record with no outlinks and an unparseable
+    fetchTimeMs still yields a metadata page (empty links, NULL ms);
+    a metadata-ONLY shard yields rows, not 'no_responses'."""
+    from sax_wasm_spark.sources.warc import _record
+
+    info = _record(
+        "warcinfo",
+        [("WARC-Record-ID", "<urn:x#i>"), ("WARC-Date", DATE)],
+        b"software: t\r\n",
+    )
+    meta = _record(
+        "metadata",
+        [
+            ("WARC-Record-ID", "<urn:x#m>"),
+            ("WARC-Date", DATE),
+            ("WARC-Target-URI", URL),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        b"fetchTimeMs: not-a-number\r\nvia: https://ref.example/\r\n",
+    )
+    pages = parse_warc(info + meta)
+    assert len(pages) == 1
+    p = pages[0]
+    assert p.metadata and p.outlinks == () and p.fetch_ms is None
+
+
+def test_metadata_rows_through_operator(spark):
+    """warc_to_pages surfaces metadata rows with comma-joined outlinks
+    and fetch_ms; empty-outlink blocks come through as NULL."""
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.operators.warc import render_warc_column, warc_to_pages
+
+    d = spark.createDataFrame(
+        [(i, f"meta doc {i}") for i in range(4)], "doc_id long, text string"
+    ).withColumn("v", F.lit(8))
+    shards = render_warc_column(d, id_cols=("doc_id",), variant_col="v")
+    pages = warc_to_pages(shards, warc_col="warc", id_cols=("doc_id",))
+    meta = pages.where(F.col("status") == "metadata").orderBy("doc_id").collect()
+    assert len(meta) == 4
+    for r in meta:
+        assert r.outlinks == f"{r.url}/ref/a,{r.url}/ref/b"
+        assert r.fetch_ms == len(f"meta doc {r.doc_id}".encode())
+        assert r.html is None and r.http_status is None
