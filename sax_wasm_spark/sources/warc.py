@@ -682,10 +682,15 @@ def build_warc(
     response PLUS a §6.9 METADATA record (application/warc-fields:
     two closed-form ``outlink`` lines derived from the url and a
     ``fetchTimeMs`` equal to the body's octet length — the CC
-    per-capture shape; the reader surfaces it as a metadata row)."""
+    per-capture shape; the reader surfaces it as a metadata row);
+    9 a §6.7.1 SERVER-NOT-MODIFIED revisit (the server answered 304,
+    no payload transferred; the block is the 304 head — surfaces as a
+    revisit page with http status 304; NOT in the default %9 roundtrip
+    cycle, exercised by q52 and the pytest suite)."""
     extra_resp: list[tuple[str, str]] = []
     segmented_chain = False
     revisit = False
+    not_modified = False
     with_metadata = False
     if variant == 3:
         extra_resp.append(("WARC-Truncated", "length"))
@@ -701,6 +706,10 @@ def build_warc(
         variant = 0
     elif variant == 8:
         with_metadata = True
+        variant = 0
+    elif variant == 9:
+        revisit = True
+        not_modified = True
         variant = 0
     info = _record(
         "warcinfo",
@@ -720,23 +729,30 @@ def build_warc(
     if revisit:
         # §6.7.2 identical-payload-digest revisit: the record block is
         # the NEW response's HTTP headers only; the payload lives at
-        # the referred (earlier) capture of the same url
-        head = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: "
-            + content_type.encode()
-            + b"\r\n\r\n"
-        )
+        # the referred (earlier) capture of the same url.
+        # §6.7.1 server-not-modified (variant 9): the server answered
+        # 304 and transferred NO payload at all — the block is the 304
+        # head (no Content-Type of the entity; there was no entity)
+        if not_modified:
+            head = b"HTTP/1.1 304 Not Modified\r\nETag: \"det\"\r\n\r\n"
+            profile = "http://netpreserve.org/warc/1.1/revisit/server-not-modified"
+        else:
+            head = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + content_type.encode()
+                + b"\r\n\r\n"
+            )
+            profile = (
+                "http://netpreserve.org/warc/1.1/revisit/"
+                "identical-payload-digest"
+            )
         resp = _record(
             "revisit",
             [
                 ("WARC-Record-ID", f"<urn:det:{url}#rev>"),
                 ("WARC-Date", date),
                 ("WARC-Target-URI", url),
-                (
-                    "WARC-Profile",
-                    "http://netpreserve.org/warc/1.1/revisit/"
-                    "identical-payload-digest",
-                ),
+                ("WARC-Profile", profile),
                 ("WARC-Refers-To", f"<urn:det:{url}#resp>"),
                 ("WARC-Refers-To-Target-URI", url),
                 ("WARC-Refers-To-Date", "2023-01-01T00:00:00Z"),

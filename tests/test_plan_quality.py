@@ -316,3 +316,16 @@ def test_q55_link_graph_single_aggregation_exchange(spark):
     assert hash_ex == ["Arguments: hashpartitioning(host"], plan[:3000]
     # partial aggregation runs upstream of that shuffle
     assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_q56_anchor_text_single_doc_window(spark):
+    """Anchor-text pairing is ONE lag window partitioned by doc_id
+    (events per doc are bounded — no skew risk) and no join: the only
+    hash exchange is the window's."""
+    from sax_wasm_spark.plans.queries import q56_anchor_text
+
+    plan = plan_of(q56_anchor_text(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(\w+", plan)
+    assert hash_ex == ["Arguments: hashpartitioning(doc_id"], plan[:3000]
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:3000]

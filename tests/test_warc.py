@@ -893,3 +893,53 @@ def test_metadata_rows_through_operator(spark):
         assert r.outlinks == f"{r.url}/ref/a,{r.url}/ref/b"
         assert r.fetch_ms == len(f"meta doc {r.doc_id}".encode())
         assert r.html is None and r.http_status is None
+
+
+def test_server_not_modified_revisit_profile():
+    """§6.7.1: the server answered 304 and transferred no payload; the
+    record surfaces as a body-less revisit page with http status 304
+    and the referred capture in revisit_of."""
+    pages = parse_warc(build_warc(URL, DATE, b"ignored", variant=9))
+    assert len(pages) == 1
+    p = pages[0]
+    assert p.revisit_of == URL and p.body == b"" and p.status == 304
+    # profile is visible on the wire: the raw record carries the
+    # server-not-modified profile URI, not identical-payload-digest
+    raw = build_warc(URL, DATE, b"ignored", variant=9, gzipped=False)
+    assert b"revisit/server-not-modified" in raw
+    assert b"identical-payload-digest" not in raw
+
+
+def test_resolve_revisits_mixes_both_profiles(spark):
+    """A §6.7.1 revisit resolves exactly like a §6.7.2 one (payload
+    from the referred capture, capture's http status); unresolvable
+    §6.7.1 rows keep their own 304."""
+    from pyspark.sql import functions as F
+
+    from sax_wasm_spark.operators.warc import (
+        render_warc_column,
+        resolve_revisits,
+        warc_to_pages,
+    )
+
+    cap = spark.createDataFrame(
+        [(1, "cap text")], "doc_id long, text string"
+    ).select("doc_id", "text", F.lit(0).alias("v"), F.lit("https://r.com/1").alias("u"))
+    rev = spark.createDataFrame(
+        [(11, "x", 9, "https://r.com/1"), (12, "x", 9, "https://r.com/gone")],
+        "doc_id long, text string, v int, u string",
+    )
+    shards = render_warc_column(cap, id_cols=("doc_id",), url_col="u", variant_col="v").unionByName(
+        render_warc_column(rev, id_cols=("doc_id",), url_col="u", variant_col="v")
+    )
+    rows = {
+        r.doc_id: r
+        for r in resolve_revisits(
+            warc_to_pages(shards, warc_col="warc", id_cols=("doc_id",))
+        ).collect()
+    }
+    assert rows[11].status == "revisit_resolved"
+    assert bytes(rows[11].html).decode() == "cap text"
+    assert rows[11].http_status == 200  # the capture's, not the 304
+    assert rows[12].status == "revisit" and rows[12].html is None
+    assert rows[12].http_status == 304  # wire truth kept when unresolved
