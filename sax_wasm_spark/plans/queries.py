@@ -2470,17 +2470,19 @@ def q56_anchor_text(spark, sf_dir):
     """Anchor-text extraction — the link-graph's companion quality
     signal (what pages SAY about the pages they link to — classic
     retrieval/labeling material): each document carries two anchors
-    with deterministic hrefs and inner text plus a non-anchor <p> tail.
-    The SAX kernel emits Attribute and Text events in document order
-    (event_idx); one lag window per doc pairs every Text event with its
-    immediately-preceding Attribute event, so anchor text attaches to
-    its href and the <p> tail (preceded by a Text, not an Attribute)
-    drops out structurally — no regex, no DOM build. Scale shape: the
-    window partitions on doc_id (events per doc are bounded), the only
-    exchanges are that window's hash partitioning and the presentation
-    sort. A production run would also gate on the enclosing tag name
-    from the OpenTag events; the synthetic pages keep attributes
-    exclusive to anchors, same contract as q55."""
+    with deterministic hrefs and inner text (the second nests a <b>, so
+    its text arrives as THREE Text events) plus a non-anchor
+    ``<p class="tail">`` paragraph whose attribute must NOT capture
+    text. The pairing is fully structural, straight off the SAX event
+    stream — no regex, no DOM build: over one per-doc window ordered
+    by event_idx, a running sum of OpenTag/CloseTag events named 'a'
+    gives the anchor depth, and a running last() over href Attribute
+    events gives the active link; Text events at depth > 0 attach to
+    that href, everything else (the <p> text, despite its class
+    attribute) drops out. Scale shape: both window functions share ONE
+    doc_id-partitioned window (events per doc are bounded — no skew),
+    so the plan is a single Window node with a single hash exchange
+    plus the presentation sort (plan-gated)."""
     from ..operators.tokenize import tokenize_events  # noqa: PLC0415
 
     d = load(spark, sf_dir, "documents").repartition(
@@ -2499,46 +2501,73 @@ def q56_anchor_text(spark, sf_dir):
         ((did + 3) % 7).cast("string"),
         F.lit(".example.com/q/"),
         ds,
-        F.lit('">anchor '),
+        F.lit('">see <b>page '),
         ds,
-        F.lit(" two</a><p>tail "),
+        F.lit('</b> now</a><p class="tail">tail '),
         ds,
         F.lit("</p></body></html>"),
     )
     pages = d.select("doc_id", html.cast("binary").alias("html"))
     ev = tokenize_events(
-        pages, id_cols=("doc_id",), events=(1 << 0) | (1 << 6), positions=False
+        pages,
+        id_cols=("doc_id",),
+        events=(1 << 0) | (1 << 6) | (1 << 7) | (1 << 8),
+        positions=False,
     )
-    w = Window.partitionBy("doc_id").orderBy("event_idx")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    depth = F.sum(
+        F.when((F.col("event") == 7) & (F.col("name") == "a"), 1)
+        .when((F.col("event") == 8) & (F.col("name") == "a"), -1)
+        .otherwise(0)
+    ).over(w)
+    href = F.last(
+        F.when(
+            (F.col("event") == 6)
+            & (F.col("attr_name").cast("string") == "href"),
+            F.col("attr_value").cast("string"),
+        ),
+        ignorenulls=True,
+    ).over(w)
     paired = ev.select(
         "doc_id",
         "event",
         F.col("value").cast("string").alias("text"),
-        F.lag("event").over(w).alias("prev_event"),
-        F.lag(F.col("attr_value").cast("string")).over(w).alias("prev_href"),
+        depth.alias("depth"),
+        href.alias("href"),
     )
     return (
-        paired.where((F.col("event") == 0) & (F.col("prev_event") == 6))
-        .select("doc_id", F.col("prev_href").alias("href"), F.col("text").alias("anchor_text"))
-        .orderBy("doc_id", "href")
+        paired.where((F.col("event") == 0) & (F.col("depth") > 0))
+        .select("doc_id", "href", F.col("text").alias("anchor_text"))
+        .orderBy("doc_id", "href", "anchor_text")
     )
 
 
 def q56_sql():
     return """
-    WITH u AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)
-    SELECT doc_id,
-           'https://h' || CAST((doc_id + 1) % 7 AS VARCHAR)
-             || '.example.com/p/' || ds AS href,
-           'anchor ' || ds || ' one' AS anchor_text
-    FROM u
-    UNION ALL
-    SELECT doc_id,
-           'https://h' || CAST((doc_id + 3) % 7 AS VARCHAR)
-             || '.example.com/q/' || ds AS href,
-           'anchor ' || ds || ' two' AS anchor_text
-    FROM u
-    ORDER BY doc_id, href
+    WITH u AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents),
+    rows_out AS (
+      SELECT doc_id,
+             'https://h' || CAST((doc_id + 1) % 7 AS VARCHAR)
+               || '.example.com/p/' || ds AS href,
+             'anchor ' || ds || ' one' AS anchor_text
+      FROM u
+      UNION ALL
+      SELECT doc_id,
+             'https://h' || CAST((doc_id + 3) % 7 AS VARCHAR)
+               || '.example.com/q/' || ds, t.s
+      FROM u, (VALUES ('see '), (' now')) AS t(s)
+      UNION ALL
+      SELECT doc_id,
+             'https://h' || CAST((doc_id + 3) % 7 AS VARCHAR)
+               || '.example.com/q/' || ds, 'page ' || ds
+      FROM u
+    )
+    SELECT doc_id, href, anchor_text FROM rows_out
+    ORDER BY doc_id, href, anchor_text
     """
 
 
