@@ -1453,6 +1453,11 @@ def _tt_subtable(data: bytes, off: int) -> dict[int, int] | None:
     returns None. Lenient: truncated tables yield what parsed."""
     fmt = struct.unpack_from(">H", data, off)[0]
     out: dict[int, int] = {}
+    # a corrupt/hostile segment table must not hang a worker: every
+    # expanding branch (4 and 12) draws from one decreasing budget —
+    # far above any real subset's mapping count, tiny next to the
+    # blow-up a crafted full-range segment list could otherwise cause
+    budget = 1 << 17
     if fmt == 0:
         for code, gid in enumerate(data[off + 6 : off + 262]):
             if gid:
@@ -1470,6 +1475,9 @@ def _tt_subtable(data: bytes, off: int) -> dict[int, int] | None:
             s, e = starts[i], ends[i]
             if s > e or (s == 0xFFFF and e == 0xFFFF):
                 continue
+            if e - s >= budget:
+                e = s + budget - 1
+            budget -= e - s + 1
             if range_offs[i] == 0:
                 for c in range(s, e + 1):
                     gid = (c + deltas[i]) & 0xFFFF
@@ -1486,6 +1494,8 @@ def _tt_subtable(data: bytes, off: int) -> dict[int, int] | None:
                     gid = struct.unpack_from(">H", data, p)[0]
                     if gid:
                         out[c] = (gid + deltas[i]) & 0xFFFF
+            if budget <= 0:
+                break
     elif fmt == 6:
         first, count = struct.unpack_from(">2H", data, off + 6)
         gids = struct.unpack_from(">%dH" % count, data, off + 10)
@@ -1495,14 +1505,17 @@ def _tt_subtable(data: bytes, off: int) -> dict[int, int] | None:
     elif fmt == 12:
         n_groups = struct.unpack_from(">I", data, off + 12)[0]
         p = off + 16
-        budget = 1 << 17  # corrupt group counts must not hang a worker
         for _ in range(min(n_groups, 1 << 16)):
             if p + 12 > len(data):
                 break
             s, e, g = struct.unpack_from(">3I", data, p)
             p += 12
-            if e < s or e - s > budget:
+            # corrupt groups: reversed, absurdly wide, or lying outside
+            # the Unicode range entirely (chr() on such a cp would
+            # raise and break the per-row-degradation contract)
+            if e < s or e - s > budget or s > 0x10FFFF:
                 continue
+            e = min(e, 0x10FFFF)
             for i in range(e - s + 1):
                 out[s + i] = g + i
             budget -= e - s + 1
@@ -1513,8 +1526,26 @@ def _tt_subtable(data: bytes, off: int) -> dict[int, int] | None:
     return out
 
 
-@functools.lru_cache(maxsize=32)
-def _parse_truetype_cmap(data: bytes) -> _CMap | None:
+# cross-document memo keyed by CONTENT DIGEST, not the blob itself:
+# real /FontFile2 programs carry glyf/loca tables (hundreds of KB), and
+# an lru_cache keyed on the bytes would pin dozens of dead font blobs
+# per long-lived worker. Real corpora repeat the same subset across
+# thousands of docs, so the digest hit rate is the same.
+_TT_CMAP_CACHE: dict[bytes, "_CMap | None"] = {}
+
+
+def _parse_truetype_cmap(data: bytes) -> "_CMap | None":
+    key = hashlib.sha1(data).digest()
+    if key in _TT_CMAP_CACHE:
+        return _TT_CMAP_CACHE[key]
+    out = _parse_truetype_cmap_impl(data)
+    if len(_TT_CMAP_CACHE) >= 256:
+        _TT_CMAP_CACHE.clear()
+    _TT_CMAP_CACHE[key] = out
+    return out
+
+
+def _parse_truetype_cmap_impl(data: bytes) -> _CMap | None:
     """Embedded TrueType font program → 1-byte show-code decoder.
 
     Subtable selection follows what a conforming reader does with a

@@ -71,9 +71,11 @@ WARC_PAGE_FIELDS = [
     # populated ONLY on status='metadata' rows (ISO 28500 §6.9
     # application/warc-fields records — CC ships one per response with
     # the page's discovered links and fetch timing): the outlink values
-    # comma-joined (query outputs never carry array cells — driver
-    # contract) and the fetchTimeMs integer. html is NULL — the record
-    # describes a capture, it isn't one.
+    # SPACE-joined (query outputs never carry array cells — driver
+    # contract — and a raw space is illegal inside a URL, so the join
+    # is unambiguous where a comma would not be: RFC 3986 sub-delims
+    # allow ',' in paths/queries) and the fetchTimeMs integer. html is
+    # NULL — the record describes a capture, it isn't one.
     StructField("outlinks", StringType(), True),
     StructField("fetch_ms", LongType(), True),
 ]
@@ -196,7 +198,7 @@ def warc_to_pages(
                         emit(
                             r, p.url, p.warc_date, None, p.content_type,
                             None, "metadata", n_skipped, n_segmented,
-                            outlinks=",".join(p.outlinks) or None,
+                            outlinks=" ".join(p.outlinks) or None,
                             fetch_ms=p.fetch_ms,
                         )
                     elif p.revisit_of is not None:

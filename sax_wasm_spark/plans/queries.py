@@ -971,7 +971,7 @@ def warc_roundtrip(spark, sf_dir):
     complete chain comes back as an ordinary ok page), revisit
     surfacing (status='revisit', html NULL, revisit_of naming the
     referred capture — crawl-level dedup must not vanish), and
-    metadata surfacing (status='metadata', comma-joined outlinks +
+    metadata surfacing (status='metadata', space-joined outlinks +
     fetch_ms parsed from the warc-fields block)."""
     from ..operators.warc import render_warc_column, warc_to_pages  # noqa: PLC0415
 
@@ -1015,7 +1015,7 @@ def warc_roundtrip_sql():
     UNION ALL
     SELECT doc_id, url, NULL AS page_text, NULL AS http_status,
            'metadata' AS status, NULL AS revisit_of,
-           url || '/ref/a,' || url || '/ref/b' AS outlinks,
+           url || '/ref/a ' || url || '/ref/b' AS outlinks,
            CAST(octet_length(encode(text)) AS BIGINT) AS fetch_ms
     FROM u WHERE doc_id % 9 = 8
     ORDER BY doc_id, status
@@ -2327,7 +2327,7 @@ def q54_warc_metadata(spark, sf_dir):
     metadata rows come back exploded into one row per outlink. The
     oracle reconstructs every field from (doc_id, text) alone, so the
     warc-fields grammar, repeated-key collection, and the
-    comma-join/explode plumbing are all ground-truth-checked. Scale
+    space-join/explode plumbing are all ground-truth-checked. Scale
     shape: the explode is row-local (no shuffle); the only exchange is
     the final presentation sort."""
     from ..operators.warc import render_warc_column, warc_to_pages  # noqa: PLC0415
@@ -2346,7 +2346,7 @@ def q54_warc_metadata(spark, sf_dir):
         .select(
             "doc_id",
             "url",
-            F.explode(F.split("outlinks", ",")).alias("outlink"),
+            F.explode(F.split("outlinks", " ")).alias("outlink"),
             F.col("fetch_ms").cast("long").alias("fetch_ms"),
         )
         .orderBy("doc_id", "outlink")

@@ -264,9 +264,13 @@ def _truetype_font(
     nonsymbolic: codes ARE the code points (0x20..0xFF); the program
     carries only the (3,1) table, and a code decodes as itself exactly
     when the font maps that code point."""
+    # 0xFFFF is excluded like the surrogates: a [0xFFFF,0xFFFF] format-4
+    # segment is indistinguishable from the mandatory terminator, so the
+    # reader (correctly) skips it and the char would silently drop
+    # (round-7 review finding, confirmed by execution)
     charset = sorted(set(text) - {"\n"})
     if not charset or any(
-        not 0x20 <= ord(c) <= 0xFFFF or 0xD800 <= ord(c) <= 0xDFFF
+        not 0x20 <= ord(c) <= 0xFFFE or 0xD800 <= ord(c) <= 0xDFFF
         for c in charset
     ):
         return None
@@ -450,8 +454,13 @@ _NON_SHOW_LATIN1 = {chr(k) for k in _SHOW_DELTAS}
 
 def _latin1_show_safe(s: str) -> bytes | None:
     """s as bytes that the reader's show fallback decodes back to s,
-    or None → use BOM-tagged UTF-16BE."""
+    or None → use BOM-tagged UTF-16BE. Text beginning with þÿ/ÿþ must
+    also take the UTF-16 path: its latin-1 bytes ARE a BOM pair, which
+    the reader's lenient BOM sniff would decode as UTF-16 (round-7
+    review finding, confirmed by execution)."""
     if any(c in _NON_SHOW_LATIN1 for c in s):
+        return None
+    if s[:2] in ("\xfe\xff", "\xff\xfe"):
         return None
     try:
         return s.encode("latin-1")

@@ -1233,3 +1233,72 @@ def test_show_string_fallback_is_winansi_not_pdfdoc():
     # DASH, 0x8E a right double quote) than in the show-string fallback
     info = PdfDocument(pdf).info()
     assert info["Title"] == "caf” – end"
+
+
+def test_show_text_starting_with_bom_pair_roundtrips():
+    """Round-7 review: text whose first two chars are þÿ/ÿþ encodes to
+    latin-1 bytes that ARE a BOM pair — the writer must route it to the
+    UTF-16 path or the reader's BOM sniff decodes garbage."""
+    for t in ("\xfe\xffab", "\xff\xfeab", "þÿ line\nÿþ line"):
+        for v in (0, 1, 2):
+            assert extract_pdf_text(build_pdf(t, variant=v)) == t
+
+
+def test_truetype_uffff_falls_back_not_dropped():
+    """Round-7 review: U+FFFF's format-4 segment would collide with the
+    mandatory terminator; the writer must fall back to literal strings
+    (both parities), never silently drop the char."""
+    from sax_wasm_spark.sources.pdfgen import _truetype_font
+
+    assert _truetype_font("a￿b", symbolic=True) is None
+    assert _truetype_font("a￿b", symbolic=False) is None
+    for t in ("a￿b!", "a￿b"):
+        assert extract_pdf_text(build_pdf(t, variant=11)) == t
+
+
+def test_truetype_format4_expansion_budget():
+    """Round-7 review: a crafted format-4 table with many full-range
+    segments must not pin a worker — expansion draws from the same
+    decreasing budget as format 12."""
+    import struct
+    import time
+
+    from sax_wasm_spark.kernel.pdftext import _tt_subtable
+
+    segs = 512  # each spanning 0x0001..0xFFFE with idRangeOffset=0
+    n = segs + 1
+    ends = [0xFFFE] * segs + [0xFFFF]
+    starts = [0x0001] * segs + [0xFFFF]
+    deltas = [1] * segs + [1]
+    ros = [0] * (segs + 1)
+    body = (
+        struct.pack(">%dH" % n, *ends)
+        + b"\x00\x00"
+        + struct.pack(">%dH" % n, *starts)
+        + struct.pack(">%dh" % n, *deltas)
+        + struct.pack(">%dH" % n, *ros)
+    )
+    tbl = struct.pack(">7H", 4, 14 + len(body), 0, 2 * n, 2, 1, 2 * n - 2) + body
+    t0 = time.perf_counter()
+    out = _tt_subtable(tbl, 0)
+    took = time.perf_counter() - t0
+    assert out is not None and len(out) <= (1 << 17)
+    assert took < 2.0, f"format-4 expansion took {took:.2f}s"
+
+
+def test_truetype_format12_out_of_unicode_range_degrades():
+    """Round-7 review: a format-12 group whose start exceeds U+10FFFF
+    (passes the width guard with s==e) must not raise chr()'s
+    ValueError — the group is skipped, the font degrades per-row."""
+    import struct
+
+    from sax_wasm_spark.kernel.pdftext import _parse_truetype_cmap
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format6
+
+    f12 = struct.pack(">2H3I", 12, 0, 40, 0, 2) + struct.pack(
+        ">3I", 0x20000000, 0x20000000, 1
+    ) + struct.pack(">3I", 0x41, 0x41, 2)
+    sym = _tt_format6(0xF020, [1, 2])
+    cmap = _parse_truetype_cmap(_truetype_blob([(3, 0, sym), (0, 4, f12)]))
+    # the absurd group is skipped; the valid one still decodes
+    assert cmap is not None and cmap.decode(b"\x21") == "A"

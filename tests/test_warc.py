@@ -99,7 +99,7 @@ def test_spark_operator_roundtrip_and_poison(spark):
         if r.status == "metadata":
             # §6.9 metadata record: its own row with parsed fields
             assert mod == 8 and r.html is None
-            assert r.outlinks == f"{r.url}/ref/a,{r.url}/ref/b"
+            assert r.outlinks == f"{r.url}/ref/a {r.url}/ref/b"
             continue
         if mod == 8:
             # the metadata-shape doc's RESPONSE row is an ordinary page
@@ -890,7 +890,7 @@ def test_metadata_rows_through_operator(spark):
     meta = pages.where(F.col("status") == "metadata").orderBy("doc_id").collect()
     assert len(meta) == 4
     for r in meta:
-        assert r.outlinks == f"{r.url}/ref/a,{r.url}/ref/b"
+        assert r.outlinks == f"{r.url}/ref/a {r.url}/ref/b"
         assert r.fetch_ms == len(f"meta doc {r.doc_id}".encode())
         assert r.html is None and r.http_status is None
 
