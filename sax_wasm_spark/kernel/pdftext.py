@@ -1092,18 +1092,24 @@ class PdfDocument:
         return out
 
     def _embedded_font_cmap(self, font: dict) -> "_CMap | None":
-        """/FontDescriptor /FontFile2 → _parse_truetype_cmap, cached per
-        stream object number (a 1000-page doc parses its subset once)."""
+        """/FontDescriptor /FontFile2 (TrueType cmap table) or /FontFile
+        (Type1 cleartext /Encoding array) → 1-byte decoder, cached per
+        stream object number (a 1000-page doc parses its subset once).
+        /FontFile3 (CFF) is a declared gap — per-row fallback."""
         desc = self.resolve(font.get("/FontDescriptor"))
         if not isinstance(desc, dict):
             return None
         ff = desc.get("/FontFile2")
+        parse = _parse_truetype_cmap
+        if not isinstance(ff, Ref):
+            ff = desc.get("/FontFile")
+            parse = _parse_type1_encoding
         if not isinstance(ff, Ref):
             return None
         if ff.num in self._font_cmap_cache:
             return self._font_cmap_cache[ff.num]
         try:
-            cmap = _parse_truetype_cmap(self.stream_bytes(ff))
+            cmap = parse(self.stream_bytes(ff))
         except PdfError:
             cmap = None
         self._font_cmap_cache[ff.num] = cmap
@@ -1524,6 +1530,57 @@ def _tt_subtable(data: bytes, off: int) -> dict[int, int] | None:
     else:
         return None
     return out
+
+
+# Type1 font programs (/FontFile): the built-in encoding lives in the
+# CLEARTEXT portion (before eexec) as PostScript — either
+# `/Encoding StandardEncoding def` or an array filled with
+# `dup <code> /<glyphname> put` entries (Adobe Type 1 Font Format
+# §2.3, public). Glyph names resolve through the same AGL machinery
+# the /Differences path uses.
+
+_T1_DUP_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/{}()<>\[\]]+)\s+put")
+
+
+def _parse_type1_encoding(data: bytes) -> "_CMap | None":
+    """Embedded Type1 program → 1-byte decoder from its built-in
+    /Encoding, or None (caller falls back). Lenient: PFB segment
+    framing is unwrapped if present; everything after eexec (encrypted
+    charstrings) is ignored — the encoding is cleartext by format."""
+    if data[:1] == b"\x80":
+        # PFB framing: 0x80 0x01 <len LE32> ascii / 0x80 0x02 binary
+        clear = bytearray()
+        pos = 0
+        while pos + 6 <= len(data) and data[pos] == 0x80:
+            seg_type = data[pos + 1]
+            ln = int.from_bytes(data[pos + 2 : pos + 6], "little")
+            if seg_type == 3:
+                break
+            if seg_type == 1:
+                clear += data[pos + 6 : pos + 6 + ln]
+            pos += 6 + ln
+        clear = bytes(clear)
+    else:
+        i = data.find(b"eexec")
+        clear = data[: i if i >= 0 else len(data)]
+    m = clear.find(b"/Encoding")
+    if m < 0:
+        return None
+    if b"StandardEncoding" in clear[m : m + 40]:
+        base = base_encoding_map("/StandardEncoding")
+        return _CMap(1, dict(base)) if base else None
+    # dup/put entries appear only in the Encoding array within the
+    # cleartext (charstring/Subr dups live inside eexec); cap the scan
+    # window against degenerate inputs
+    mapping: dict[int, str] = {}
+    for code_b, name_b in _T1_DUP_RE.findall(clear[m : m + 65536]):
+        code = int(code_b)
+        if not 0 <= code <= 255 or name_b == b".notdef":
+            continue
+        u = _glyph_to_unicode(name_b.decode("latin-1"))
+        if u is not None:
+            mapping[code] = u
+    return _CMap(1, mapping) if mapping else None
 
 
 # cross-document memo keyed by CONTENT DIGEST, not the blob itself:

@@ -1302,3 +1302,79 @@ def test_truetype_format12_out_of_unicode_range_degrades():
     cmap = _parse_truetype_cmap(_truetype_blob([(3, 0, sym), (0, 4, f12)]))
     # the absurd group is skipped; the valid one still decodes
     assert cmap is not None and cmap.decode(b"\x21") == "A"
+
+
+# ---------------------------------------------------------------------------
+# embedded Type1 fonts — built-in /Encoding from the cleartext (round 7)
+
+
+def _t1_pdf(t1: bytes, show: bytes) -> bytes:
+    content = b"BT /FT 12 Tf 1 0 0 1 72 720 Tm <" + show.hex().encode() + b"> Tj ET\n"
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /FT 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"endstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /T "
+        b"/FontDescriptor 6 0 R >> endobj\n"
+        b"6 0 obj << /Type /FontDescriptor /FontName /T /Flags 32 "
+        b"/FontFile 7 0 R >> endobj\n"
+        + (b"7 0 obj << /Length %d /Length1 %d /Length2 0 /Length3 0 >> stream\n"
+           % (len(t1), len(t1)))
+        + t1 + b"\nendstream endobj\n"
+        b"trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+_T1_CLEAR = (
+    b"%!PS-AdobeFont-1.0: SaxT1 001.001\n"
+    b"/FontName /SaxT1 def\n"
+    b"/Encoding 256 array\n"
+    b"0 1 255 {1 index exch /.notdef put} for\n"
+    b"dup 65 /eacute put\n"
+    b"dup 66 /uni4E2D put\n"
+    b"dup 67 /zcaron put\n"
+    b"readonly def\n"
+    b"currentdict end\ncurrentfile eexec\n"
+    b"\x01\x02binary charstrings not parsed\x03\x04"
+)
+
+
+def test_type1_builtin_encoding_via_fontfile():
+    """A Type1 subset with no /ToUnicode and no /Encoding dict decodes
+    through the font program's own cleartext /Encoding array."""
+    assert extract_pdf_text(_t1_pdf(_T1_CLEAR, b"ABC")) == "é中ž"
+
+
+def test_type1_standard_encoding_and_pfb_framing():
+    from sax_wasm_spark.kernel.pdftext import _parse_type1_encoding
+
+    std = b"%!PS\n/Encoding StandardEncoding def\neexec\n\x01\x02"
+    cmap = _parse_type1_encoding(std)
+    assert cmap is not None and cmap.decode(b"\x41") == "A"
+    # octal 0o264 is quoteright in StandardEncoding
+    assert cmap.decode(bytes([0o047])) == "’"
+
+    # PFB framing: ascii segment header 0x80 0x01 <len LE32>
+    pfb = b"\x80\x01" + len(_T1_CLEAR).to_bytes(4, "little") + _T1_CLEAR + b"\x80\x03"
+    cmap = _parse_type1_encoding(pfb)
+    assert cmap is not None and cmap.decode(b"\x41") == "é"
+
+
+def test_type1_malformed_degrades_to_none():
+    from sax_wasm_spark.kernel.pdftext import _parse_type1_encoding
+
+    assert _parse_type1_encoding(b"") is None
+    assert _parse_type1_encoding(b"%!PS no encoding here eexec") is None
+    # dup entries with out-of-range codes / .notdef only -> None
+    assert _parse_type1_encoding(
+        b"/Encoding 256 array dup 999 /A put dup 65 /.notdef put readonly def"
+    ) is None
+    # unknown glyph names skipped, known ones kept
+    cmap = _parse_type1_encoding(
+        b"/Encoding 256 array dup 65 /notarealglyph put dup 66 /ae put readonly def"
+    )
+    assert cmap is not None and 65 not in cmap.map and cmap.decode(b"\x42") == "æ"
