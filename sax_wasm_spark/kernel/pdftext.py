@@ -1092,10 +1092,11 @@ class PdfDocument:
         return out
 
     def _embedded_font_cmap(self, font: dict) -> "_CMap | None":
-        """/FontDescriptor /FontFile2 (TrueType cmap table) or /FontFile
-        (Type1 cleartext /Encoding array) → 1-byte decoder, cached per
-        stream object number (a 1000-page doc parses its subset once).
-        /FontFile3 (CFF) is a declared gap — per-row fallback."""
+        """/FontDescriptor /FontFile2 (TrueType cmap table), /FontFile
+        (Type1 cleartext /Encoding array) or /FontFile3 (bare CFF
+        charset+encoding; OTTO-wrapped CFF defers to the cmap path) →
+        1-byte decoder, cached per stream object number (a 1000-page
+        doc parses its subset once)."""
         desc = self.resolve(font.get("/FontDescriptor"))
         if not isinstance(desc, dict):
             return None
@@ -1104,6 +1105,9 @@ class PdfDocument:
         if not isinstance(ff, Ref):
             ff = desc.get("/FontFile")
             parse = _parse_type1_encoding
+        if not isinstance(ff, Ref):
+            ff = desc.get("/FontFile3")
+            parse = _parse_cff_encoding
         if not isinstance(ff, Ref):
             return None
         if ff.num in self._font_cmap_cache:
@@ -1581,6 +1585,236 @@ def _parse_type1_encoding(data: bytes) -> "_CMap | None":
         if u is not None:
             mapping[code] = u
     return _CMap(1, mapping) if mapping else None
+
+
+# CFF / Type1C font programs (/FontFile3): bare-CFF layout per the
+# public Compact Font Format spec (Adobe TN #5176) — INDEX structures,
+# Top DICT operators, charset (GID→SID) and Encoding (code→GID) tables,
+# standard strings for SIDs 0..228 (the full Latin repertoire; Expert
+# SIDs 229..390 are decoration glyphs and fall back) plus the String
+# INDEX for custom SIDs ≥ 391. OpenType-wrapped CFF (OTTO sfnt) routes
+# through the TrueType cmap path instead. CIDFont CFFs (a /ROS Top DICT
+# op) map GIDs to CIDs, not names — those need the composite-font
+# machinery and degrade per-row here.
+
+# SIDs 0..228 (spec Appendix A): StandardEncoding names then the
+# ISOLatin1 additions — names resolve through the same AGL table the
+# /Differences path uses.
+_CFF_STD_STRINGS = (
+    ".notdef space exclam quotedbl numbersign dollar percent ampersand "
+    "quoteright parenleft parenright asterisk plus comma hyphen period "
+    "slash zero one two three four five six seven eight nine colon "
+    "semicolon less equal greater question at A B C D E F G H I J K L M "
+    "N O P Q R S T U V W X Y Z bracketleft backslash bracketright "
+    "asciicircum underscore quoteleft a b c d e f g h i j k l m n o p q "
+    "r s t u v w x y z braceleft bar braceright asciitilde exclamdown "
+    "cent sterling fraction yen florin section currency quotesingle "
+    "quotedblleft guillemotleft guilsinglleft guilsinglright fi fl "
+    "endash dagger daggerdbl periodcentered paragraph bullet "
+    "quotesinglbase quotedblbase quotedblright guillemotright ellipsis "
+    "perthousand questiondown grave acute circumflex tilde macron breve "
+    "dotaccent dieresis ring cedilla hungarumlaut ogonek caron emdash "
+    "AE ordfeminine Lslash Oslash OE ordmasculine ae dotlessi lslash "
+    "oslash oe germandbls onesuperior logicalnot mu trademark Eth "
+    "onehalf plusminus Thorn onequarter divide brokenbar degree thorn "
+    "threequarters twosuperior registered minus eth multiply "
+    "threesuperior copyright Aacute Acircumflex Adieresis Agrave Aring "
+    "Atilde Ccedilla Eacute Ecircumflex Edieresis Egrave Iacute "
+    "Icircumflex Idieresis Igrave Ntilde Oacute Ocircumflex Odieresis "
+    "Ograve Otilde Scaron Uacute Ucircumflex Udieresis Ugrave Yacute "
+    "Ydieresis Zcaron aacute acircumflex adieresis agrave aring atilde "
+    "ccedilla eacute ecircumflex edieresis egrave iacute icircumflex "
+    "idieresis igrave ntilde oacute ocircumflex odieresis ograve otilde "
+    "scaron uacute ucircumflex udieresis ugrave yacute ydieresis zcaron"
+).split()
+
+
+def _cff_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """One CFF INDEX at ``pos`` → (items, position after the INDEX)."""
+    count = struct.unpack_from(">H", data, pos)[0]
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2]
+    if not 1 <= off_size <= 4:
+        raise PdfError("cff: bad offSize")
+    o0 = pos + 3
+    offs = [
+        int.from_bytes(data[o0 + i * off_size : o0 + (i + 1) * off_size], "big")
+        for i in range(count + 1)
+    ]
+    base = o0 + (count + 1) * off_size - 1  # offsets are 1-based
+    if offs[0] != 1 or any(offs[i] > offs[i + 1] for i in range(count)):
+        raise PdfError("cff: bad INDEX offsets")
+    items = [data[base + offs[i] : base + offs[i + 1]] for i in range(count)]
+    return items, base + offs[count]
+
+
+def _cff_dict(data: bytes) -> dict[int, list]:
+    """CFF DICT bytes → {operator: operands}. Two-byte operators key as
+    0xC00 | second byte."""
+    out: dict[int, list] = {}
+    operands: list = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        b0 = data[pos]
+        if b0 <= 21:
+            op = b0
+            pos += 1
+            if b0 == 12:
+                op = 0xC00 | data[pos]
+                pos += 1
+            out[op] = operands
+            operands = []
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            pos += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[pos + 1] + 108)
+            pos += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[pos + 1] - 108)
+            pos += 2
+        elif b0 == 28:
+            operands.append(struct.unpack_from(">h", data, pos + 1)[0])
+            pos += 3
+        elif b0 == 29:
+            operands.append(struct.unpack_from(">i", data, pos + 1)[0])
+            pos += 5
+        elif b0 == 30:  # real number: nibble-encoded, 0xf terminates
+            pos += 1
+            while pos < n:
+                nb = data[pos]
+                pos += 1
+                if nb & 0x0F == 0x0F or nb >> 4 == 0x0F:
+                    break
+            operands.append(0.0)  # value never needed for our ops
+        else:
+            raise PdfError("cff: bad dict byte")
+    return out
+
+
+def _parse_cff_encoding(data: bytes) -> "_CMap | None":
+    """Embedded bare-CFF program → 1-byte decoder from its charset +
+    encoding tables, or None (caller falls back). OTTO-wrapped CFF
+    defers to the TrueType cmap path."""
+    if data[:4] == b"OTTO":
+        return _parse_truetype_cmap_impl(data)
+    try:
+        if len(data) < 4 or data[0] != 1:  # major version 1 only
+            return None
+        pos = data[2]  # hdrSize
+        _names, pos = _cff_index(data, pos)
+        top_dicts, pos = _cff_index(data, pos)
+        strings, _pos = _cff_index(data, pos)
+        if not top_dicts:
+            return None
+        top = _cff_dict(top_dicts[0])
+        if 0xC1E in top:  # ROS → CIDFont: GIDs map to CIDs, not names
+            return None
+        cs_off = top.get(17)
+        charset_off = int(top.get(15, [0])[0])
+        enc_off = int(top.get(16, [0])[0])
+        if enc_off in (0, 1):
+            # predefined Standard/Expert encodings: code → name is the
+            # Annex D Standard table (Expert's repertoire is outside
+            # our text scope and falls back the same way)
+            base = base_encoding_map("/StandardEncoding")
+            return _CMap(1, dict(base)) if base and enc_off == 0 else None
+        n_glyphs = (
+            struct.unpack_from(">H", data, int(cs_off[0]))[0] if cs_off else 0
+        )
+        if not n_glyphs:
+            return None
+
+        def sid_name(sid: int) -> str | None:
+            if 0 <= sid < len(_CFF_STD_STRINGS):
+                return _CFF_STD_STRINGS[sid]
+            i = sid - 391
+            if 0 <= i < len(strings):
+                return strings[i].decode("latin-1")
+            return None
+
+        # charset: GID (1..n-1) → SID; GID 0 is .notdef. Offset 0/1/2 =
+        # predefined charsets where SID == GID identity over the
+        # standard set (ISOAdobe) — good enough for name lookup.
+        gid_sid: dict[int, int] = {}
+        if charset_off in (0, 1, 2):
+            for g in range(1, n_glyphs):
+                gid_sid[g] = g
+        else:
+            fmt = data[charset_off]
+            p = charset_off + 1
+            if fmt == 0:
+                for g in range(1, n_glyphs):
+                    gid_sid[g] = struct.unpack_from(">H", data, p)[0]
+                    p += 2
+            elif fmt in (1, 2):
+                g = 1
+                step = 3 if fmt == 1 else 4
+                while g < n_glyphs and p + step <= len(data):
+                    first = struct.unpack_from(">H", data, p)[0]
+                    n_left = (
+                        data[p + 2]
+                        if fmt == 1
+                        else struct.unpack_from(">H", data, p + 2)[0]
+                    )
+                    p += step
+                    for k in range(n_left + 1):
+                        if g >= n_glyphs:
+                            break
+                        gid_sid[g] = first + k
+                        g += 1
+            else:
+                return None
+
+        # encoding: code → GID (custom formats 0/1 + supplements)
+        fmt = data[enc_off]
+        p = enc_off + 1
+        code_gid: dict[int, int] = {}
+        if fmt & 0x7F == 0:
+            n_codes = data[p]
+            p += 1
+            for g in range(1, min(n_codes, n_glyphs - 1) + 1):
+                code_gid[data[p]] = g
+                p += 1
+        elif fmt & 0x7F == 1:
+            n_ranges = data[p]
+            p += 1
+            g = 1
+            for _ in range(n_ranges):
+                first, n_left = data[p], data[p + 1]
+                p += 2
+                for k in range(n_left + 1):
+                    if g >= n_glyphs:
+                        break
+                    code_gid[first + k] = g
+                    g += 1
+        else:
+            return None
+        mapping: dict[int, str] = {}
+        for code, gid in code_gid.items():
+            name = sid_name(gid_sid.get(gid, -1))
+            if name is None:
+                continue
+            u = _glyph_to_unicode(name)
+            if u is not None:
+                mapping[code] = u
+        if fmt & 0x80:  # supplements: code → glyph BY SID
+            sid_gid = {s: g for g, s in gid_sid.items()}
+            n_sups = data[p]
+            p += 1
+            for _ in range(n_sups):
+                code = data[p]
+                sid = struct.unpack_from(">H", data, p + 1)[0]
+                p += 3
+                name = sid_name(sid) if sid in sid_gid else None
+                u = _glyph_to_unicode(name) if name else None
+                if u is not None:
+                    mapping[code] = u
+        return _CMap(1, mapping) if mapping else None
+    except (struct.error, IndexError, PdfError):
+        return None
 
 
 # cross-document memo keyed by CONTENT DIGEST, not the blob itself:

@@ -1378,3 +1378,154 @@ def test_type1_malformed_degrades_to_none():
         b"/Encoding 256 array dup 65 /notarealglyph put dup 66 /ae put readonly def"
     )
     assert cmap is not None and 65 not in cmap.map and cmap.decode(b"\x42") == "æ"
+
+
+# ---------------------------------------------------------------------------
+# embedded CFF fonts (/FontFile3) — charset + encoding decode (round 7)
+
+
+def _cff_blob(charset_fmt: int = 0, enc_fmt: int = 0, supplements: bool = False) -> bytes:
+    """A minimal bare-CFF font: 4 glyphs (.notdef, eacute, Zcaron, and a
+    custom-string glyph 'uni4E2D'), custom encoding at codes 65/66/67."""
+    import struct
+
+    def index(items):
+        if not items:
+            return struct.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (
+            struct.pack(">HB", len(items), 1)
+            + bytes(offs)
+            + b"".join(items)
+        )
+
+    name_idx = index([b"SaxCFF"])
+    string_idx = index([b"uni4E2D"])  # SID 391
+    # charstrings: 4 empty-ish glyphs (content never parsed)
+    cs_idx = index([b"\x0e"] * 4)
+
+    # charset: GID1=eacute(SID 207), GID2=Zcaron(SID 199), GID3=SID 391
+    if charset_fmt == 0:
+        charset = b"\x00" + struct.pack(">3H", 207, 199, 391)
+    else:  # format 1: three singleton ranges
+        charset = b"\x01" + b"".join(
+            struct.pack(">HB", sid, 0) for sid in (207, 199, 391)
+        )
+
+    # encoding: codes 65/66/67 -> GIDs 1/2/3
+    if enc_fmt == 0:
+        enc = bytes([0x80 if supplements else 0x00, 3, 65, 66, 67])
+    else:  # format 1: one range first=65 nLeft=2
+        enc = bytes([0x81 if supplements else 0x01, 1, 65, 2])
+    if supplements:
+        # one supplement: code 97 -> SID 199 (Zcaron) as well
+        enc += bytes([1, 97]) + struct.pack(">H", 199)
+
+    # assemble with a two-pass layout: header, name idx, top dict idx,
+    # string idx, gsubr idx, then charset / encoding / charstrings
+    header = bytes([1, 0, 4, 1])
+    gsubr = index([])
+
+    def top_dict(cs_off, charset_off, enc_off):
+        def op_int(v):  # int32 form keeps offsets fixed-width
+            return b"\x1d" + struct.pack(">i", v)
+        return index([
+            op_int(charset_off) + b"\x0f"
+            + op_int(enc_off) + b"\x10"
+            + op_int(cs_off) + b"\x11"
+        ])
+
+    # sizes are stable because op_int is fixed-width
+    probe = top_dict(0, 0, 0)
+    pre = len(header) + len(name_idx) + len(probe) + len(string_idx) + len(gsubr)
+    charset_off = pre
+    enc_off = charset_off + len(charset)
+    cs_off = enc_off + len(enc)
+    td = top_dict(cs_off, charset_off, enc_off)
+    assert len(td) == len(probe)
+    return header + name_idx + td + string_idx + gsubr + charset + enc + cs_idx
+
+
+def _ff3_pdf(cff: bytes, show: bytes) -> bytes:
+    content = b"BT /FT 12 Tf 1 0 0 1 72 720 Tm <" + show.hex().encode() + b"> Tj ET\n"
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /FT 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"endstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /SaxCFF "
+        b"/FontDescriptor 6 0 R >> endobj\n"
+        b"6 0 obj << /Type /FontDescriptor /FontName /SaxCFF /Flags 32 "
+        b"/FontFile3 7 0 R >> endobj\n"
+        + (b"7 0 obj << /Subtype /Type1C /Length %d >> stream\n" % len(cff))
+        + cff + b"\nendstream endobj\n"
+        b"trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_cff_custom_encoding_all_format_combinations():
+    """codes 65/66/67 decode through charset(SID)+strings: standard
+    SIDs (eacute, Zcaron) and a custom String-INDEX name (uni4E2D) —
+    across charset formats 0/1 and encoding formats 0/1."""
+    for cs_fmt in (0, 1):
+        for enc_fmt in (0, 1):
+            pdf = _ff3_pdf(_cff_blob(cs_fmt, enc_fmt), b"ABC")
+            assert extract_pdf_text(pdf) == "éŽ中", (cs_fmt, enc_fmt)
+
+
+def test_cff_encoding_supplements():
+    from sax_wasm_spark.kernel.pdftext import _parse_cff_encoding
+
+    cmap = _parse_cff_encoding(_cff_blob(0, 0, supplements=True))
+    assert cmap is not None
+    assert cmap.decode(b"\x41\x61") == "éŽ"  # base + supplement code
+
+
+def test_cff_standard_encoding_and_malformed():
+    import struct
+
+    from sax_wasm_spark.kernel.pdftext import _parse_cff_encoding
+
+    # predefined encoding 0 -> the Standard table directly
+    blob = _cff_blob(0, 0)
+    # patch the encoding operand (29 xxxx 16) to 0: find op 0x10 and
+    # rebuild via the builder instead — simpler: construct a top dict
+    # with enc_off 0 by reusing the builder's layout is non-trivial, so
+    # parse a hand-made minimal header instead
+    def index(items):
+        if not items:
+            return struct.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return struct.pack(">HB", len(items), 1) + bytes(offs) + b"".join(items)
+
+    header = bytes([1, 0, 4, 1])
+    name_idx = index([b"X"])
+    td = index([b"\x1d" + struct.pack(">i", 0) + b"\x10"])  # Encoding 0
+    std = header + name_idx + td + index([]) + index([])
+    cmap = _parse_cff_encoding(std)
+    assert cmap is not None and cmap.decode(b"\x41") == "A"
+
+    assert _parse_cff_encoding(b"") is None
+    assert _parse_cff_encoding(b"\x02\x00\x04\x01junk") is None  # major=2
+    assert _parse_cff_encoding(blob[:20]) is None  # truncated
+    # CIDFont (ROS present) degrades to None
+    ros = index([b"\x1d" + struct.pack(">i", 0) + b"\x0c\x1e"])
+    assert _parse_cff_encoding(header + name_idx + ros + index([]) + index([])) is None
+
+
+def test_cff_otto_wrapper_routes_to_cmap_path():
+    from sax_wasm_spark.kernel.pdftext import _parse_cff_encoding
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format6
+
+    # an OTTO sfnt with a (3,1) cmap: unicode-only nonsymbolic path
+    blob = _truetype_blob([(3, 1, _tt_format6(0x41, [1, 2]))])
+    blob = b"OTTO" + blob[4:]
+    cmap = _parse_cff_encoding(blob)
+    assert cmap is not None and cmap.decode(b"\x41") == "A"
