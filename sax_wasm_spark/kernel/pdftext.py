@@ -1079,6 +1079,16 @@ class PdfDocument:
                     d = self.resolve(enc.get("/Differences"))
                     if isinstance(d, list):
                         diffs = d
+                if diffs is not None and base is None:
+                    # ISO 32000-1 Table 114: with no /BaseEncoding the
+                    # /Differences overlay the font's BUILT-IN encoding
+                    # — which the embedded-program decoders below can
+                    # recover (round-7 review: without this, any
+                    # Differences-only /Encoding dict made the embedded
+                    # decode unreachable)
+                    builtin = self._embedded_font_cmap(font)
+                    if builtin is not None:
+                        base = dict(builtin.map)
                 if base is not None or diffs is not None:
                     cmap = _differences_cmap(diffs or [], base)
             if cmap is None:
@@ -1699,7 +1709,7 @@ def _parse_cff_encoding(data: bytes) -> "_CMap | None":
     encoding tables, or None (caller falls back). OTTO-wrapped CFF
     defers to the TrueType cmap path."""
     if data[:4] == b"OTTO":
-        return _parse_truetype_cmap_impl(data)
+        return _parse_truetype_cmap(data)  # the digest-memoized path
     try:
         if len(data) < 4 or data[0] != 1:  # major version 1 only
             return None
@@ -1735,13 +1745,17 @@ def _parse_cff_encoding(data: bytes) -> "_CMap | None":
                 return strings[i].decode("latin-1")
             return None
 
-        # charset: GID (1..n-1) → SID; GID 0 is .notdef. Offset 0/1/2 =
-        # predefined charsets where SID == GID identity over the
-        # standard set (ISOAdobe) — good enough for name lookup.
+        # charset: GID (1..n-1) → SID; GID 0 is .notdef. Predefined
+        # offset 0 (ISOAdobe) is SID == GID identity; 1/2 (Expert/
+        # ExpertSubset) map GIDs to SIDs 229+ — NOT identity, and their
+        # repertoire is decoration glyphs, so they degrade cleanly
+        # instead of decoding wrong letters (round-7 review).
         gid_sid: dict[int, int] = {}
-        if charset_off in (0, 1, 2):
+        if charset_off == 0:
             for g in range(1, n_glyphs):
                 gid_sid[g] = g
+        elif charset_off in (1, 2):
+            return None
         else:
             fmt = data[charset_off]
             p = charset_off + 1
@@ -1773,10 +1787,14 @@ def _parse_cff_encoding(data: bytes) -> "_CMap | None":
         p = enc_off + 1
         code_gid: dict[int, int] = {}
         if fmt & 0x7F == 0:
+            # ALWAYS consume all nCodes bytes, even past nGlyphs-1 —
+            # stopping early leaves p misaligned for the supplement
+            # block (round-7 review, probe-confirmed)
             n_codes = data[p]
             p += 1
-            for g in range(1, min(n_codes, n_glyphs - 1) + 1):
-                code_gid[data[p]] = g
+            for i in range(n_codes):
+                if i + 1 <= n_glyphs - 1:
+                    code_gid[data[p]] = i + 1
                 p += 1
         elif fmt & 0x7F == 1:
             n_ranges = data[p]

@@ -1355,7 +1355,7 @@ def test_type1_standard_encoding_and_pfb_framing():
     std = b"%!PS\n/Encoding StandardEncoding def\neexec\n\x01\x02"
     cmap = _parse_type1_encoding(std)
     assert cmap is not None and cmap.decode(b"\x41") == "A"
-    # octal 0o264 is quoteright in StandardEncoding
+    # code 0o47 (0x27) is quoteright in StandardEncoding
     assert cmap.decode(bytes([0o047])) == "’"
 
     # PFB framing: ascii segment header 0x80 0x01 <len LE32>
@@ -1384,23 +1384,24 @@ def test_type1_malformed_degrades_to_none():
 # embedded CFF fonts (/FontFile3) — charset + encoding decode (round 7)
 
 
+def _cff_index_build(items):
+    """CFF INDEX builder (offSize 1) shared by every CFF test blob."""
+    import struct
+
+    if not items:
+        return struct.pack(">H", 0)
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    return struct.pack(">HB", len(items), 1) + bytes(offs) + b"".join(items)
+
+
 def _cff_blob(charset_fmt: int = 0, enc_fmt: int = 0, supplements: bool = False) -> bytes:
     """A minimal bare-CFF font: 4 glyphs (.notdef, eacute, Zcaron, and a
     custom-string glyph 'uni4E2D'), custom encoding at codes 65/66/67."""
     import struct
 
-    def index(items):
-        if not items:
-            return struct.pack(">H", 0)
-        offs = [1]
-        for it in items:
-            offs.append(offs[-1] + len(it))
-        return (
-            struct.pack(">HB", len(items), 1)
-            + bytes(offs)
-            + b"".join(items)
-        )
-
+    index = _cff_index_build
     name_idx = index([b"SaxCFF"])
     string_idx = index([b"uni4E2D"])  # SID 391
     # charstrings: 4 empty-ish glyphs (content never parsed)
@@ -1493,18 +1494,7 @@ def test_cff_standard_encoding_and_malformed():
 
     # predefined encoding 0 -> the Standard table directly
     blob = _cff_blob(0, 0)
-    # patch the encoding operand (29 xxxx 16) to 0: find op 0x10 and
-    # rebuild via the builder instead — simpler: construct a top dict
-    # with enc_off 0 by reusing the builder's layout is non-trivial, so
-    # parse a hand-made minimal header instead
-    def index(items):
-        if not items:
-            return struct.pack(">H", 0)
-        offs = [1]
-        for it in items:
-            offs.append(offs[-1] + len(it))
-        return struct.pack(">HB", len(items), 1) + bytes(offs) + b"".join(items)
-
+    index = _cff_index_build
     header = bytes([1, 0, 4, 1])
     name_idx = index([b"X"])
     td = index([b"\x1d" + struct.pack(">i", 0) + b"\x10"])  # Encoding 0
@@ -1529,3 +1519,98 @@ def test_cff_otto_wrapper_routes_to_cmap_path():
     blob = b"OTTO" + blob[4:]
     cmap = _parse_cff_encoding(blob)
     assert cmap is not None and cmap.decode(b"\x41") == "A"
+
+
+def test_differences_overlay_builtin_encoding():
+    """ISO 32000-1 Table 114 (round-7 review): /Differences with no
+    /BaseEncoding overlay the font's BUILT-IN encoding — here a Type1
+    program mapping 65->eacute, overridden at 66 by the Differences."""
+    t1 = (
+        b"%!PS\n/Encoding 256 array\n"
+        b"dup 65 /eacute put\ndup 66 /agrave put\nreadonly def\neexec\n\x01"
+    )
+    content = b"BT /FT 12 Tf 1 0 0 1 72 720 Tm (ABC) Tj ET\n"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /FT 5 0 R >> >> >> endobj\n"
+        + (b"4 0 obj << /Length %d >> stream\n" % len(content)) + content
+        + b"endstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /T "
+        b"/Encoding << /Type /Encoding /Differences [ 66 /zcaron ] >> "
+        b"/FontDescriptor 6 0 R >> endobj\n"
+        b"6 0 obj << /Type /FontDescriptor /FontName /T /Flags 32 "
+        b"/FontFile 7 0 R >> endobj\n"
+        + (b"7 0 obj << /Length %d /Length1 %d >> stream\n" % (len(t1), len(t1)))
+        + t1 + b"\nendstream endobj\n"
+        b"trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    )
+    # 65 from the built-in encoding, 66 overridden, 67 latin-1 fallback
+    assert extract_pdf_text(pdf) == "éžC"
+
+
+def test_cff_format0_ncodes_overrun_keeps_supplements_aligned():
+    """Round-7 review (probe-confirmed): nCodes > nGlyphs-1 must still
+    consume every code byte or the supplement pointer misaligns."""
+    import struct
+
+    from sax_wasm_spark.kernel.pdftext import _parse_cff_encoding
+
+    index = _cff_index_build
+    header = bytes([1, 0, 4, 1])
+    name_idx = index([b"X"])
+    # 2 glyphs: .notdef + eacute (SID 207)
+    charset = b"\x00" + struct.pack(">H", 207)
+    # format 0 + supplement bit, nCodes=3 (> nGlyphs-1=1), then one
+    # supplement: code 97 -> SID 207
+    enc = bytes([0x80, 3, 65, 66, 67, 1, 97]) + struct.pack(">H", 207)
+    cs_idx = index([b"\x0e"] * 2)
+
+    def top_dict(cs, ch, en):
+        def op(v):
+            return b"\x1d" + struct.pack(">i", v)
+        return index([op(ch) + b"\x0f" + op(en) + b"\x10" + op(cs) + b"\x11"])
+
+    pre = len(header) + len(name_idx) + len(top_dict(0, 0, 0)) + len(index([])) * 2
+    ch_off = pre
+    en_off = ch_off + len(charset)
+    cs_off = en_off + len(enc)
+    blob = (
+        header + name_idx + top_dict(cs_off, ch_off, en_off)
+        + index([]) + index([]) + charset + enc + cs_idx
+    )
+    cmap = _parse_cff_encoding(blob)
+    assert cmap is not None
+    assert cmap.decode(b"\x41") == "é"  # base mapping survives
+    assert cmap.decode(b"\x61") == "é"  # supplement correctly aligned
+
+
+def test_cff_expert_charsets_degrade_to_none():
+    """Round-7 review: predefined charset offsets 1/2 (Expert) are NOT
+    SID==GID identity — they must fall back, not decode wrong glyphs."""
+    import struct
+
+    from sax_wasm_spark.kernel.pdftext import _parse_cff_encoding
+
+    index = _cff_index_build
+    header = bytes([1, 0, 4, 1])
+    name_idx = index([b"X"])
+    enc = bytes([0x00, 1, 65])
+    cs_idx = index([b"\x0e"] * 2)
+
+    def top_dict(cs, ch, en):
+        def op(v):
+            return b"\x1d" + struct.pack(">i", v)
+        return index([op(ch) + b"\x0f" + op(en) + b"\x10" + op(cs) + b"\x11"])
+
+    pre = len(header) + len(name_idx) + len(top_dict(0, 0, 0)) + len(index([])) * 2
+    en_off = pre
+    cs_off = en_off + len(enc)
+    for predefined in (1, 2):
+        blob = (
+            header + name_idx + top_dict(cs_off, predefined, en_off)
+            + index([]) + index([]) + enc + cs_idx
+        )
+        assert _parse_cff_encoding(blob) is None
