@@ -30,7 +30,12 @@ Scope (documented contract, enforced by tests/test_pdf.py):
   an array of streams (concatenated with a newline, per spec).
 * **Text operators**: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ, ', ".
   Graphics operators are skipped; inline images (BI..ID..EI) are skipped
-  bodily. When the current font (tracked via ``Tf`` against the page's
+  bodily. ``Do`` of a /Form XObject recurses into the form's own content
+  stream (its own /Resources, or — deprecated §7.8.3 but common — the
+  invoking context's when absent; depth-capped, cycle-guarded); ``Do``
+  of an /Image is a text no-op, but :func:`pdf_image_stats` inventories
+  image metadata (dims/filter/colorspace) without decoding samples.
+  When the current font (tracked via ``Tf`` against the page's
   /Resources /Font dict) carries a /ToUnicode CMap, show-strings decode
   through it (codespacerange-derived code width, bfchar + bfrange incl.
   the array form — the CID-font path real crawled PDFs use constantly);
@@ -600,6 +605,7 @@ class PdfDocument:
         self._def_pos: dict[int, int] = {}
         self._gen: dict[int, int] = {}
         self._font_cmap_cache: dict[int, "_CMap | None"] = {}
+        self._xobj_cache: dict[int, tuple] = {}
         self._scan_objects()
         # decryption must precede object-stream expansion: an /ObjStm
         # container is encrypted as a whole, its members' strings are
@@ -1040,8 +1046,10 @@ class PdfDocument:
         that carries one (fonts without a CMap fall back to the default
         string decoding). Resource name is WITHOUT the leading slash, to
         match how ``Tf`` operands surface in the content interpreter."""
+        return self._fonts_from_resources(self.resolve(page.get("/Resources")))
+
+    def _fonts_from_resources(self, res) -> dict[str, "_CMap"]:
         out: dict[str, _CMap] = {}
-        res = self.resolve(page.get("/Resources"))
         if not isinstance(res, dict):
             return out
         fonts = self.resolve(res.get("/Font"))
@@ -1099,6 +1107,68 @@ class PdfDocument:
                 cmap = self._embedded_font_cmap(font)
             if cmap is not None:
                 out[name.lstrip("/")] = cmap
+        return out
+
+    # -- XObjects (§8.8/§8.10: form XObjects carry their own content
+    # streams — real-crawl PDFs put letterheads, stamps, and whole
+    # generated bodies behind ``Do``, so text extraction must recurse)
+
+    _XOBJ_MAX_DEPTH = 8
+
+    def page_xobjects(self, page: dict) -> dict:
+        """Resource-name (no slash) → XObject entry for the page:
+        ``('form', objnum, content_bytes, fonts|None, xobjs|None)``
+        (``None`` fonts/xobjs = the form has no /Resources of its own
+        and inherits the invoking context's — deprecated by ISO 32000
+        §7.8.3 but ubiquitous in real files) or
+        ``('image', objnum, dict, raw_len)``. Nested form resources are
+        resolved recursively with a depth cap and a visited set, so
+        self-referencing forms degrade to truncated nesting instead of
+        recursing forever. Shared forms (per-page headers) are cached
+        per object number."""
+        return self._xobjects_from_resources(
+            self.resolve(page.get("/Resources")), 0, frozenset()
+        )
+
+    def _xobjects_from_resources(self, res, depth: int, seen: frozenset) -> dict:
+        out: dict = {}
+        if not isinstance(res, dict) or depth >= self._XOBJ_MAX_DEPTH:
+            return out
+        xo = self.resolve(res.get("/XObject"))
+        if not isinstance(xo, dict):
+            return out
+        for name, ref in xo.items():
+            if not isinstance(ref, Ref):
+                continue
+            d = self.resolve(ref)
+            if not isinstance(d, dict):
+                continue
+            sub = d.get("/Subtype")
+            if sub == "/Form":
+                if ref.num in seen:
+                    continue  # reference cycle — drop the re-entry
+                cached = self._xobj_cache.get(ref.num)
+                if cached is None:
+                    try:
+                        content = self.stream_bytes(ref)
+                    except PdfError:
+                        continue
+                    sres = self.resolve(d.get("/Resources"))
+                    if isinstance(sres, dict):
+                        sfonts = self._fonts_from_resources(sres)
+                        sxobjs = self._xobjects_from_resources(
+                            sres, depth + 1, seen | {ref.num}
+                        )
+                    else:
+                        sfonts = sxobjs = None  # inherit at interpret time
+                    cached = ("form", ref.num, content, sfonts, sxobjs)
+                    self._xobj_cache[ref.num] = cached
+                out[name.lstrip("/")] = cached
+            elif sub == "/Image":
+                raw = self.streams.get(ref.num)
+                out[name.lstrip("/")] = (
+                    "image", ref.num, d, 0 if raw is None else len(raw)
+                )
         return out
 
     def _embedded_font_cmap(self, font: dict) -> "_CMap | None":
@@ -2011,11 +2081,19 @@ _TEXT_OPS = frozenset(
 
 
 def _runs_from_content(
-    content: bytes, fonts: dict[str, _CMap] | None = None
+    content: bytes,
+    fonts: dict[str, _CMap] | None = None,
+    xobjs: dict | None = None,
+    _depth: int = 0,
 ) -> list[tuple[float, float, str]]:
     """Interpret text operators → [(y, x, text)] in stream order. When
     ``fonts`` maps the current ``Tf`` resource name to a /ToUnicode CMap,
-    show-strings decode through it instead of the Latin-1/UTF-16 default."""
+    show-strings decode through it instead of the Latin-1/UTF-16 default.
+    ``xobjs`` (PdfDocument.page_xobjects) lets ``Do`` of a form XObject
+    recurse into the form's own content stream — a form without its own
+    /Resources inherits the invoking context's fonts/xobjects (the
+    deprecated-but-common §7.8.3 shape); image ``Do`` is a no-op for
+    text. Depth-capped so inherit-induced cycles terminate."""
     lex = _Lexer(content)
     stack: list = []
     runs: list[tuple[float, float, str]] = []
@@ -2103,6 +2181,28 @@ def _runs_from_content(
                     elif isinstance(el, (int, float)) and el <= -SPACE_KERN:
                         parts.append(" ")
                 show("".join(parts))
+            elif op == b"Do" and stack:
+                nm = stack[-1]
+                xo = (
+                    xobjs.get(nm)
+                    if xobjs is not None and isinstance(nm, str)
+                    else None
+                )
+                if (
+                    xo is not None
+                    and xo[0] == "form"
+                    and _depth < PdfDocument._XOBJ_MAX_DEPTH
+                ):
+                    _, _, sub_content, sub_fonts, sub_xobjs = xo
+                    runs.extend(
+                        _runs_from_content(
+                            sub_content,
+                            fonts if sub_fonts is None else sub_fonts,
+                            xobjs if sub_xobjs is None else sub_xobjs,
+                            _depth + 1,
+                        )
+                    )
+                    cur = None  # never merge runs across a Do boundary
             elif op == b"BI":
                 e = content.find(b"EI", lex.pos)
                 lex.pos = len(content) if e < 0 else e + 2
@@ -2154,7 +2254,8 @@ def extract_pdf_runs(data: bytes) -> list[tuple[int, float, float, str]]:
     out = []
     for i, page in enumerate(doc.pages()):
         fonts = doc.page_fonts(page)
-        for y, x, s in _runs_from_content(doc.page_content(page), fonts):
+        xobjs = doc.page_xobjects(page)
+        for y, x, s in _runs_from_content(doc.page_content(page), fonts, xobjs):
             out.append((i, y, x, s))
     return out
 
@@ -2184,5 +2285,68 @@ def extract_pdf_text(data: bytes) -> str:
     pages = []
     for page in doc.pages():
         fonts = doc.page_fonts(page)
-        pages.append(_assemble(_runs_from_content(doc.page_content(page), fonts)))
+        xobjs = doc.page_xobjects(page)
+        pages.append(
+            _assemble(_runs_from_content(doc.page_content(page), fonts, xobjs))
+        )
     return "\n".join(pages)
+
+
+def pdf_image_stats(
+    data: bytes,
+) -> list[tuple[int, str, int, int, int, str, str, int]]:
+    """Per-image inventory WITHOUT decoding pixels: [(page_index,
+    resource_name, width, height, bits_per_component, filter,
+    colorspace, raw_stream_bytes)] for every /Subtype /Image XObject
+    reachable from each page's resources, including images inside
+    (nested) form XObjects. Metadata comes from the image dict only —
+    the sample stream stays encoded (DCT/JPX payloads need no codec for
+    corpus analytics: format mix, pixel volume, bytes-per-page). Images
+    shared by name at several nesting levels are reported once per
+    distinct object per page; pages sharing one image each report it."""
+
+    def name_of(v) -> str:
+        return v.lstrip("/") if isinstance(v, str) else ""
+
+    doc = PdfDocument(data)
+    out = []
+    for i, page in enumerate(doc.pages()):
+        seen: set[int] = set()
+
+        def walk(xobjs: dict, page_idx: int = i, seen_nums: set = seen) -> None:
+            for name, xo in sorted(xobjs.items()):
+                if xo[0] == "image":
+                    _, num, d, raw_len = xo
+                    if num in seen_nums:
+                        continue
+                    seen_nums.add(num)
+                    w = d.get("/Width")
+                    h = d.get("/Height")
+                    bpc = d.get("/BitsPerComponent")
+                    filt = doc.resolve(d.get("/Filter"))
+                    if isinstance(filt, list):
+                        filt = "+".join(name_of(f) for f in filt)
+                    else:
+                        filt = name_of(filt)
+                    cs = doc.resolve(d.get("/ColorSpace"))
+                    if isinstance(cs, list):
+                        cs = name_of(cs[0]) if cs else ""
+                    else:
+                        cs = name_of(cs)
+                    out.append(
+                        (
+                            page_idx,
+                            name,
+                            int(w) if isinstance(w, (int, float)) else 0,
+                            int(h) if isinstance(h, (int, float)) else 0,
+                            int(bpc) if isinstance(bpc, (int, float)) else 0,
+                            filt,
+                            cs,
+                            raw_len,
+                        )
+                    )
+                elif xo[0] == "form" and xo[4]:
+                    walk(xo[4], page_idx, seen_nums)
+
+        walk(doc.page_xobjects(page))
+    return out

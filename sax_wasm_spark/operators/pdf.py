@@ -50,7 +50,8 @@ def extract_pdf_document(data: bytes) -> tuple[str | None, int, int, str]:
         n_runs = 0
         for page in pages:
             fonts = doc.page_fonts(page)
-            runs = _runs_from_content(doc.page_content(page), fonts)
+            xobjs = doc.page_xobjects(page)
+            runs = _runs_from_content(doc.page_content(page), fonts, xobjs)
             n_runs += len(runs)
             texts.append(_assemble(runs))
         return "\n".join(texts), len(pages), n_runs, "ok"
@@ -97,17 +98,85 @@ def extract_pdf(
     return src.mapInArrow(run, schema=out_schema)
 
 
+PDF_IMAGE_FIELDS = [
+    StructField("page_idx", IntegerType(), False),
+    StructField("img_name", StringType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("bpc", IntegerType(), False),
+    StructField("filter", StringType(), False),
+    StructField("colorspace", StringType(), False),
+    StructField("n_bytes", IntegerType(), False),
+]
+
+
+def pdf_images(
+    df: DataFrame, pdf_col: str = "pdf", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """pages(id…, pdf:binary) → one row per image XObject reachable
+    from any page (incl. images inside nested form XObjects): (id…,
+    page_idx, img_name, width, height, bpc, filter, colorspace,
+    n_bytes). Metadata only — sample streams stay encoded, so the
+    operator needs no image codec and its cost is the object-layer
+    parse it shares with text extraction. Poison documents contribute
+    zero rows (document-level health is the extract query's ``status``
+    column; the inventory is an analytics projection)."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
+    from ..kernel.pdftext import pdf_image_stats  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(list(id_fields) + PDF_IMAGE_FIELDS)
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in out_schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+    src = df.select(*id_cols, pdf_col)
+    n_id = len(id_cols)
+
+    def run(batches):
+        for rb in batches:
+            ids = [rb.column(j).to_pylist() for j in range(n_id)]
+            pdfs = rb.column(n_id).to_pylist()
+            out_ids: list[list] = [[] for _ in range(n_id)]
+            cols: list[list] = [[] for _ in PDF_IMAGE_FIELDS]
+            for row, data in enumerate(pdfs):
+                try:
+                    stats = pdf_image_stats(data if data is not None else b"")
+                except Exception:  # poison doc → zero inventory rows
+                    continue
+                for rec in stats:
+                    for j in range(n_id):
+                        out_ids[j].append(ids[j][row])
+                    for c, v in zip(cols, rec):
+                        c.append(v)
+            arrays = [
+                pa.array(out_ids[j], type=arrow_fields[j].type) for j in range(n_id)
+            ] + [
+                pa.array(cols[k], type=arrow_fields[n_id + k].type)
+                for k in range(len(PDF_IMAGE_FIELDS))
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return src.mapInArrow(run, schema=out_schema)
+
+
 def render_pdf_column(
     df: DataFrame,
     text_col: str = "text",
     id_cols: tuple[str, ...] = ("doc_id",),
     variant_col: str | None = None,
+    images_col: str | None = None,
 ) -> DataFrame:
     """(id…, text) → (id…, pdf:binary). Deterministic synthesis — the
     variant defaults to ``first_id % N_VARIANTS`` so the corpus exercises
     every generator/parser surface (uncompressed, flate+indirect-length,
     TJ/hex, split streams+incremental update, LZW, ToUnicode CID);
-    identical regardless of partitioning."""
+    identical regardless of partitioning. ``images_col`` (int) embeds
+    that many deterministic image XObjects per page (q58's inventory
+    corpus); 0/absent keeps the text-only corpus byte-identical."""
     import pyarrow as pa  # noqa: PLC0415
 
     from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
@@ -121,6 +190,8 @@ def render_pdf_column(
     ]
     arrow_schema = pa.schema(arrow_fields)
     cols = list(id_cols) + [text_col] + ([variant_col] if variant_col else [])
+    if images_col:
+        cols.append(images_col)
     src = df.select(*cols)
     n_id = len(id_cols)
 
@@ -128,13 +199,23 @@ def render_pdf_column(
         for rb in batches:
             ids = [rb.column(j).to_pylist() for j in range(n_id)]
             texts = rb.column(n_id).to_pylist()
+            col = n_id + 1
             if variant_col:
-                variants = rb.column(n_id + 1).to_pylist()
+                variants = rb.column(col).to_pylist()
+                col += 1
             else:
                 variants = [int(i) % N_VARIANTS for i in ids[0]]
+            if images_col:
+                images = rb.column(col).to_pylist()
+            else:
+                images = [0] * len(texts)
             pdfs = [
-                build_pdf(t if t is not None else "", variant=int(v) % N_VARIANTS)
-                for t, v in zip(texts, variants)
+                build_pdf(
+                    t if t is not None else "",
+                    variant=int(v) % N_VARIANTS,
+                    n_images=int(ni or 0),
+                )
+                for t, v, ni in zip(texts, variants, images)
             ]
             arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [
                 pa.array(pdfs, pa.binary())

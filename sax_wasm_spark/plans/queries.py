@@ -915,7 +915,7 @@ def sax_extract_roundtrip_sql():
 def pdf_extract_roundtrip(spark, sf_dir):
     """The PDF/layout leg of the extraction pipeline (north rule):
     documents are rendered into deterministic synthetic PDFs —
-    ``doc_id % 12`` cycles the generator variants (uncompressed Tj,
+    ``doc_id % 13`` cycles the generator variants (uncompressed Tj,
     Flate + indirect /Length, TJ-kerning + hex strings, split content
     streams + incremental update, LZWDecode, /ToUnicode CID-font
     2-byte codes, /ObjStm object streams, /Encoding /Differences
@@ -923,7 +923,8 @@ def pdf_extract_roundtrip(spark, sf_dir):
     §7.6 standard-security docs at both revisions, AES-encrypted docs
     at both crypt-filter tiers /AESV2 and /AESV3, embedded TrueType
     subsets whose only decode source is the font program's own cmap
-    table) — then parsed back
+    table, embedded bare-CFF subsets decoded through their charset +
+    encoding tables and String INDEX) — then parsed back
     by the from-scratch
     PDF kernel. Round-trip text equality is the closed-form oracle for
     the whole object-layer → filter → page-tree → text-operator →
@@ -2568,6 +2569,176 @@ def q56_sql():
     )
     SELECT doc_id, href, anchor_text FROM rows_out
     ORDER BY doc_id, href, anchor_text
+    """
+
+
+def q57_two_hop_reach(spark, sf_dir):
+    """Two-hop host reachability — the link-graph extension q55 left
+    on the table (round-7 notes item 7: 'a 2-hop/authority extension
+    would need a second exchange — design first'). Pages live on host
+    ``doc_id % 41`` and link to hosts at offsets ``1 + doc_id % 3`` and
+    ``5 + doc_id % 7`` (messy urls: uppercase scheme/authority, default
+    ports, fragments — normalized by functions/url, hrefs read off the
+    SAX kernel's Attribute events as in q55). Scale shape: the page-
+    level edge stream first collapses to the DISTINCT host-level edge
+    set (exchange 1 — at web scale ~10^8 host edges vs 10^12 page
+    edges, so everything downstream runs on the reduced set), then ONE
+    self-join dst=src (exchange 2, AQE picks SMJ/BHJ by the reduced
+    size) yields 2-hop targets; direct and 2-hop targets union into a
+    single hash aggregation counting distinct reachable hosts. Output
+    per host: n_hop1 (distinct direct successors) and n_hop2 (distinct
+    hosts reachable in ≤2 hops, self excluded)."""
+    from ..functions.url import url_host, url_normalize  # noqa: PLC0415
+    from ..operators.tokenize import tokenize_events  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    did = F.col("doc_id")
+    h = lambda e: F.concat(  # noqa: E731
+        F.lit("h"), e.cast("string"), F.lit(".example.com")
+    )
+    dst1 = (did + 1 + did % 3) % 41
+    dst2 = (did + 5 + did % 7) % 41
+    html = F.concat(
+        F.lit('<html><body><a href="HTTPS://'),
+        F.upper(h(dst1)),
+        F.lit(":443/a/"),
+        did.cast("string"),
+        F.lit('#f">x</a><a href="http://'),
+        h(dst2),
+        F.lit(":80/b/"),
+        did.cast("string"),
+        F.lit('">y</a></body></html>'),
+    )
+    pages = d.select("doc_id", html.cast("binary").alias("html"))
+    ev = tokenize_events(
+        pages, id_cols=("doc_id",), events=1 << 6, positions=False
+    )
+    edges = (
+        ev.where(F.col("attr_name").cast("string") == "href")
+        .select(
+            h(did % 41).alias("src_host"),
+            url_host(url_normalize(F.col("attr_value").cast("string"))).alias(
+                "dst_host"
+            ),
+        )
+        .distinct()
+    )
+    hop2 = (
+        edges.alias("a")
+        .join(edges.alias("b"), F.col("a.dst_host") == F.col("b.src_host"))
+        .select(
+            F.col("a.src_host").alias("host"),
+            F.col("b.dst_host").alias("t"),
+            F.lit(2).alias("hop"),
+        )
+    )
+    reach = edges.select(
+        F.col("src_host").alias("host"),
+        F.col("dst_host").alias("t"),
+        F.lit(1).alias("hop"),
+    ).unionByName(hop2)
+    return (
+        reach.groupBy("host")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("hop") == 1, F.col("t"))
+            ).alias("n_hop1"),
+            F.countDistinct(
+                F.when(F.col("t") != F.col("host"), F.col("t"))
+            ).alias("n_hop2"),
+        )
+        .orderBy("host")
+    )
+
+
+def q57_sql():
+    return """
+    WITH e AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT doc_id % 41 AS s, (doc_id + 1 + doc_id % 3) % 41 AS d
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 41, (doc_id + 5 + doc_id % 7) % 41
+        FROM documents
+      )
+    ), reach AS (
+      SELECT s, d AS t, 1 AS hop FROM e
+      UNION ALL
+      SELECT a.s, b.d, 2 FROM e a JOIN e b ON a.d = b.s
+    )
+    SELECT 'h' || CAST(s AS VARCHAR) || '.example.com' AS host,
+           CAST(count(DISTINCT CASE WHEN hop = 1 THEN t END) AS BIGINT)
+             AS n_hop1,
+           CAST(count(DISTINCT CASE WHEN t <> s THEN t END) AS BIGINT)
+             AS n_hop2
+    FROM reach GROUP BY s ORDER BY host
+    """
+
+
+def q58_pdf_image_inventory(spark, sf_dir):
+    """Image-XObject inventory over the synthetic PDF corpus — the
+    multimodal-column analytics a crawl pipeline runs before deciding
+    what to decode (format mix, pixel volume, bytes per document):
+    ``doc_id % 4`` deterministic images are embedded per document
+    (dims/filter/colorspace closed-form in len(text) and the image
+    index — sources/pdfgen._image_xobject), invoked by ``Do`` between
+    the text streams, and inventoried back by kernel
+    pdf_image_stats WITHOUT decoding a single sample (DCT/JPX payloads
+    need no codec for metadata analytics; decode stays a pluggable
+    stub per the env constraint). The text variants still cycle
+    underneath, so the inventory is proven text-invisible across the
+    whole writer surface including the encrypted tiers."""
+    from ..operators.pdf import pdf_images, render_pdf_column  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", "text", (F.col("doc_id") % 4).cast("int").alias("n_imgs")
+    )
+    pdfs = render_pdf_column(src, id_cols=("doc_id",), images_col="n_imgs")
+    inv = pdf_images(pdfs, pdf_col="pdf", id_cols=("doc_id",))
+    return inv.select(
+        "doc_id",
+        "img_name",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("bpc").cast("int").alias("bpc"),
+        "filter",
+        "colorspace",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+    ).orderBy("doc_id", "img_name")
+
+
+def q58_sql():
+    return """
+    WITH k AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(k)),
+    img AS (
+      SELECT d.doc_id, k.k,
+             length(d.text) AS tl
+      FROM documents d JOIN k ON k.k < d.doc_id % 4
+    ), m AS (
+      SELECT doc_id, k,
+             64 + (tl * 7 + k * 13) % 512 AS width,
+             36 + (tl * 11 + k * 17) % 512 AS height,
+             CASE WHEN k % 3 = 1 THEN 1 ELSE 8 END AS bpc,
+             CASE k % 4 WHEN 0 THEN 'DCTDecode' WHEN 1 THEN 'FlateDecode'
+                        WHEN 2 THEN 'CCITTFaxDecode' ELSE 'JPXDecode'
+             END AS filter,
+             CASE k % 3 WHEN 0 THEN 'DeviceRGB' WHEN 1 THEN 'DeviceGray'
+                        ELSE 'DeviceCMYK' END AS colorspace
+      FROM img
+    )
+    SELECT doc_id,
+           'Im' || CAST(k AS VARCHAR) AS img_name,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(bpc AS INTEGER) AS bpc,
+           filter, colorspace,
+           CAST(32 + (width * height) % 191 AS INTEGER) AS n_bytes
+    FROM m ORDER BY doc_id, img_name
     """
 
 

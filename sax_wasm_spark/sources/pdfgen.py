@@ -71,6 +71,13 @@ Variants exercise distinct parser surfaces so one query covers them all:
   segments so both reader branches are exercised per document. Falls
   back to variant-0 literal strings when the charset doesn't fit
   (non-BMP chars; >224 chars symbolic; non-Latin-1 nonsymbolic).
+* 12 — an embedded bare-CFF (Type1C) subset via /FontFile3, again with
+  NO /ToUnicode and NO /Encoding dict: codes resolve through the CFF
+  program's encoding table (format 0 explicit array for even text
+  lengths, format 1 contiguous range for odd), charset (custom SIDs
+  391+), and String INDEX glyph names (AGL table names / uniXXXX /
+  uXXXXX — so CJK and non-BMP text exercises the custom-string path).
+  Falls back to variant-0 literal strings past 224 distinct chars.
 
 Non-Latin-1 text is emitted as BOM-tagged UTF-16BE hex strings (the
 spec's text-string encoding), so any Unicode round-trips.
@@ -84,6 +91,7 @@ reader reconstructs the original line order.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -140,7 +148,7 @@ def _differences_array(codes: dict[str, int]) -> bytes:
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 12
+N_VARIANTS = 13
 
 _BASE_ENCODINGS = (b"WinAnsiEncoding", b"MacRomanEncoding", b"StandardEncoding")
 
@@ -249,6 +257,119 @@ def _truetype_blob(subtables: list[tuple[int, int, bytes]]) -> bytes:
         + struct.pack(">4s3I", b"cmap", 0, 28, len(cmap))
         + cmap
     )
+
+
+# -- minimal bare-CFF font programs (variant 12: /FontFile3 Type1C
+# subsets with no /ToUnicode and no /Encoding dict — text is only
+# recoverable through the program's charset + encoding tables; reader
+# twin: kernel.pdftext._parse_cff_encoding)
+
+
+def _cff_index(items: list[bytes]) -> bytes:
+    """CFF INDEX with offSize picked to fit the payload."""
+    if not items:
+        return struct.pack(">H", 0)
+    total = sum(map(len, items)) + 1
+    off_size = 1 if total <= 0xFF else 2 if total <= 0xFFFF else 3
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    ob = b"".join(o.to_bytes(off_size, "big") for o in offs)
+    return struct.pack(">HB", len(items), off_size) + ob + b"".join(items)
+
+
+def _cff_font(text: str, range_encoding: bool) -> tuple[dict[str, int], bytes] | None:
+    """(char → 1-byte show code, bare-CFF program) for variant 12, or
+    None when the charset doesn't fit. Every glyph name goes through
+    the String INDEX as a custom SID (391+i) — AGL table names for
+    Latin, uniXXXX/uXXXXX for the rest, exactly the /Differences name
+    vocabulary — so the reader's SID→string→AGL chain is exercised on
+    every document. ``range_encoding`` picks encoding format 1 (one
+    contiguous range) over format 0 (explicit code array)."""
+    charset = sorted(set(text) - {"\n"})
+    if not charset or len(charset) > 224:
+        return None
+    names = []
+    for c in charset:
+        n = _glyph_name(c)
+        if n is None:
+            return None
+        names.append(n.lstrip(b"/"))
+    codes = {c: 32 + i for i, c in enumerate(charset)}
+    n_glyphs = len(charset) + 1  # + .notdef
+
+    header = bytes([1, 0, 4, 1])
+    name_idx = _cff_index([b"SaxGenCFF"])
+    string_idx = _cff_index(names)  # SIDs 391..391+n-1
+    gsubr_idx = _cff_index([])
+    cs_idx = _cff_index([b"\x0e"] * n_glyphs)  # endchar stubs
+    # charset format 0: GID i+1 -> SID 391+i
+    charset_tbl = b"\x00" + b"".join(
+        struct.pack(">H", 391 + i) for i in range(len(charset))
+    )
+    if range_encoding:
+        enc_tbl = bytes([1, 1, 32, len(charset) - 1])
+    else:
+        enc_tbl = bytes([0, len(charset)]) + bytes(range(32, 32 + len(charset)))
+
+    def top_dict(cs: int, ch: int, en: int) -> bytes:
+        def op(v: int) -> bytes:
+            return b"\x1d" + struct.pack(">i", v)  # fixed-width int32
+
+        return _cff_index(
+            [op(ch) + b"\x0f" + op(en) + b"\x10" + op(cs) + b"\x11"]
+        )
+
+    pre = (
+        len(header) + len(name_idx) + len(top_dict(0, 0, 0))
+        + len(string_idx) + len(gsubr_idx)
+    )
+    ch_off = pre
+    en_off = ch_off + len(charset_tbl)
+    cs_off = en_off + len(enc_tbl)
+    blob = (
+        header + name_idx + top_dict(cs_off, ch_off, en_off)
+        + string_idx + gsubr_idx + charset_tbl + enc_tbl + cs_idx
+    )
+    return codes, blob
+
+
+def _relength(sd: bytes, n: int) -> bytes:
+    """Rewrite a stream dict's direct /Length after encryption changed
+    the payload size, preserving every other entry (image dicts must
+    keep /Subtype /Width /Filter …). Only dicts with a literal length
+    pass through here — variant 1's indirect /Length is never
+    combined with the encrypting variants."""
+    return re.sub(rb"/Length \d+", b"/Length %d" % n, sd, count=1)
+
+
+_IMG_FILTERS = (b"DCTDecode", b"FlateDecode", b"CCITTFaxDecode", b"JPXDecode")
+_IMG_SPACES = (b"DeviceRGB", b"DeviceGray", b"DeviceCMYK")
+
+
+def _image_xobject(text_len: int, k: int) -> tuple[bytes, bytes]:
+    """(stream dict, raw payload) for per-page image ``k`` — every
+    metadata field is a closed form of (text_len, k) so the image
+    inventory query's DuckDB oracle reproduces the result without
+    parsing a byte of PDF. The payload is deterministic junk: the
+    inventory reports metadata + raw byte count and never decodes
+    samples (DCT/JPX codecs are out of scope by design)."""
+    import hashlib  # noqa: PLC0415
+
+    w = 64 + (text_len * 7 + k * 13) % 512
+    h = 36 + (text_len * 11 + k * 17) % 512
+    bpc = 1 if k % 3 == 1 else 8
+    filt = _IMG_FILTERS[k % 4]
+    cs = _IMG_SPACES[k % 3]
+    n_bytes = 32 + (w * h) % 191
+    seed = hashlib.sha256(b"img:%d:%d" % (text_len, k)).digest()
+    payload = (seed * (n_bytes // 32 + 1))[:n_bytes]
+    sd = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+        b" /BitsPerComponent %d /ColorSpace /%s /Filter /%s /Length %d >>"
+        % (w, h, bpc, cs, filt, n_bytes)
+    )
+    return sd, payload
 
 
 def _truetype_font(
@@ -567,6 +688,34 @@ def _cid_hex(line: str, codes: dict[str, int], width: int = 2) -> bytes:
     return b"<" + raw.hex().upper().encode() + b">"
 
 
+def _layout_order(
+    lines: list[str], two_column: bool
+) -> list[tuple[int, float, str]]:
+    """[(x, y, line)] placement entries in deliberate stream order."""
+    order: list[tuple[int, float, str]] = []
+    if two_column:
+        half = (len(lines) + 1) // 2
+        for i, ln in enumerate(lines[half:]):
+            order.append((_X1, _Y0 - _LEAD * (half + i), ln))
+        for i, ln in enumerate(lines[:half]):
+            order.append((_X0, _Y0 - _LEAD * i, ln))
+    else:
+        for i, ln in enumerate(lines):
+            order.append((_X0, _Y0 - _LEAD * i, ln))
+    return order
+
+
+def _plain_ops(entries: list[tuple[int, float, str]]) -> list[bytes]:
+    """Variant-0-style literal-string ops for explicit placements —
+    the building block variant 13 splits across page + form streams."""
+    ops = [b"BT", b"/F1 12 Tf", b"%.1f TL" % _LEAD]
+    for x, y, ln in entries:
+        ops.append(b"1 0 0 1 %d %.1f Tm" % (x, y))
+        ops.append(_lit(ln) + b" Tj")
+    ops.append(b"ET")
+    return ops
+
+
 def _content_ops(
     lines: list[str],
     variant: int,
@@ -579,17 +728,7 @@ def _content_ops(
     else:
         font = b"/F3 12 Tf" if code_width == 1 else b"/F2 12 Tf"
     ops = [b"BT", font, b"%.1f TL" % _LEAD]
-    order: list[tuple[int, float, str]] = []
-    if two_column:
-        half = (len(lines) + 1) // 2
-        for i, ln in enumerate(lines[half:]):
-            order.append((_X1, _Y0 - _LEAD * (half + i), ln))
-        for i, ln in enumerate(lines[:half]):
-            order.append((_X0, _Y0 - _LEAD * i, ln))
-    else:
-        for i, ln in enumerate(lines):
-            order.append((_X0, _Y0 - _LEAD * i, ln))
-    for x, y, ln in order:
+    for x, y, ln in _layout_order(lines, two_column):
         ops.append(b"1 0 0 1 %d %.1f Tm" % (x, y))
         if codes is not None:
             ops.append(_cid_hex(ln, codes, code_width) + b" Tj")
@@ -606,8 +745,18 @@ def build_pdf(
     variant: int = 0,
     two_column: bool = False,
     lines_per_page: int | None = None,
+    n_images: int = 0,
 ) -> bytes:
-    """Render ``text`` (lines split on \\n) into a deterministic PDF."""
+    """Render ``text`` (lines split on \\n) into a deterministic PDF.
+
+    ``n_images`` > 0 additionally embeds that many deterministic image
+    XObjects per page (dims/filter/colorspace closed-form from
+    ``len(text)`` and the image index — see ``_image_xobject``) each
+    invoked by a ``Do`` between the text streams: the payloads stay
+    encoded junk (inventory never decodes samples) and MUST be
+    text-invisible to the extractor. Works with every variant; under
+    the encrypting variants the image dicts survive because encryption
+    rewrites only the /Length entry."""
     lines = text.split("\n") if text else [""]
     page_lines: list[list[str]]
     if lines_per_page:
@@ -685,6 +834,30 @@ def build_pdf(
             # same /F3 resource tag as variants 7/8: _content_ops
             # selects it for any 1-byte-coded simple font
             font_res = b"<< /F1 %d 0 R /F3 %d 0 R >>" % (font_num, tt_font_num)
+    if variant == 12:
+        sub = _cff_font("".join(lines), range_encoding=(len(text) % 2 == 1))
+        if sub is not None:
+            codes, cff = sub
+            code_width = 1
+            ff_num = next_num
+            desc_num = next_num + 1
+            cff_font_num = next_num + 2
+            next_num += 3
+            streams[ff_num] = (
+                b"<< /Subtype /Type1C /Length %d >>" % len(cff),
+                cff,
+            )
+            objs[desc_num] = (
+                b"<< /Type /FontDescriptor /FontName /SAXGN+SaxCFF"
+                b" /Flags 32 /FontFile3 %d 0 R >>" % ff_num
+            )
+            # deliberately NO /ToUnicode and NO /Encoding: the CFF
+            # program's charset+encoding are the only decode source
+            objs[cff_font_num] = (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /SAXGN+SaxCFF"
+                b" /FontDescriptor %d 0 R >>" % desc_num
+            )
+            font_res = b"<< /F1 %d 0 R /F3 %d 0 R >>" % (font_num, cff_font_num)
     if variant == 5:
         codes = _cid_codes("".join(lines))
         cmap_raw = zlib.compress(_tounicode_cmap(codes))
@@ -703,7 +876,47 @@ def build_pdf(
         font_res = b"<< /F1 %d 0 R /F2 %d 0 R >>" % (font_num, cid_font_num)
 
     for pi, plines in enumerate(page_lines):
-        ops = _content_ops(plines, variant, two_column, codes, code_width)
+        xobj_entries: list[bytes] = []
+        if variant == 13:
+            # text splits across THREE content streams: page content,
+            # form XObject /FxA (own /Resources, Flate-compressed), and
+            # /FxB nested INSIDE A with NO /Resources — B inherits the
+            # invoking context's (deprecated §7.8.3, common in real
+            # files). Interleaved thirds, so correct output REQUIRES
+            # recursing both levels and merging runs by layout.
+            order = _layout_order(plines, two_column)
+            b_raw = b"\n".join(_plain_ops(order[2::3]))
+            b_num = next_num
+            next_num += 1
+            streams[b_num] = (
+                b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+                b" /Length %d >>" % len(b_raw),
+                b_raw,
+            )
+            a_raw = zlib.compress(
+                b"\n".join(_plain_ops(order[1::3]) + [b"/FxB Do"])
+            )
+            a_num = next_num
+            next_num += 1
+            streams[a_num] = (
+                b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 %d 0 R >>"
+                b" /XObject << /FxB %d 0 R >> >>"
+                b" /Filter /FlateDecode /Length %d >>"
+                % (font_num, b_num, len(a_raw)),
+                a_raw,
+            )
+            xobj_entries.append(b"/FxA %d 0 R" % a_num)
+            ops = _plain_ops(order[0::3]) + [b"/FxA Do"]
+        else:
+            ops = _content_ops(plines, variant, two_column, codes, code_width)
+        for k in range(n_images):
+            sd, payload = _image_xobject(len(text), k)
+            im_num = next_num
+            next_num += 1
+            streams[im_num] = (sd, payload)
+            xobj_entries.append(b"/Im%d %d 0 R" % (k, im_num))
+            ops.append(b"/Im%d Do" % k)
         if variant == 3 and len(ops) > 4:
             split = len(ops) // 2
             chunks = [b"\n".join(ops[:split]), b"\n".join(ops[split:])]
@@ -736,12 +949,16 @@ def build_pdf(
         contents = (
             content_refs[0] if len(content_refs) == 1 else b"[" + b" ".join(content_refs) + b"]"
         )
+        res = b"<< /Font " + font_res
+        if xobj_entries:
+            res += b" /XObject << " + b" ".join(xobj_entries) + b" >>"
+        res += b" >>"
         objs[3 + pi] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents "
             + contents
-            + b" /Resources << /Font "
-            + font_res
-            + b" >> >>"
+            + b" /Resources "
+            + res
+            + b" >>"
         )
 
     if variant == 6:
@@ -798,10 +1015,7 @@ def build_pdf(
             o, u, key = _std_security(b"saxgen-owner", b"", p, id0, 3)
             for num, (sd, raw) in list(streams.items()):
                 ct = enc_stream(_enc_obj_key(key, num, aes=True), num, raw)
-                streams[num] = (
-                    b"<< /Length %d /Filter /FlateDecode >>" % len(ct),
-                    ct,
-                )
+                streams[num] = (_relength(sd, len(ct)), ct)
             prod = enc_stream(
                 _enc_obj_key(key, info_num, aes=True),
                 info_num,
@@ -841,10 +1055,7 @@ def build_pdf(
             )
             for num, (sd, raw) in list(streams.items()):
                 ct = enc_stream(file_key, num, raw)
-                streams[num] = (
-                    b"<< /Length %d /Filter /FlateDecode >>" % len(ct),
-                    ct,
-                )
+                streams[num] = (_relength(sd, len(ct)), ct)
             prod = enc_stream(
                 file_key, info_num, b"sax-wasm-spark pdfgen (AESV3)"
             )

@@ -175,14 +175,14 @@ def test_aesv3_share_is_pinned_per_sf():
     import duckdb
     import pytest
 
-    expected = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 22}
+    expected = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 24}
     for sf, want in expected.items():
         path = f"/root/testdata/{sf}/documents.parquet"
         if not os.path.exists(path):
             pytest.skip(f"{path} absent")
         got = duckdb.sql(
             f"SELECT count(*) FROM '{path}' "
-            "WHERE doc_id % 12 = 10 AND length(text) % 16 = 1"
+            "WHERE doc_id % 13 = 10 AND length(text) % 16 = 1"
         ).fetchone()[0]
         assert got == want, (
             f"{sf}: AESV3-gated doc count moved {want} -> {got}; "
