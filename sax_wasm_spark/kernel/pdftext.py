@@ -687,6 +687,115 @@ class PdfDocument:
                     out[k.lstrip("/")] = _decode_text(v)
         return out
 
+    def form_fields(self) -> list[tuple[str, str]]:
+        """Interactive-form (AcroForm, §12.7) terminal fields as
+        (fully-qualified name, value) pairs in tree order. Field names
+        join ancestor /T partial names with '.' per §12.7.3.2; values
+        decode as spec TEXT strings (/V string → _decode_text — the
+        other legitimate PDFDocEncoding scope besides /Info), name
+        values (checkbox/radio states like /Yes) surface without the
+        slash, choice-array values join with '; '. Encrypted documents
+        already hold decrypted strings here. Cycle-guarded and
+        depth-capped — a malformed self-referencing /Kids tree
+        truncates instead of recursing forever."""
+        cat = self.catalog()
+        out: list[tuple[str, str]] = []
+        if cat is None:
+            return out
+        acro = self.resolve(cat.get("/AcroForm"))
+        if not isinstance(acro, dict):
+            return out
+        seen: set[int] = set()
+
+        def fmt_value(v) -> str | None:
+            v = self.resolve(v)
+            if isinstance(v, bytes):
+                return _decode_text(v)
+            if isinstance(v, str):
+                return v.lstrip("/")
+            if isinstance(v, list):
+                parts = [fmt_value(x) for x in v]
+                return "; ".join(p for p in parts if p is not None)
+            return None
+
+        def walk(ref, prefix: str, depth: int) -> None:
+            if depth >= self._XOBJ_MAX_DEPTH:
+                return
+            if isinstance(ref, Ref):
+                if ref.num in seen:
+                    return
+                seen.add(ref.num)
+            node = self.resolve(ref)
+            if not isinstance(node, dict):
+                return
+            t = self.resolve(node.get("/T"))
+            name = prefix
+            if isinstance(t, bytes):
+                part = _decode_text(t)
+                name = f"{prefix}.{part}" if prefix else part
+            # kids carrying their own /T are sub-fields; kids without
+            # one are merged widget annotations, so the value (and the
+            # terminal field) is THIS node (§12.7.3.1)
+            kids = self.resolve(node.get("/Kids"))
+            named_kids = []
+            if isinstance(kids, list):
+                for k in kids:
+                    kd = self.resolve(k)
+                    if isinstance(kd, dict) and "/T" in kd:
+                        named_kids.append(k)
+            if named_kids:
+                for k in named_kids:
+                    walk(k, name, depth + 1)
+                return
+            if name and "/V" in node:
+                val = fmt_value(node.get("/V"))
+                if val is not None:
+                    out.append((name, val))
+
+        fields = self.resolve(acro.get("/Fields"))
+        if isinstance(fields, list):
+            for f in fields:
+                walk(f, "", 0)
+        return out
+
+    def outline_titles(self) -> list[tuple[int, str]]:
+        """Document outline (§12.3.3 bookmarks) as (depth, title) in
+        reading order — depth 1 = top level. Titles decode as TEXT
+        strings. The /First→/Next sibling chains are cycle-guarded and
+        the descent depth-capped, so malformed outlines truncate."""
+        cat = self.catalog()
+        out: list[tuple[int, str]] = []
+        if cat is None:
+            return out
+        root = self.resolve(cat.get("/Outlines"))
+        if not isinstance(root, dict):
+            return out
+        seen: set[int] = set()
+        steps = [0]
+
+        def walk(ref, depth: int) -> None:
+            while ref is not None and depth <= self._XOBJ_MAX_DEPTH:
+                steps[0] += 1
+                if steps[0] > 65536:  # direct-dict cycle backstop
+                    return
+                if isinstance(ref, Ref):
+                    if ref.num in seen:
+                        return
+                    seen.add(ref.num)
+                item = self.resolve(ref)
+                if not isinstance(item, dict):
+                    return
+                title = self.resolve(item.get("/Title"))
+                if isinstance(title, bytes):
+                    out.append((depth, _decode_text(title)))
+                first = item.get("/First")
+                if first is not None:
+                    walk(first, depth + 1)
+                ref = item.get("/Next")
+
+        walk(root.get("/First"), 1)
+        return out
+
     def _decrypt_if_needed(self) -> None:
         """ISO 32000 §7.6 standard security handler, EMPTY user
         password, all three wire formats:

@@ -47,7 +47,7 @@ Variants exercise distinct parser surfaces so one query covers them all:
   (AES-128-CBC, per-object md5+"sAlT" keys) for most texts,
   /V 5 /R 6 /AESV3 (ISO 32000-2 AES-256: Hash-2B salted password
   digests, /UE-wrapped file key, /Perms block) when
-  len(text) % 16 == 1 — both with an
+  len(text) % 16 == 3 — both with an
   empty user password, Flate-then-encrypt streams (IV ‖ CBC, PKCS#7),
   and an encrypted /Info string. The AES core is the from-scratch
   FIPS-197 implementation in kernel/aescipher.py.
@@ -78,6 +78,13 @@ Variants exercise distinct parser surfaces so one query covers them all:
   391+), and String INDEX glyph names (AGL table names / uniXXXX /
   uXXXXX — so CJK and non-BMP text exercises the custom-string path).
   Falls back to variant-0 literal strings past 224 distinct chars.
+* 13 — form XObjects: the text splits across THREE content streams —
+  page content, a Flate-compressed /Form XObject with its OWN
+  /Resources, and a second form nested INSIDE the first with NO
+  /Resources (inheriting the invoking context's — the deprecated
+  §7.8.3 shape real files still use). Interleaved line thirds, so a
+  correct extraction REQUIRES recursing both ``Do`` levels and merging
+  runs by layout.
 
 Non-Latin-1 text is emitted as BOM-tagged UTF-16BE hex strings (the
 spec's text-string encoding), so any Unicode round-trips.
@@ -148,7 +155,7 @@ def _differences_array(codes: dict[str, int]) -> bytes:
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 13
+N_VARIANTS = 14
 
 _BASE_ENCODINGS = (b"WinAnsiEncoding", b"MacRomanEncoding", b"StandardEncoding")
 
@@ -991,14 +998,14 @@ def build_pdf(
 
         # AES tier: /V 4 /R 4 /AESV2 (AES-128 crypt filters — the
         # overwhelming real-crawl shape); /V 5 /R 6 /AESV3 (AES-256,
-        # PDF 2.0) when len(text) % 16 == 1 (~6% of encrypted docs).
+        # PDF 2.0) when len(text) % 16 == 3 (~6% of encrypted docs).
         # The R6 Hash-2B is a deliberately-slow password KDF (64+
         # AES-CBC hardening rounds ≈ 1.5 s/doc on CPython), so its
         # synthetic share mirrors its real rarity instead of
         # dominating the corpus render time; the tier itself is fully
         # pinned by tests/test_pdf.py (roundtrips, writer/reader
         # Hash-2B differential, /U tamper rejection)
-        aes256 = len(text) % 16 == 1
+        aes256 = len(text) % 16 == 3
         p = -44
         id0 = hashlib.md5(b"aes:" + text.encode("utf-8")).digest()
 

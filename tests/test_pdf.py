@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", list(range(13)))
+@pytest.mark.parametrize("variant", list(range(14)))
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -209,7 +209,7 @@ def test_mutation_fuzz_never_raises(seed, n_mut):
     import random
 
     rng = random.Random(seed)
-    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 13))
+    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 14))
     for _ in range(n_mut):
         i = rng.randrange(len(base))
         base[i] = rng.randrange(256)
@@ -801,10 +801,10 @@ def test_aes_core_fips197_vectors():
 def test_variant10_both_tiers_and_multipage():
     from sax_wasm_spark.kernel.pdftext import PdfDocument
 
-    # AESV3 fires when len(text) % 16 == 1 (see pdfgen variant 10)
+    # AESV3 fires when len(text) % 16 == 3 (see pdfgen variant 10)
     for t, cfm, prod in (
         ("evenlen!", b"/CFM /AESV2", b"sax-wasm-spark pdfgen (AESV2)"),
-        ("seventeen chars!!", b"/CFM /AESV3", b"sax-wasm-spark pdfgen (AESV3)"),
+        ("nineteen chars here", b"/CFM /AESV3", b"sax-wasm-spark pdfgen (AESV3)"),
     ):
         pdf = build_pdf(t, variant=10)
         assert cfm in pdf and b"/Encrypt" in pdf
@@ -830,7 +830,7 @@ def test_v5_wrong_password_and_hash2b_differential():
     from sax_wasm_spark.kernel.pdftext import PasswordProtected, _hash_2b
     from sax_wasm_spark.sources.pdfgen import _hash_2b_w
 
-    pdf = build_pdf("seventeen chars!!", variant=10)  # len 17 -> AESV3
+    pdf = build_pdf("nineteen chars here", variant=10)  # len 19 -> AESV3
     m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
     u = bytes.fromhex(m.group(1).decode())
     bad = bytes([u[0] ^ 0xFF]) + u[1:]
@@ -981,9 +981,9 @@ def test_v5_kdf_call_budget_and_salt_reuse():
     old_r, old_w = kpdf._hash_2b, gpdf._hash_2b_w
     kpdf._hash_2b, gpdf._hash_2b_w = count_r, count_w
     try:
-        pdf = build_pdf("seventeen chars!!", variant=10)  # len 17 -> AESV3
+        pdf = build_pdf("nineteen chars here", variant=10)  # len 19 -> AESV3
         assert calls["w"] == 2, f"writer ran {calls['w']} Hash-2B calls"
-        assert extract_pdf_text(pdf) == "seventeen chars!!"
+        assert extract_pdf_text(pdf) == "nineteen chars here"
         assert calls["r"] == 1, f"reader ran {calls['r']} Hash-2B calls"
     finally:
         kpdf._hash_2b, gpdf._hash_2b_w = old_r, old_w
@@ -1005,7 +1005,7 @@ def test_v5_distinct_salts_still_take_two_call_path():
     from sax_wasm_spark.kernel.aescipher import aes_cbc_decrypt, aes_cbc_encrypt
     from sax_wasm_spark.kernel.pdftext import _hash_2b
 
-    pdf = build_pdf("seventeen chars!!", variant=10)
+    pdf = build_pdf("nineteen chars here", variant=10)
     m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
     u = bytes.fromhex(m.group(1).decode())
     m2 = _re.search(rb"/UE <([0-9a-f]+)>", pdf)
@@ -1018,7 +1018,7 @@ def test_v5_distinct_salts_still_take_two_call_path():
     patched = pdf.replace(m.group(1), u2.hex().encode()).replace(
         m2.group(1), ue2.hex().encode()
     )
-    assert extract_pdf_text(patched) == "seventeen chars!!"
+    assert extract_pdf_text(patched) == "nineteen chars here"
 
 
 def test_v5_budget_knob_degrades_to_error_row(monkeypatch):
@@ -1027,12 +1027,12 @@ def test_v5_budget_knob_degrades_to_error_row(monkeypatch):
     for throughput — docs degrade to error:EncryptedAes rows instead of
     paying the KDF. RC4/AESV2 tiers are unaffected."""
     monkeypatch.setenv("SAX_WASM_SPARK_AESV3", "0")
-    aes3 = build_pdf("seventeen chars!!", variant=10)
+    aes3 = build_pdf("nineteen chars here", variant=10)
     assert extract_pdf_document(aes3)[3] == "error:EncryptedAes"
     # AESV2 (even-length text) still decrypts under the knob
     assert extract_pdf_text(build_pdf("evenlen!", variant=10)) == "evenlen!"
     monkeypatch.delenv("SAX_WASM_SPARK_AESV3")
-    assert extract_pdf_text(aes3) == "seventeen chars!!"
+    assert extract_pdf_text(aes3) == "nineteen chars here"
 
 
 # ---------------------------------------------------------------------------
@@ -1614,3 +1614,162 @@ def test_cff_expert_charsets_degrade_to_none():
             + index([]) + index([]) + enc + cs_idx
         )
         assert _parse_cff_encoding(blob) is None
+
+
+# ---------------------------------------------------------------------------
+# form XObjects + image inventory (late round 7)
+
+
+def test_variant13_structure_and_multipage():
+    """Variant 13 splits text across page content + form /FxA (own
+    /Resources, Flate) + form /FxB nested inside A with NO /Resources
+    (inherits); the roundtrip only works if both Do levels recurse."""
+    text = "\n".join(f"form line {i}" for i in range(10))
+    pdf = build_pdf(text, variant=13)
+    assert pdf.count(b"/Subtype /Form") == 2
+    # the nested form's dict carries no /Resources of its own
+    import re as _re
+
+    m = _re.search(
+        rb"<< /Type /XObject /Subtype /Form /BBox \[0 0 612 792\]"
+        rb" /Length \d+ >>",
+        pdf,
+    )
+    assert m is not None  # exactly the no-/Resources inner form
+    assert extract_pdf_text(pdf) == text
+    # multipage: each page gets its own form pair
+    assert (
+        extract_pdf_text(build_pdf(text, variant=13, lines_per_page=4)) == text
+    )
+
+
+def test_self_referencing_form_terminates():
+    """A form whose /Resources /XObject points back at itself must
+    degrade to truncated nesting (cycle guard), not recurse forever."""
+    from sax_wasm_spark.kernel.pdftext import extract_pdf_text as ext
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >>"
+        b" /XObject << /Fx 6 0 R >> >> >>",
+        None,  # content stream, filled below
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        None,  # self-referencing form, filled below
+    ]
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720.0 Tm (top) Tj ET\n/Fx Do"
+    form = b"BT /F1 12 Tf 1 0 0 1 72 706.0 Tm (inner) Tj ET\n/Fx Do"
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for i, (num, body) in enumerate(
+        [(1, objs[0]), (2, objs[1]), (3, objs[2]), (5, objs[4])]
+    ):
+        offs[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    offs[4] = len(out)
+    out += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    offs[6] = len(out)
+    out += (
+        b"6 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 5 0 R >> /XObject << /Fx 6 0 R >> >>"
+        b" /Length %d >>\nstream\n" % len(form)
+        + form
+        + b"\nendstream\nendobj\n"
+    )
+    xref = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for num in range(1, 7):
+        out += b"%010d 00000 n \n" % offs[num]
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref
+    )
+    got = ext(bytes(out))
+    # top-level text + exactly ONE inner expansion (the self-reference
+    # inside the form's own resources is dropped by the visited set)
+    assert got == "top\ninner"
+
+
+def test_image_inventory_closed_form_and_encrypted_tiers():
+    """pdf_image_stats must report the writer's closed-form metadata
+    exactly — including under RC4 and AES encryption, where streams
+    decrypt transparently so n_bytes is the cleartext payload size."""
+    from sax_wasm_spark.kernel.pdftext import pdf_image_stats
+
+    text = "img doc\nline two"  # len 16 -> AESV2 under variant 10
+    for v in (0, 9, 10, 13):
+        pdf = build_pdf(text, variant=v, n_images=4)
+        stats = pdf_image_stats(pdf)
+        assert len(stats) == 4, (v, stats)
+        for k, (pi, name, w, h, bpc, filt, cs, nb) in enumerate(stats):
+            assert (pi, name) == (0, f"Im{k}")
+            assert w == 64 + (len(text) * 7 + k * 13) % 512
+            assert h == 36 + (len(text) * 11 + k * 17) % 512
+            assert bpc == (1 if k % 3 == 1 else 8)
+            assert filt == ("DCTDecode", "FlateDecode", "CCITTFaxDecode",
+                            "JPXDecode")[k % 4]
+            assert cs == ("DeviceRGB", "DeviceGray", "DeviceCMYK")[k % 3]
+            assert nb == 32 + (w * h) % 191
+        assert extract_pdf_text(pdf) == text  # images stay text-invisible
+
+
+def test_image_inventory_recurses_into_forms():
+    """An image reachable only through a form XObject's own resources
+    is still inventoried (real PDFs put logos inside letterhead
+    forms)."""
+    from sax_wasm_spark.kernel.pdftext import pdf_image_stats
+    from sax_wasm_spark.sources.pdfgen import _image_xobject
+
+    isd, ipay = _image_xobject(7, 0)
+    form = b"BT /F1 12 Tf 1 0 0 1 72 720.0 Tm (x) Tj ET\n/Im9 Do"
+    content = b"/Fx Do"
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for num, body in (
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >>"
+            b" /XObject << /Fx 6 0 R >> >> >>",
+        ),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ):
+        offs[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    offs[4] = len(out)
+    out += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    offs[6] = len(out)
+    out += (
+        b"6 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 5 0 R >>"
+        b" /XObject << /Im9 7 0 R >> >> /Length %d >>\nstream\n" % len(form)
+        + form
+        + b"\nendstream\nendobj\n"
+    )
+    offs[7] = len(out)
+    out += (
+        b"7 0 obj\n" + isd + b"\nstream\n" + ipay + b"\nendstream\nendobj\n"
+    )
+    xref = len(out)
+    out += b"xref\n0 8\n0000000000 65535 f \n"
+    for num in range(1, 8):
+        out += b"%010d 00000 n \n" % offs[num]
+    out += (
+        b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref
+    )
+    stats = pdf_image_stats(bytes(out))
+    assert [s[1] for s in stats] == ["Im9"]
+    assert stats[0][7] == len(ipay)
+    from sax_wasm_spark.kernel.pdftext import extract_pdf_text as ext
+
+    assert ext(bytes(out)) == "x"

@@ -329,3 +329,18 @@ def test_q56_anchor_text_single_doc_window(spark):
     hash_ex = re.findall(r"Arguments: hashpartitioning\(\w+", plan)
     assert hash_ex == ["Arguments: hashpartitioning(doc_id"], plan[:3000]
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:3000]
+
+
+def test_q57_two_hop_joins_deduped_host_edges(spark):
+    """The 2-hop self-join must run on the DISTINCT host-level edge
+    set, not the page-level edge stream: the dedup aggregation keyed
+    (src_host, dst_host) sits upstream of an equi join (SMJ/BHJ —
+    never a nested-loop shape). At web scale this is the difference
+    between joining ~10^8 host edges and joining 10^12 page edges."""
+    from sax_wasm_spark.plans.queries import q57_two_hop_reach
+
+    plan = plan_of(q57_two_hop_reach(spark, SF))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert re.search(r"Keys \[2\]: \[src_host", plan), plan[:3000]
