@@ -109,26 +109,37 @@ PDF_IMAGE_FIELDS = [
     StructField("n_bytes", IntegerType(), False),
 ]
 
+PDF_FIELD_FIELDS = [
+    StructField("field_ord", IntegerType(), False),
+    StructField("field_name", StringType(), False),
+    StructField("field_value", StringType(), False),
+]
 
-def pdf_images(
-    df: DataFrame, pdf_col: str = "pdf", id_cols: tuple[str, ...] = ("doc_id",)
+PDF_OUTLINE_FIELDS = [
+    StructField("item_ord", IntegerType(), False),
+    StructField("depth", IntegerType(), False),
+    StructField("title", StringType(), False),
+]
+
+
+def _per_pdf_rows(
+    df: DataFrame,
+    pdf_col: str,
+    id_cols: tuple[str, ...],
+    item_fields: list,
+    fn,
 ) -> DataFrame:
-    """pages(id…, pdf:binary) → one row per image XObject reachable
-    from any page (incl. images inside nested form XObjects): (id…,
-    page_idx, img_name, width, height, bpc, filter, colorspace,
-    n_bytes). Metadata only — sample streams stay encoded, so the
-    operator needs no image codec and its cost is the object-layer
-    parse it shares with text extraction. Poison documents contribute
-    zero rows (document-level health is the extract query's ``status``
-    column; the inventory is an analytics projection)."""
+    """Shared explode shape for per-document PDF inventories: ``fn``
+    maps one document's bytes to a list of row tuples matching
+    ``item_fields``; id columns replicate per row. Poison documents
+    contribute zero rows (document-level health is the extract query's
+    ``status`` column; inventories are analytics projections)."""
     import pyarrow as pa  # noqa: PLC0415
 
     from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
 
-    from ..kernel.pdftext import pdf_image_stats  # noqa: PLC0415
-
     id_fields = [df.schema[c] for c in id_cols]
-    out_schema = StructType(list(id_fields) + PDF_IMAGE_FIELDS)
+    out_schema = StructType(list(id_fields) + item_fields)
     arrow_fields = [
         pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in out_schema.fields
     ]
@@ -141,13 +152,13 @@ def pdf_images(
             ids = [rb.column(j).to_pylist() for j in range(n_id)]
             pdfs = rb.column(n_id).to_pylist()
             out_ids: list[list] = [[] for _ in range(n_id)]
-            cols: list[list] = [[] for _ in PDF_IMAGE_FIELDS]
+            cols: list[list] = [[] for _ in item_fields]
             for row, data in enumerate(pdfs):
                 try:
-                    stats = pdf_image_stats(data if data is not None else b"")
+                    recs = fn(data if data is not None else b"")
                 except Exception:  # poison doc → zero inventory rows
                     continue
-                for rec in stats:
+                for rec in recs:
                     for j in range(n_id):
                         out_ids[j].append(ids[j][row])
                     for c, v in zip(cols, rec):
@@ -156,11 +167,56 @@ def pdf_images(
                 pa.array(out_ids[j], type=arrow_fields[j].type) for j in range(n_id)
             ] + [
                 pa.array(cols[k], type=arrow_fields[n_id + k].type)
-                for k in range(len(PDF_IMAGE_FIELDS))
+                for k in range(len(item_fields))
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     return src.mapInArrow(run, schema=out_schema)
+
+
+def pdf_images(
+    df: DataFrame, pdf_col: str = "pdf", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """pages(id…, pdf:binary) → one row per image XObject reachable
+    from any page (incl. images inside nested form XObjects): (id…,
+    page_idx, img_name, width, height, bpc, filter, colorspace,
+    n_bytes). Metadata only — sample streams stay encoded, so the
+    operator needs no image codec and its cost is the object-layer
+    parse it shares with text extraction."""
+    from ..kernel.pdftext import pdf_image_stats  # noqa: PLC0415
+
+    return _per_pdf_rows(df, pdf_col, id_cols, PDF_IMAGE_FIELDS, pdf_image_stats)
+
+
+def pdf_form_fields(
+    df: DataFrame, pdf_col: str = "pdf", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """pages(id…, pdf:binary) → one row per terminal AcroForm field:
+    (id…, field_ord, field_name, field_value) in tree order — the
+    filled-form text surface (§12.7) real crawls extract alongside
+    body text; values decode as TEXT strings (and decrypt
+    transparently under the §7.6 handlers)."""
+    from ..kernel.pdftext import PdfDocument  # noqa: PLC0415
+
+    def fn(data: bytes):
+        fields = PdfDocument(data).form_fields()
+        return [(i, n, v) for i, (n, v) in enumerate(fields)]
+
+    return _per_pdf_rows(df, pdf_col, id_cols, PDF_FIELD_FIELDS, fn)
+
+
+def pdf_outline(
+    df: DataFrame, pdf_col: str = "pdf", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """pages(id…, pdf:binary) → one row per outline item (§12.3.3
+    bookmarks) in reading order: (id…, item_ord, depth, title)."""
+    from ..kernel.pdftext import PdfDocument  # noqa: PLC0415
+
+    def fn(data: bytes):
+        items = PdfDocument(data).outline_titles()
+        return [(i, d, t) for i, (d, t) in enumerate(items)]
+
+    return _per_pdf_rows(df, pdf_col, id_cols, PDF_OUTLINE_FIELDS, fn)
 
 
 def render_pdf_column(
@@ -169,6 +225,8 @@ def render_pdf_column(
     id_cols: tuple[str, ...] = ("doc_id",),
     variant_col: str | None = None,
     images_col: str | None = None,
+    fields_col: str | None = None,
+    outline_col: str | None = None,
 ) -> DataFrame:
     """(id…, text) → (id…, pdf:binary). Deterministic synthesis — the
     variant defaults to ``first_id % N_VARIANTS`` so the corpus exercises
@@ -189,9 +247,10 @@ def render_pdf_column(
         pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in out_schema.fields
     ]
     arrow_schema = pa.schema(arrow_fields)
-    cols = list(id_cols) + [text_col] + ([variant_col] if variant_col else [])
-    if images_col:
-        cols.append(images_col)
+    extra_cols = [
+        c for c in (variant_col, images_col, fields_col, outline_col) if c
+    ]
+    cols = list(id_cols) + [text_col] + extra_cols
     src = df.select(*cols)
     n_id = len(id_cols)
 
@@ -200,22 +259,31 @@ def render_pdf_column(
             ids = [rb.column(j).to_pylist() for j in range(n_id)]
             texts = rb.column(n_id).to_pylist()
             col = n_id + 1
-            if variant_col:
-                variants = rb.column(col).to_pylist()
-                col += 1
-            else:
-                variants = [int(i) % N_VARIANTS for i in ids[0]]
-            if images_col:
-                images = rb.column(col).to_pylist()
-            else:
-                images = [0] * len(texts)
+            extras: dict[str, list] = {}
+            for name in (variant_col, images_col, fields_col, outline_col):
+                if name:
+                    extras[name] = rb.column(col).to_pylist()
+                    col += 1
+            zero = [0] * len(texts)
+            variants = (
+                extras[variant_col]
+                if variant_col
+                else [int(i) % N_VARIANTS for i in ids[0]]
+            )
+            images = extras[images_col] if images_col else zero
+            fields = extras[fields_col] if fields_col else zero
+            outlines = extras[outline_col] if outline_col else zero
             pdfs = [
                 build_pdf(
                     t if t is not None else "",
                     variant=int(v) % N_VARIANTS,
                     n_images=int(ni or 0),
+                    n_fields=int(nf or 0),
+                    n_outline=int(no or 0),
                 )
-                for t, v, ni in zip(texts, variants, images)
+                for t, v, ni, nf, no in zip(
+                    texts, variants, images, fields, outlines
+                )
             ]
             arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [
                 pa.array(pdfs, pa.binary())

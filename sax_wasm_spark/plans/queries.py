@@ -2743,6 +2743,92 @@ def q58_sql():
     """
 
 
+def q59_pdf_form_fields(spark, sf_dir):
+    """Filled-form (AcroForm §12.7) text extraction — the field-value
+    surface real crawls harvest alongside body text (applications,
+    invoices, government forms): ``doc_id % 5`` text fields are
+    embedded per document across the THREE real-world field shapes
+    (flat, hierarchical parent.kid dotted names, widget-merged
+    value-on-parent), with names/values closed-form in len(text) and
+    the field index, then read back by kernel form_fields(). The text
+    variants cycle underneath, so field values round-trip through
+    /ObjStm relocation AND the three §7.6 encryption tiers — field
+    values are TEXT strings, which the encrypting writer variants emit
+    as per-object encrypted hex, so this is the string-decryption
+    oracle (the body-text oracle only proves stream decryption)."""
+    from ..operators.pdf import pdf_form_fields, render_pdf_column  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", "text", (F.col("doc_id") % 5).cast("int").alias("n_flds")
+    )
+    pdfs = render_pdf_column(src, id_cols=("doc_id",), fields_col="n_flds")
+    inv = pdf_form_fields(pdfs, pdf_col="pdf", id_cols=("doc_id",))
+    return inv.select(
+        "doc_id",
+        F.col("field_ord").cast("int").alias("field_ord"),
+        "field_name",
+        "field_value",
+    ).orderBy("doc_id", "field_ord")
+
+
+def q59_sql():
+    return """
+    WITH k AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(k)),
+    f AS (
+      SELECT d.doc_id, k.k, length(d.text) AS tl
+      FROM documents d JOIN k ON k.k < d.doc_id % 5
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS field_ord,
+           CASE WHEN k % 3 = 1 THEN 'grp' || CAST(k AS VARCHAR) || '.a'
+                ELSE 'field' || CAST(k AS VARCHAR) END AS field_name,
+           'val ' || CAST(tl * 31 + k AS VARCHAR) AS field_value
+    FROM f ORDER BY doc_id, field_ord
+    """
+
+
+def q60_pdf_outline(spark, sf_dir):
+    """Document-outline (§12.3.3 bookmark) extraction — the
+    table-of-contents text surface, a section-structure signal for
+    LLM-corpus curation: ``doc_id % 6`` outline items per document
+    (even indices top-level, odd ones the child of the preceding top,
+    so reading order equals the index and both sibling-chain and
+    /First descent are exercised), titles read back by kernel
+    outline_titles() across the full variant cycle (encrypted docs
+    prove /Title string decryption)."""
+    from ..operators.pdf import pdf_outline, render_pdf_column  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", "text", (F.col("doc_id") % 6).cast("int").alias("n_out")
+    )
+    pdfs = render_pdf_column(src, id_cols=("doc_id",), outline_col="n_out")
+    inv = pdf_outline(pdfs, pdf_col="pdf", id_cols=("doc_id",))
+    return inv.select(
+        "doc_id",
+        F.col("item_ord").cast("int").alias("item_ord"),
+        F.col("depth").cast("int").alias("depth"),
+        "title",
+    ).orderBy("doc_id", "item_ord")
+
+
+def q60_sql():
+    return """
+    WITH j AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4)) AS t(j)),
+    o AS (SELECT d.doc_id, j.j FROM documents d JOIN j ON j.j < d.doc_id % 6)
+    SELECT doc_id,
+           CAST(j AS INTEGER) AS item_ord,
+           CAST(1 + j % 2 AS INTEGER) AS depth,
+           'sec ' || CAST(j AS VARCHAR) AS title
+    FROM o ORDER BY doc_id, item_ord
+    """
+
+
 def q49_crawl_schedule(spark, sf_dir):
     """Politeness-correct fetch scheduling — the synthesis of the
     crawl-politeness triplet (q44 audits actual gaps, q46 gates what
@@ -3046,13 +3132,14 @@ def q44_sql():
 # parity queries (sax_*/pdf/warc) and the newest queries come FIRST;
 # with 66 registered, 16 rows sit outside the checked window.
 # Round-7 rotation (VERDICT r6 item 2 + ADVICE): newest queries come
-# FIRST in the window — q58/q57 (late round 7), then q56/q55/q54,
-# then q53 (tail-registered in r6, never driver-checked). q01–q08 +
-# q33/q34 (the r6 tail) come back in; the tail is q09–q19 + q28–q32
-# — all driver-green in r6 and mirror-checked at both scales every
-# round (q28/q29 were pushed past the cut when q57/q58 landed). The
-# sax_*/pdf/warc flagships stay in-window permanently. Round-8 tail
-# candidates: q20–q27 slice out, q09–q19 + q28–q32 back in.
+# FIRST in the window — q60/q59/q58/q57 (late round 7), then
+# q56/q55/q54, then q53 (tail-registered in r6, never
+# driver-checked). q01–q08 + q33/q34 (the r6 tail) come back in; the
+# tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
+# late-round additions — all driver-green in r6 and mirror-checked at
+# both scales every round. The sax_*/pdf/warc flagships stay
+# in-window permanently. Round-8 tail candidates: q20–q27 slice out,
+# q09–q19 + q28–q32 back in.
 QUERIES = {
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
@@ -3062,6 +3149,8 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q60_pdf_outline": q60_pdf_outline,
+    "q59_pdf_form_fields": q59_pdf_form_fields,
     "q58_pdf_image_inventory": q58_pdf_image_inventory,
     "q57_two_hop_reach": q57_two_hop_reach,
     "q56_anchor_text": q56_anchor_text,
@@ -3181,6 +3270,8 @@ ORACLES = {
     "q56_anchor_text": q56_sql(),
     "q57_two_hop_reach": q57_sql(),
     "q58_pdf_image_inventory": q58_sql(),
+    "q59_pdf_form_fields": q59_sql(),
+    "q60_pdf_outline": q60_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -753,6 +753,8 @@ def build_pdf(
     two_column: bool = False,
     lines_per_page: int | None = None,
     n_images: int = 0,
+    n_fields: int = 0,
+    n_outline: int = 0,
 ) -> bytes:
     """Render ``text`` (lines split on \\n) into a deterministic PDF.
 
@@ -763,7 +765,16 @@ def build_pdf(
     encoded junk (inventory never decodes samples) and MUST be
     text-invisible to the extractor. Works with every variant; under
     the encrypting variants the image dicts survive because encryption
-    rewrites only the /Length entry."""
+    rewrites only the /Length entry.
+
+    ``n_fields`` adds that many AcroForm text fields (shapes cycle:
+    flat, hierarchical parent.kid, widget-merged value-on-parent;
+    names/values closed-form in ``len(text)`` and the index) and
+    ``n_outline`` a bookmark tree (even indices top-level, odd the
+    child of the preceding top — reading order equals the index). Both
+    surface TEXT strings, which the encrypting variants emit as
+    per-object encrypted hex — so ``form_fields()``/``outline_titles()``
+    exercise string decryption, not just stream decryption."""
     lines = text.split("\n") if text else [""]
     page_lines: list[list[str]]
     if lines_per_page:
@@ -882,6 +893,111 @@ def build_pdf(
         )
         font_res = b"<< /F1 %d 0 R /F2 %d 0 R >>" % (font_num, cid_font_num)
 
+    # -- AcroForm fields + outline (deferred-string slots: the \x00S\x00
+    # placeholders substitute to plain literals for clear files and to
+    # per-object encrypted hex strings under variants 9/10, exercising
+    # the reader's string decryption on the TEXT-string surface)
+    str_slots: dict[int, list[bytes]] = {}
+
+    def _fill_strings(strfn) -> None:
+        for num, raws in str_slots.items():
+            body = objs[num]
+            for raw in raws:
+                body = body.replace(b"\x00S\x00", strfn(num, raw), 1)
+            objs[num] = body
+        str_slots.clear()
+
+    def _plain_str(_num: int, raw: bytes) -> bytes:
+        return (
+            b"("
+            + raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+            + b")"
+        )
+
+    cat_extra = b""
+    if n_fields:
+        fd_refs = []
+        for k in range(n_fields):
+            val = b"val %d" % (len(text) * 31 + k)
+            shape = k % 3
+            if shape == 1:
+                # hierarchical: parent /T carries the prefix, named kid
+                # the terminal field — full name grp<k>.a
+                kid = next_num
+                par = next_num + 1
+                next_num += 2
+                objs[kid] = (
+                    b"<< /FT /Tx /T \x00S\x00 /V \x00S\x00 /Parent %d 0 R >>"
+                    % par
+                )
+                str_slots[kid] = [b"a", val]
+                objs[par] = b"<< /T \x00S\x00 /Kids [%d 0 R] >>" % kid
+                str_slots[par] = [b"grp%d" % k]
+                fd_refs.append(par)
+            elif shape == 2:
+                # widget-merged: the kid is a bare widget annotation
+                # (no /T), so the value lives on the parent (§12.7.3.1)
+                par = next_num
+                kid = next_num + 1
+                next_num += 2
+                objs[par] = (
+                    b"<< /FT /Tx /T \x00S\x00 /V \x00S\x00 /Kids [%d 0 R] >>"
+                    % kid
+                )
+                str_slots[par] = [b"field%d" % k, val]
+                objs[kid] = (
+                    b"<< /Type /Annot /Subtype /Widget /Rect [0 0 1 1]"
+                    b" /Parent %d 0 R >>" % par
+                )
+                fd_refs.append(par)
+            else:
+                fnum = next_num
+                next_num += 1
+                objs[fnum] = b"<< /FT /Tx /T \x00S\x00 /V \x00S\x00 >>"
+                str_slots[fnum] = [b"field%d" % k, val]
+                fd_refs.append(fnum)
+        acro_num = next_num
+        next_num += 1
+        objs[acro_num] = (
+            b"<< /Fields ["
+            + b" ".join(b"%d 0 R" % r for r in fd_refs)
+            + b"] >>"
+        )
+        cat_extra += b" /AcroForm %d 0 R" % acro_num
+    if n_outline:
+        # chain: even j are top-level siblings, odd j the single child
+        # of the preceding top-level item — reading order equals j
+        onums = list(range(next_num, next_num + n_outline))
+        next_num += n_outline
+        root_num = next_num
+        next_num += 1
+        tops = [j for j in range(n_outline) if j % 2 == 0]
+        for j in range(n_outline):
+            if j % 2 == 0:
+                parent = root_num
+                nxt = j + 2 if j + 2 < n_outline else None
+            else:
+                parent = onums[j - 1]
+                nxt = None
+            body = b"<< /Title \x00S\x00 /Parent %d 0 R" % parent
+            if nxt is not None:
+                body += b" /Next %d 0 R" % onums[nxt]
+            if j % 2 == 0 and j + 1 < n_outline:
+                body += b" /First %d 0 R /Last %d 0 R /Count 1" % (
+                    onums[j + 1],
+                    onums[j + 1],
+                )
+            body += b" >>"
+            objs[onums[j]] = body
+            str_slots[onums[j]] = [b"sec %d" % j]
+        objs[root_num] = (
+            b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+            % (onums[tops[0]], onums[tops[-1]], len(tops))
+        )
+        cat_extra += b" /Outlines %d 0 R" % root_num
+    if cat_extra:
+        objs[1] = b"<< /Type /Catalog /Pages 2 0 R" + cat_extra + b" >>"
+
     for pi, plines in enumerate(page_lines):
         xobj_entries: list[bytes] = []
         if variant == 13:
@@ -968,6 +1084,9 @@ def build_pdf(
             + b" >>"
         )
 
+    if variant not in (9, 10):
+        _fill_strings(_plain_str)
+
     if variant == 6:
         # move every non-stream object into one compressed object stream
         items = sorted(objs.items())
@@ -1020,6 +1139,13 @@ def build_pdf(
         if not aes256:
             # O/U are computed with the R3 algorithms (R4 reuses them)
             o, u, key = _std_security(b"saxgen-owner", b"", p, id0, 3)
+            _fill_strings(
+                lambda num, raw: b"<"
+                + enc_stream(_enc_obj_key(key, num, aes=True), num, raw)
+                .hex()
+                .encode()
+                + b">"
+            )
             for num, (sd, raw) in list(streams.items()):
                 ct = enc_stream(_enc_obj_key(key, num, aes=True), num, raw)
                 streams[num] = (_relength(sd, len(ct)), ct)
@@ -1060,6 +1186,11 @@ def build_pdf(
                 (p & 0xFFFFFFFF).to_bytes(4, "little")
                 + b"\xff\xff\xff\xffTadbdet0",
             )
+            _fill_strings(
+                lambda num, raw: b"<"
+                + enc_stream(file_key, num, raw).hex().encode()
+                + b">"
+            )
             for num, (sd, raw) in list(streams.items()):
                 ct = enc_stream(file_key, num, raw)
                 streams[num] = (_relength(sd, len(ct)), ct)
@@ -1093,6 +1224,11 @@ def build_pdf(
         p = -44  # typical print-allowed permission mask
         id0 = hashlib.md5(text.encode("utf-8")).digest()
         o, u, key = _std_security(b"saxgen-owner", b"", p, id0, r)
+        _fill_strings(
+            lambda num, raw: b"<"
+            + _rc4_ks(_enc_obj_key(key, num), raw).hex().encode()
+            + b">"
+        )
         # streams encrypt AFTER filtering (write order: filter, then
         # encrypt); RC4 preserves length so /Length stays valid
         for num, (sd, raw) in list(streams.items()):

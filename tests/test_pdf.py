@@ -1773,3 +1773,124 @@ def test_image_inventory_recurses_into_forms():
     from sax_wasm_spark.kernel.pdftext import extract_pdf_text as ext
 
     assert ext(bytes(out)) == "x"
+
+
+# AcroForm form fields + document outline (late round 7)
+
+
+def _expected_fields(text: str, nf: int) -> list[tuple[str, str]]:
+    tl = len(text)
+    return [
+        (f"grp{k}.a" if k % 3 == 1 else f"field{k}", f"val {tl * 31 + k}")
+        for k in range(nf)
+    ]
+
+
+def _expected_outline(no: int) -> list[tuple[int, str]]:
+    return [(1 + j % 2, f"sec {j}") for j in range(no)]
+
+
+@pytest.mark.parametrize("variant", [0, 6, 9, 10, 13])
+def test_form_fields_and_outline_closed_form(variant):
+    """All three field shapes (flat, dotted parent.kid, widget-merged)
+    and the sibling/child outline chain round-trip across the
+    representative tiers: plain, ObjStm relocation, RC4, AESV2, and
+    the split-across-forms text variant. TEXT strings under 9/10 are
+    per-object encrypted hex — this is the string-decryption oracle."""
+    text = "body line one\nbody line %d" % variant
+    pdf = build_pdf(text, variant=variant, n_fields=5, n_outline=6)
+    doc = PdfDocument(pdf)
+    assert doc.form_fields() == _expected_fields(text, 5)
+    assert doc.outline_titles() == _expected_outline(6)
+    assert extract_pdf_text(pdf) == text  # fields/outline text-invisible
+
+
+def test_form_fields_under_aesv3():
+    """len(text) % 16 == 3 routes variant 10 to /V 5 /R 6 AES-256;
+    field values and /Title strings must decrypt under the file key."""
+    text = "x" * 19
+    assert len(text) % 16 == 3
+    pdf = build_pdf(text, variant=10, n_fields=4, n_outline=3)
+    assert b"/AESV3" in pdf
+    doc = PdfDocument(pdf)
+    assert doc.form_fields() == _expected_fields(text, 4)
+    assert doc.outline_titles() == _expected_outline(3)
+
+
+def _fields_pdf(objs: dict[int, bytes], root_extra: bytes = b"") -> bytes:
+    """Assemble a minimal xref PDF from {objnum: body}; object 1 is the
+    catalog built here with ``root_extra`` appended."""
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    cat = b"<< /Type /Catalog /Pages 2 0 R" + root_extra + b" >>"
+    pages = b"<< /Type /Pages /Kids [] /Count 0 >>"
+    for num, body in [(1, cat), (2, pages)] + sorted(objs.items()):
+        offs[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref = len(out)
+    size = max(offs) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % size
+    for num in range(1, size):
+        if num in offs:
+            out += b"%010d 00000 n \n" % offs[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, xref)
+    )
+    return bytes(out)
+
+
+def test_form_field_name_and_choice_values():
+    """Non-string /V shapes: a name value (checkbox /Yes) drops the
+    slash; a choice-array value joins with '; ' (§12.7.4)."""
+    pdf = _fields_pdf(
+        {
+            10: b"<< /Fields [11 0 R 12 0 R] >>",
+            11: b"<< /FT /Btn /T (agree) /V /Yes >>",
+            12: b"<< /FT /Ch /T (picks) /V [(red) (blue)] >>",
+        },
+        root_extra=b" /AcroForm 10 0 R",
+    )
+    assert PdfDocument(pdf).form_fields() == [
+        ("agree", "Yes"),
+        ("picks", "red; blue"),
+    ]
+
+
+def test_form_fields_kids_cycle_truncates():
+    """A /Kids tree that points back at its ancestor must terminate
+    via the visited set and still emit the reachable terminal."""
+    pdf = _fields_pdf(
+        {
+            10: b"<< /Fields [11 0 R] >>",
+            11: b"<< /T (a) /Kids [12 0 R 13 0 R] >>",
+            12: b"<< /T (b) /V (ok) /Kids [11 0 R] >>",
+            13: b"<< /T (c) /V (deep) >>",
+        },
+        root_extra=b" /AcroForm 10 0 R",
+    )
+    fields = PdfDocument(pdf).form_fields()
+    assert ("a.c", "deep") in fields
+    assert all(not n.startswith("a.b.a") for n, _ in fields)
+
+
+def test_outline_next_cycle_truncates():
+    """/Next pointing back at an earlier sibling must stop at the
+    visited set, keeping the titles seen before the loop."""
+    pdf = _fields_pdf(
+        {
+            20: b"<< /Type /Outlines /First 21 0 R /Last 22 0 R >>",
+            21: b"<< /Title (one) /Parent 20 0 R /Next 22 0 R >>",
+            22: b"<< /Title (two) /Parent 20 0 R /Next 21 0 R >>",
+        },
+        root_extra=b" /Outlines 20 0 R",
+    )
+    assert PdfDocument(pdf).outline_titles() == [(1, "one"), (1, "two")]
+
+
+def test_no_acroform_no_outline_empty():
+    doc = PdfDocument(build_pdf("plain", variant=0))
+    assert doc.form_fields() == []
+    assert doc.outline_titles() == []
