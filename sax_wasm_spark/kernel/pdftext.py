@@ -1182,6 +1182,14 @@ class PdfDocument:
                     except PdfError:
                         cmap = None
                     self._font_cmap_cache[tu.num] = cmap
+            if cmap is None and font.get("/Subtype") == "/Type0":
+                # composite font (§9.7): 2-byte show codes; decode
+                # source is the descendant CIDFontType2's embedded
+                # program — the simple-font paths below never apply
+                cmap = self._composite_font_cmap(font)
+                if cmap is not None:
+                    out[name.lstrip("/")] = cmap
+                continue
             if cmap is None:
                 # simple-font /Encoding: a bare Annex D name, or a dict
                 # with /BaseEncoding + /Differences overlaid (§9.6.5)
@@ -1279,6 +1287,79 @@ class PdfDocument:
                     "image", ref.num, d, 0 if raw is None else len(raw)
                 )
         return out
+
+    def _composite_font_cmap(self, font: dict) -> "_CMap | None":
+        """Type0 font without /ToUnicode → width-2 decoder, or None.
+
+        ISO 32000-1 §9.7.4/§9.7.5: with an /Identity-H or /Identity-V
+        CMap the 2-byte show code IS the CID; /CIDToGIDMap (the name
+        /Identity, or a stream of big-endian uint16 GIDs indexed by
+        CID) maps CID → glyph; unicode comes from inverting the
+        embedded TrueType program's Unicode-platform cmap subtable
+        (GID → smallest code point), the same inversion the symbolic
+        simple-font path uses. Degrades per ISO semantics, never
+        crashes:
+
+        - a predefined non-Identity CMap name (the CJK registry —
+          multi-kilobyte external tables) or an embedded CMap stream
+          /Encoding: return None (show fallback), a declared gap;
+        - descendant /CIDFontType0 (CID-keyed CFF, /ROS): its charset
+          maps GID→CID with no name/unicode layer — None;
+        - Identity CMap confirmed but no usable /FontFile2: the 2-byte
+          framing is still certain, so return an empty width-2 map
+          (code units degrade to ``chr(cid)`` deterministically rather
+          than latin-1-per-byte mojibake)."""
+        enc = font.get("/Encoding")
+        if isinstance(enc, Ref):
+            enc = self.resolve(enc)  # an indirect name is still a name
+        if enc not in ("/Identity-H", "/Identity-V"):
+            return None  # embedded CMap stream / predefined CJK CMap
+        dfs = self.resolve(font.get("/DescendantFonts"))
+        if isinstance(dfs, list) and dfs:
+            df = self.resolve(dfs[0])
+        else:
+            df = None
+        if not isinstance(df, dict) or df.get("/Subtype") != "/CIDFontType2":
+            return None
+        fallback = _CMap(2, {})
+        desc = self.resolve(df.get("/FontDescriptor"))
+        if not isinstance(desc, dict):
+            return fallback
+        ff = desc.get("/FontFile2")
+        if not isinstance(ff, Ref):
+            return fallback
+        c2g = df.get("/CIDToGIDMap", "/Identity")
+        c2g_key = c2g.num if isinstance(c2g, Ref) else "id"
+        key = ("cid2", ff.num, c2g_key)
+        if key in self._font_cmap_cache:
+            return self._font_cmap_cache[key]
+        try:
+            gid_uni = _tt_gid_to_unicode_cached(self.stream_bytes(ff))
+        except PdfError:
+            gid_uni = None
+        cmap = fallback
+        if gid_uni is not None:
+            mapping: dict[int, str] = {}
+            if isinstance(c2g, Ref):
+                try:
+                    table = self.stream_bytes(c2g)
+                except PdfError:
+                    table = b""
+                # 2-byte codes bound CIDs to 0xFFFF; a longer stream is
+                # unreachable map tail, not a reason to scan further
+                n = min(len(table) // 2, 0x10000)
+                gids = struct.unpack(">%dH" % n, table[: 2 * n])
+                for cid, gid in enumerate(gids):
+                    if gid:
+                        u = gid_uni.get(gid)
+                        if u is not None:
+                            mapping[cid] = u
+            else:
+                # /Identity: CID == GID
+                mapping = {gid: u for gid, u in gid_uni.items() if gid <= 0xFFFF}
+            cmap = _CMap(2, mapping) if mapping else fallback
+        self._font_cmap_cache[key] = cmap
+        return cmap
 
     def _embedded_font_cmap(self, font: dict) -> "_CMap | None":
         """/FontDescriptor /FontFile2 (TrueType cmap table), /FontFile
@@ -2022,37 +2103,14 @@ def _parse_cff_encoding(data: bytes) -> "_CMap | None":
 _TT_CMAP_CACHE: dict[bytes, "_CMap | None"] = {}
 
 
-def _parse_truetype_cmap(data: bytes) -> "_CMap | None":
-    key = hashlib.sha1(data).digest()
-    if key in _TT_CMAP_CACHE:
-        return _TT_CMAP_CACHE[key]
-    out = _parse_truetype_cmap_impl(data)
-    if len(_TT_CMAP_CACHE) >= 256:
-        _TT_CMAP_CACHE.clear()
-    _TT_CMAP_CACHE[key] = out
-    return out
-
-
-def _parse_truetype_cmap_impl(data: bytes) -> _CMap | None:
-    """Embedded TrueType font program → 1-byte show-code decoder.
-
-    Subtable selection follows what a conforming reader does with a
-    simple TrueType font (ISO 32000-1 §9.6.6.4) inverted for text
-    extraction:
-
-    - symbolic fonts carry a (3,0) Microsoft Symbol cmap keyed by the
-      raw show code (looked up at 0xF000|code first, then code) or a
-      (1,0) Mac Roman cmap keyed by the code directly — either gives
-      code → GID; unicode then comes from inverting the font's (3,1)
-      Windows BMP (or (0,x) Unicode-platform) subtable, GID → the
-      smallest code point that reaches it (deterministic inverse);
-    - fonts with only a Unicode-platform subtable map nonsymbolically:
-      a code decodes as itself exactly when the font actually maps that
-      code point (glyph present ⇒ the code means its own unicode).
-
-    Returns None (caller falls back to the default show decoding) when
-    there is no cmap table, no usable subtable pair, or the program is
-    malformed — per-row degradation, never a crash."""
+def _tt_cmap_subtables(
+    data: bytes,
+) -> dict[tuple[int, int], dict[int, int]] | None:
+    """TrueType/OpenType program → {(platform, encoding): {cp: gid}}
+    for every parseable 'cmap' subtable (first member of a 'ttcf'
+    collection). None when the blob is not a font program or carries no
+    usable cmap — shared by the simple-font decoder and the composite
+    CIDFontType2 GID→unicode inversion."""
     try:
         if data[:4] not in (b"\x00\x01\x00\x00", b"true", b"OTTO", b"ttcf"):
             return None
@@ -2087,6 +2145,84 @@ def _parse_truetype_cmap_impl(data: bytes) -> _CMap | None:
             if t:
                 subs[(plat, enc)] = t
     except (struct.error, IndexError):
+        return None
+    return subs or None
+
+
+def _tt_gid_to_unicode(data: bytes) -> dict[int, str] | None:
+    """Embedded TrueType program → {glyph id: unicode str}, the
+    inversion of its Unicode-platform cmap ((3,1) Windows BMP first,
+    then (0,3)/(0,4), then any platform-0 subtable; ties break to the
+    smallest code point, the deterministic inverse the simple-font path
+    already uses). This is the unicode source for composite
+    CIDFontType2 fonts without /ToUnicode: show code → CID (Identity
+    CMap) → GID (CIDToGIDMap) → unicode (here)."""
+    subs = _tt_cmap_subtables(data)
+    if subs is None:
+        return None
+    uni = subs.get((3, 1)) or subs.get((0, 3)) or subs.get((0, 4))
+    if uni is None:
+        uni = next((t for (p, _e), t in subs.items() if p == 0), None)
+    if uni is None:
+        return None
+    out: dict[int, str] = {}
+    for cp, gid in sorted(uni.items(), reverse=True):
+        if gid and 0 <= cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            out[gid] = chr(cp)  # reverse-sorted: smallest cp wins
+    return out or None
+
+
+_TT_GID_UNI_CACHE: dict[bytes, "dict[int, str] | None"] = {}
+
+
+def _tt_gid_to_unicode_cached(data: bytes) -> "dict[int, str] | None":
+    """Digest-memoized _tt_gid_to_unicode — same rationale as
+    _TT_CMAP_CACHE: corpora repeat subsets across thousands of docs,
+    and keying by sha1 digest (not the blob) keeps long-lived workers
+    from pinning megabytes of font bytes."""
+    key = hashlib.sha1(data).digest()
+    if key in _TT_GID_UNI_CACHE:
+        return _TT_GID_UNI_CACHE[key]
+    out = _tt_gid_to_unicode(data)
+    if len(_TT_GID_UNI_CACHE) >= 256:
+        _TT_GID_UNI_CACHE.clear()
+    _TT_GID_UNI_CACHE[key] = out
+    return out
+
+
+def _parse_truetype_cmap(data: bytes) -> "_CMap | None":
+    key = hashlib.sha1(data).digest()
+    if key in _TT_CMAP_CACHE:
+        return _TT_CMAP_CACHE[key]
+    out = _parse_truetype_cmap_impl(data)
+    if len(_TT_CMAP_CACHE) >= 256:
+        _TT_CMAP_CACHE.clear()
+    _TT_CMAP_CACHE[key] = out
+    return out
+
+
+def _parse_truetype_cmap_impl(data: bytes) -> _CMap | None:
+    """Embedded TrueType font program → 1-byte show-code decoder.
+
+    Subtable selection follows what a conforming reader does with a
+    simple TrueType font (ISO 32000-1 §9.6.6.4) inverted for text
+    extraction:
+
+    - symbolic fonts carry a (3,0) Microsoft Symbol cmap keyed by the
+      raw show code (looked up at 0xF000|code first, then code) or a
+      (1,0) Mac Roman cmap keyed by the code directly — either gives
+      code → GID; unicode then comes from inverting the font's (3,1)
+      Windows BMP (or (0,x) Unicode-platform) subtable, GID → the
+      smallest code point that reaches it (deterministic inverse);
+    - fonts with only a Unicode-platform subtable map nonsymbolically:
+      a code decodes as itself exactly when the font actually maps that
+      code point (glyph present ⇒ the code means its own unicode).
+
+    Returns None (caller falls back to the default show decoding) when
+    there is no cmap table, no usable subtable pair, or the program is
+    malformed — per-row degradation, never a crash."""
+    subs = _tt_cmap_subtables(data)
+    if subs is None:
         return None
 
     uni = subs.get((3, 1)) or subs.get((0, 3)) or subs.get((0, 4))

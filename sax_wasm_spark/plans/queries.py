@@ -915,7 +915,7 @@ def sax_extract_roundtrip_sql():
 def pdf_extract_roundtrip(spark, sf_dir):
     """The PDF/layout leg of the extraction pipeline (north rule):
     documents are rendered into deterministic synthetic PDFs —
-    ``doc_id % 14`` cycles the generator variants (uncompressed Tj,
+    ``doc_id % 15`` cycles the generator variants (uncompressed Tj,
     Flate + indirect /Length, TJ-kerning + hex strings, split content
     streams + incremental update, LZWDecode, /ToUnicode CID-font
     2-byte codes, /ObjStm object streams, /Encoding /Differences
@@ -925,7 +925,9 @@ def pdf_extract_roundtrip(spark, sf_dir):
     subsets whose only decode source is the font program's own cmap
     table, embedded bare-CFF subsets decoded through their charset +
     encoding tables and String INDEX, text split across page + nested
-    form-XObject content streams invoked by ``Do``) — then parsed back
+    form-XObject content streams invoked by ``Do``, Type0 /Identity-H
+    composite fonts without /ToUnicode decoded via /CIDToGIDMap + the
+    embedded program's inverted cmap) — then parsed back
     by the from-scratch
     PDF kernel. Round-trip text equality is the closed-form oracle for
     the whole object-layer → filter → page-tree → text-operator →

@@ -47,7 +47,7 @@ Variants exercise distinct parser surfaces so one query covers them all:
   (AES-128-CBC, per-object md5+"sAlT" keys) for most texts,
   /V 5 /R 6 /AESV3 (ISO 32000-2 AES-256: Hash-2B salted password
   digests, /UE-wrapped file key, /Perms block) when
-  len(text) % 16 == 3 — both with an
+  len(text) % 16 == 1 — both with an
   empty user password, Flate-then-encrypt streams (IV ‖ CBC, PKCS#7),
   and an encrypted /Info string. The AES core is the from-scratch
   FIPS-197 implementation in kernel/aescipher.py.
@@ -85,6 +85,16 @@ Variants exercise distinct parser surfaces so one query covers them all:
   §7.8.3 shape real files still use). Interleaved line thirds, so a
   correct extraction REQUIRES recursing both ``Do`` levels and merging
   runs by layout.
+* 14 — a Type0 /Identity-H composite font with NO /ToUnicode (the
+  CJK/office CID shape): show strings are 2-byte CIDs; the descendant
+  /CIDFontType2 carries an embedded TrueType program whose (3,1) cmap
+  is the only unicode source, reached through /CIDToGIDMap (kernel
+  twin: ``PdfDocument._composite_font_cmap``). Shape cycles by text
+  length — even: ``/CIDToGIDMap /Identity`` (CID == GID); odd: a
+  binary uint16 map stream with CIDs spread to 2·(index+1) so the
+  stream path is distinguishable from identity. Falls back to
+  variant-0 literal strings when the charset leaves
+  BMP-minus-surrogates.
 
 Non-Latin-1 text is emitted as BOM-tagged UTF-16BE hex strings (the
 spec's text-string encoding), so any Unicode round-trips.
@@ -155,7 +165,7 @@ def _differences_array(codes: dict[str, int]) -> bytes:
 _X0, _X1 = 72, 320
 _Y0, _LEAD = 720.0, 14.0
 
-N_VARIANTS = 14
+N_VARIANTS = 15
 
 _BASE_ENCODINGS = (b"WinAnsiEncoding", b"MacRomanEncoding", b"StandardEncoding")
 
@@ -415,6 +425,44 @@ def _truetype_font(
     codes = {c: ord(c) for c in charset}
     uni = _tt_format4({ord(c): ord(c) - 31 for c in charset})
     return codes, _truetype_blob([(3, 1, uni)])
+
+
+def _cid_truetype_font(
+    text: str, gid_stream: bool
+) -> tuple[dict[str, int], bytes, bytes | None] | None:
+    """(char → 2-byte CID show code, TrueType program, CIDToGIDMap
+    stream bytes or None for /Identity) for variant 14 — a Type0
+    /Identity-H composite font that ships NO /ToUnicode: the reader
+    (kernel.pdftext.PdfDocument._composite_font_cmap) recovers text
+    only through show code → CID (Identity CMap) → GID (/CIDToGIDMap)
+    → unicode (inverted embedded (3,1) cmap subtable). None when the
+    charset leaves the BMP-minus-surrogates window (caller falls back
+    to variant-0 literal strings).
+
+    gid_stream=False: /CIDToGIDMap /Identity, CID == GID == charset
+    index + 1. gid_stream=True: CIDs are spread to 2·(index+1) and a
+    binary uint16 map stream carries CID → GID, so the two reader
+    branches are both exercised by real corpus docs."""
+    charset = sorted(set(text) - {"\n"})
+    if (
+        not charset
+        or len(charset) > 16000
+        or any(
+            not 0x20 <= ord(c) <= 0xFFFE or 0xD800 <= ord(c) <= 0xDFFF
+            for c in charset
+        )
+    ):
+        return None
+    gids = {c: i + 1 for i, c in enumerate(charset)}
+    uni = _tt_format4({ord(c): gids[c] for c in charset})
+    blob = _truetype_blob([(3, 1, uni)])
+    if not gid_stream:
+        return dict(gids), blob, None
+    codes = {c: 2 * g for c, g in gids.items()}
+    table = bytearray(2 * (2 * len(charset) + 1))
+    for c, g in gids.items():
+        struct.pack_into(">H", table, 2 * codes[c], g)
+    return codes, blob, bytes(table)
 
 
 # -- §7.6 standard security handler (writer side; independent
@@ -876,6 +924,46 @@ def build_pdf(
                 b" /FontDescriptor %d 0 R >>" % desc_num
             )
             font_res = b"<< /F1 %d 0 R /F3 %d 0 R >>" % (font_num, cff_font_num)
+    if variant == 14:
+        sub = _cid_truetype_font("".join(lines), gid_stream=(len(text) % 2 == 1))
+        if sub is not None:
+            codes, ttf, c2g = sub
+            # code_width stays 2: _content_ops emits 2-byte CID codes
+            # under the /F2 resource tag, same as variant 5
+            ff_num = next_num
+            desc_num = next_num + 1
+            cid_num = next_num + 2
+            t0_num = next_num + 3
+            next_num += 4
+            streams[ff_num] = (
+                b"<< /Length %d /Length1 %d >>" % (len(ttf), len(ttf)),
+                ttf,
+            )
+            objs[desc_num] = (
+                b"<< /Type /FontDescriptor /FontName /SAXGN+SaxCID"
+                b" /Flags 4 /FontFile2 %d 0 R >>" % ff_num
+            )
+            if c2g is None:
+                c2g_entry = b"/CIDToGIDMap /Identity"
+            else:
+                c2g_num = next_num
+                next_num += 1
+                streams[c2g_num] = (b"<< /Length %d >>" % len(c2g), c2g)
+                c2g_entry = b"/CIDToGIDMap %d 0 R" % c2g_num
+            objs[cid_num] = (
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+                b" /SAXGN+SaxCID /CIDSystemInfo << /Registry (Adobe)"
+                b" /Ordering (Identity) /Supplement 0 >>"
+                b" /FontDescriptor %d 0 R " % desc_num
+            ) + c2g_entry + b" >>"
+            # deliberately NO /ToUnicode: CIDToGIDMap + the embedded
+            # program's cmap are the only decode source
+            objs[t0_num] = (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SAXGN+SaxCID"
+                b" /Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+                % cid_num
+            )
+            font_res = b"<< /F1 %d 0 R /F2 %d 0 R >>" % (font_num, t0_num)
     if variant == 5:
         codes = _cid_codes("".join(lines))
         cmap_raw = zlib.compress(_tounicode_cmap(codes))
@@ -1117,14 +1205,14 @@ def build_pdf(
 
         # AES tier: /V 4 /R 4 /AESV2 (AES-128 crypt filters — the
         # overwhelming real-crawl shape); /V 5 /R 6 /AESV3 (AES-256,
-        # PDF 2.0) when len(text) % 16 == 3 (~6% of encrypted docs).
+        # PDF 2.0) when len(text) % 16 == 1 (~6% of encrypted docs).
         # The R6 Hash-2B is a deliberately-slow password KDF (64+
         # AES-CBC hardening rounds ≈ 1.5 s/doc on CPython), so its
         # synthetic share mirrors its real rarity instead of
         # dominating the corpus render time; the tier itself is fully
         # pinned by tests/test_pdf.py (roundtrips, writer/reader
         # Hash-2B differential, /U tamper rejection)
-        aes256 = len(text) % 16 == 3
+        aes256 = len(text) % 16 == 1
         p = -44
         id0 = hashlib.md5(b"aes:" + text.encode("utf-8")).digest()
 

@@ -165,7 +165,7 @@ def test_compact_tolerates_missing_optional_blocks():
 
 def test_aesv3_share_is_pinned_per_sf():
     """VERDICT r6 item 8: the AESV3 gate (pdf variant 10 with
-    len(text) % 16 == 3) makes the number of Hash-2B-paying docs a
+    len(text) % 16 == 1) makes the number of Hash-2B-paying docs a
     silent function of the corpus — a future testdata tweak could turn
     pdf_extract_roundtrip into a KDF benchmark unnoticed. Pin the
     expected count per sf so any shift is a visible test failure, not
@@ -175,14 +175,14 @@ def test_aesv3_share_is_pinned_per_sf():
     import duckdb
     import pytest
 
-    expected = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 24}
+    expected = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 17}
     for sf, want in expected.items():
         path = f"/root/testdata/{sf}/documents.parquet"
         if not os.path.exists(path):
             pytest.skip(f"{path} absent")
         got = duckdb.sql(
             f"SELECT count(*) FROM '{path}' "
-            "WHERE doc_id % 14 = 10 AND length(text) % 16 = 3"
+            "WHERE doc_id % 15 = 10 AND length(text) % 16 = 1"
         ).fetchone()[0]
         assert got == want, (
             f"{sf}: AESV3-gated doc count moved {want} -> {got}; "

@@ -29,7 +29,7 @@ TEXTS = [
 ]
 
 
-@pytest.mark.parametrize("variant", list(range(14)))
+@pytest.mark.parametrize("variant", list(range(15)))
 @pytest.mark.parametrize("text", TEXTS)
 def test_roundtrip_all_variants(variant, text):
     assert extract_pdf_text(build_pdf(text, variant=variant)) == text
@@ -209,7 +209,7 @@ def test_mutation_fuzz_never_raises(seed, n_mut):
     import random
 
     rng = random.Random(seed)
-    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 14))
+    base = bytearray(build_pdf("some resilient text\nsecond line", variant=seed % 15))
     for _ in range(n_mut):
         i = rng.randrange(len(base))
         base[i] = rng.randrange(256)
@@ -801,10 +801,10 @@ def test_aes_core_fips197_vectors():
 def test_variant10_both_tiers_and_multipage():
     from sax_wasm_spark.kernel.pdftext import PdfDocument
 
-    # AESV3 fires when len(text) % 16 == 3 (see pdfgen variant 10)
+    # AESV3 fires when len(text) % 16 == 1 (see pdfgen variant 10)
     for t, cfm, prod in (
         ("evenlen!", b"/CFM /AESV2", b"sax-wasm-spark pdfgen (AESV2)"),
-        ("nineteen chars here", b"/CFM /AESV3", b"sax-wasm-spark pdfgen (AESV3)"),
+        ("seventeen chars!!", b"/CFM /AESV3", b"sax-wasm-spark pdfgen (AESV3)"),
     ):
         pdf = build_pdf(t, variant=10)
         assert cfm in pdf and b"/Encrypt" in pdf
@@ -830,7 +830,7 @@ def test_v5_wrong_password_and_hash2b_differential():
     from sax_wasm_spark.kernel.pdftext import PasswordProtected, _hash_2b
     from sax_wasm_spark.sources.pdfgen import _hash_2b_w
 
-    pdf = build_pdf("nineteen chars here", variant=10)  # len 19 -> AESV3
+    pdf = build_pdf("seventeen chars!!", variant=10)  # len 17 -> AESV3
     m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
     u = bytes.fromhex(m.group(1).decode())
     bad = bytes([u[0] ^ 0xFF]) + u[1:]
@@ -981,9 +981,9 @@ def test_v5_kdf_call_budget_and_salt_reuse():
     old_r, old_w = kpdf._hash_2b, gpdf._hash_2b_w
     kpdf._hash_2b, gpdf._hash_2b_w = count_r, count_w
     try:
-        pdf = build_pdf("nineteen chars here", variant=10)  # len 19 -> AESV3
+        pdf = build_pdf("seventeen chars!!", variant=10)  # len 17 -> AESV3
         assert calls["w"] == 2, f"writer ran {calls['w']} Hash-2B calls"
-        assert extract_pdf_text(pdf) == "nineteen chars here"
+        assert extract_pdf_text(pdf) == "seventeen chars!!"
         assert calls["r"] == 1, f"reader ran {calls['r']} Hash-2B calls"
     finally:
         kpdf._hash_2b, gpdf._hash_2b_w = old_r, old_w
@@ -1005,7 +1005,7 @@ def test_v5_distinct_salts_still_take_two_call_path():
     from sax_wasm_spark.kernel.aescipher import aes_cbc_decrypt, aes_cbc_encrypt
     from sax_wasm_spark.kernel.pdftext import _hash_2b
 
-    pdf = build_pdf("nineteen chars here", variant=10)
+    pdf = build_pdf("seventeen chars!!", variant=10)
     m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
     u = bytes.fromhex(m.group(1).decode())
     m2 = _re.search(rb"/UE <([0-9a-f]+)>", pdf)
@@ -1018,7 +1018,7 @@ def test_v5_distinct_salts_still_take_two_call_path():
     patched = pdf.replace(m.group(1), u2.hex().encode()).replace(
         m2.group(1), ue2.hex().encode()
     )
-    assert extract_pdf_text(patched) == "nineteen chars here"
+    assert extract_pdf_text(patched) == "seventeen chars!!"
 
 
 def test_v5_budget_knob_degrades_to_error_row(monkeypatch):
@@ -1027,12 +1027,12 @@ def test_v5_budget_knob_degrades_to_error_row(monkeypatch):
     for throughput — docs degrade to error:EncryptedAes rows instead of
     paying the KDF. RC4/AESV2 tiers are unaffected."""
     monkeypatch.setenv("SAX_WASM_SPARK_AESV3", "0")
-    aes3 = build_pdf("nineteen chars here", variant=10)
+    aes3 = build_pdf("seventeen chars!!", variant=10)
     assert extract_pdf_document(aes3)[3] == "error:EncryptedAes"
     # AESV2 (even-length text) still decrypts under the knob
     assert extract_pdf_text(build_pdf("evenlen!", variant=10)) == "evenlen!"
     monkeypatch.delenv("SAX_WASM_SPARK_AESV3")
-    assert extract_pdf_text(aes3) == "nineteen chars here"
+    assert extract_pdf_text(aes3) == "seventeen chars!!"
 
 
 # ---------------------------------------------------------------------------
@@ -1617,6 +1617,91 @@ def test_cff_expert_charsets_degrade_to_none():
 
 
 # ---------------------------------------------------------------------------
+# Type0 /Identity-H composite fonts without /ToUnicode (variant 14)
+
+
+def test_composite_variant14_roundtrips_both_shapes():
+    """Even text length -> /CIDToGIDMap /Identity (CID == GID); odd ->
+    binary map stream with CIDs spread to 2·(index+1). Both must invert
+    exactly, including chars whose show fallback would differ."""
+    for t in ("ellipsis … and — dash!", "ellipsis … and — dash",
+              "plain ascii", "plain ascii!", "ünïcode · ○ ✓"):
+        pdf = build_pdf(t, variant=14)
+        assert b"/Identity-H" in pdf and b"/CIDFontType2" in pdf
+        assert b"/ToUnicode" not in pdf
+        if len(t) % 2 == 1:
+            assert b"/CIDToGIDMap /Identity" not in pdf
+            assert b"/CIDToGIDMap" in pdf  # the stream ref shape
+        else:
+            assert b"/CIDToGIDMap /Identity" in pdf
+        assert extract_pdf_text(pdf) == t
+
+
+def test_composite_gid_to_unicode_inversion():
+    """_tt_gid_to_unicode prefers the smallest code point when two cps
+    share a glyph, skips gid 0 and surrogate cps, and returns None for
+    non-font blobs."""
+    from sax_wasm_spark.kernel.pdftext import _tt_gid_to_unicode
+    from sax_wasm_spark.sources.pdfgen import _truetype_blob, _tt_format4
+
+    # cps 0x41/0x61 both -> gid 5 (format 4 via two single-cp segments)
+    sub = _tt_format4({0x41: 5, 0x61: 5, 0x42: 0})
+    blob = _truetype_blob([(3, 1, sub)])
+    m = _tt_gid_to_unicode(blob)
+    assert m is not None and m[5] == "A"  # smallest cp wins
+    assert 0 not in m
+    assert _tt_gid_to_unicode(b"not a font program") is None
+    assert _tt_gid_to_unicode(b"") is None
+
+
+def test_composite_unknown_cmap_name_degrades_to_show_fallback():
+    """A predefined non-Identity CMap name (the CJK registry) is a
+    declared gap: the reader must fall back to the default show
+    decoding (latin-1 per byte of the 2-byte codes), never raise."""
+    t = "abc def\nghi"
+    pdf = build_pdf(t, variant=14)
+    mutated = pdf.replace(b"/Identity-H", b"/Identity-X")
+    got = extract_pdf_text(mutated)
+    assert isinstance(got, str) and got != t
+    # 2-byte codes through the per-byte fallback: NUL-interleaved
+    assert "\x00" in got
+
+
+def test_composite_cidfonttype0_degrades_to_show_fallback():
+    """CID-keyed CFF descendants (/CIDFontType0, /ROS) carry no
+    name/unicode layer — the composite path must return None (show
+    fallback), not decode wrong glyphs."""
+    t = "abc def\nghi"
+    pdf = build_pdf(t, variant=14)
+    got = extract_pdf_text(pdf.replace(b"/CIDFontType2", b"/CIDFontType0"))
+    assert isinstance(got, str) and got != t
+
+
+def test_composite_missing_fontfile_keeps_2byte_framing():
+    """Identity CMap confirmed but no usable /FontFile2: the code width
+    is still certainly 2, so codes degrade to chr(cid) deterministically
+    rather than latin-1-per-byte mojibake."""
+    for t in ("abc def\nghi", "abc def\nghiZ"):  # stream + identity c2g
+        pdf = build_pdf(t, variant=14)
+        got = extract_pdf_text(pdf.replace(b"/FontFile2", b"/FontFileX"))
+        # exact expectation: each char decodes as chr of its CID
+        from sax_wasm_spark.sources.pdfgen import _cid_truetype_font
+
+        codes, _ttf, _c2g = _cid_truetype_font(t, gid_stream=(len(t) % 2 == 1))
+        expected = "".join(chr(codes[c]) if c != "\n" else "\n" for c in t)
+        assert got == expected
+        assert "\x00" not in got  # framing held: no per-byte split
+
+
+def test_composite_tounicode_still_wins():
+    """§9.10.2: /ToUnicode is authoritative — variant 5's Type0 font
+    (with a CMap, no descendant program) must keep decoding through the
+    tu path untouched by the composite machinery."""
+    t = "tounicode priority ✓\nline 2"
+    assert extract_pdf_text(build_pdf(t, variant=5)) == t
+
+
+# ---------------------------------------------------------------------------
 # form XObjects + image inventory (late round 7)
 
 
@@ -1806,10 +1891,10 @@ def test_form_fields_and_outline_closed_form(variant):
 
 
 def test_form_fields_under_aesv3():
-    """len(text) % 16 == 3 routes variant 10 to /V 5 /R 6 AES-256;
+    """len(text) % 16 == 1 routes variant 10 to /V 5 /R 6 AES-256;
     field values and /Title strings must decrypt under the file key."""
-    text = "x" * 19
-    assert len(text) % 16 == 3
+    text = "x" * 17
+    assert len(text) % 16 == 1
     pdf = build_pdf(text, variant=10, n_fields=4, n_outline=3)
     assert b"/AESV3" in pdf
     doc = PdfDocument(pdf)
