@@ -2320,6 +2320,82 @@ def _decode_show(b: bytes) -> str:
     return b.decode("latin-1").translate(_SHOW_MAP)
 
 
+def _parse_inline_image(
+    content: bytes, pos: int
+) -> tuple[int, dict, int, int]:
+    """Inline image (§8.9.7): ``BI <dict entries> ID <payload> EI``,
+    with ``pos`` just past the BI keyword. → (resume_pos, params,
+    payload_start, payload_end).
+
+    The payload length comes from /L (PDF 2.0's explicit byte count)
+    when present and truthful; otherwise the payload ends at the first
+    ``EI`` that is PRECEDED by whitespace and FOLLOWED by whitespace /
+    a delimiter / EOF — the conforming-reader heuristic. A bare
+    ``find(b"EI")`` (the previous behavior) truncates at any payload
+    bytes that happen to spell EI and then lexes the rest of the binary
+    as operators, which can surface garbage text runs."""
+    lex = _Lexer(content, pos)
+    params: dict = {}
+    key: str | None = None
+    n = len(content)
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            return n, params, n, n
+        kind, val = tok
+        if kind == "kw":
+            if val == b"ID":
+                break
+            if key is not None:  # true/false value
+                params[key] = val
+                key = None
+            continue
+        if kind in ("arr_open", "dict_open"):
+            depth = 1
+            while depth:
+                t = lex.next_token()
+                if t is None:
+                    return n, params, n, n
+                if t[0] in ("arr_open", "dict_open"):
+                    depth += 1
+                elif t[0] in ("arr_close", "dict_close"):
+                    depth -= 1
+            if key is not None:
+                params[key] = None  # composite value — not needed
+                key = None
+            continue
+        if kind == "name" and key is None:
+            key = val
+        elif key is not None:
+            params[key] = val
+            key = None
+    # exactly one whitespace byte separates ID from the payload
+    start = lex.pos + 1 if lex.pos < n and content[lex.pos] in _WS else lex.pos
+    ln = params.get("L", params.get("Length"))
+    if isinstance(ln, (int, float)) and ln >= 0:
+        end = min(start + int(ln), n)
+        lx2 = _Lexer(content, end)
+        if lx2.next_token() == ("kw", b"EI"):
+            return lx2.pos, params, start, end
+        # /L lied — fall through to the delimiter scan
+    p = start
+    while True:
+        e = content.find(b"EI", p)
+        if e < 0:
+            return n, params, start, n
+        after = e + 2
+        if (e == 0 or content[e - 1] in _WS) and (
+            after >= n or content[after] in _WS or content[after : after + 1] in
+            (b"/", b"[", b"]", b"<", b">", b"(", b"%")
+        ):
+            return after, params, start, e
+        p = e + 1
+
+
+def _skip_inline_image(content: bytes, pos: int) -> int:
+    return _parse_inline_image(content, pos)[0]
+
+
 _TEXT_OPS = frozenset(
     b.encode() for b in ("BT", "ET", "Tf", "Td", "TD", "TL", "T*", "Tm", "Tj", "TJ", "'", '"')
 )
@@ -2449,8 +2525,7 @@ def _runs_from_content(
                     )
                     cur = None  # never merge runs across a Do boundary
             elif op == b"BI":
-                e = content.find(b"EI", lex.pos)
-                lex.pos = len(content) if e < 0 else e + 2
+                lex.pos = _skip_inline_image(content, lex.pos)
             stack.clear()
         elif kind == "arr_open":
             # array operand (TJ) — parse inline, refs impossible in content
@@ -2537,6 +2612,36 @@ def extract_pdf_text(data: bytes) -> str:
     return "\n".join(pages)
 
 
+# inline-image abbreviated names (ISO 32000-1 Tables 93/94): the BI
+# dict may use short keys and short filter/colorspace names; the
+# inventory reports the canonical long forms so XObject and inline rows
+# aggregate together.
+_INLINE_FILTER_ABBR = {
+    "AHx": "ASCIIHexDecode", "A85": "ASCII85Decode", "LZW": "LZWDecode",
+    "Fl": "FlateDecode", "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+    "DCT": "DCTDecode",
+}
+_INLINE_CS_ABBR = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK", "I": "Indexed"}
+
+
+def _inline_images_from_content(content: bytes) -> list[tuple[dict, int]]:
+    """[(BI-dict params, payload_byte_count)] for every inline image in
+    one content stream, in stream order. Strings/arrays tokenize as
+    units, so payload-lookalike bytes inside them never false-trigger;
+    the payload itself is skipped by _parse_inline_image's /L-or-
+    delimited-EI logic."""
+    lex = _Lexer(content)
+    out: list[tuple[dict, int]] = []
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            return out
+        if tok == ("kw", b"BI"):
+            resume, params, s, e = _parse_inline_image(content, lex.pos)
+            out.append((params, max(0, e - s)))
+            lex.pos = resume
+
+
 def pdf_image_stats(
     data: bytes,
 ) -> list[tuple[int, str, int, int, int, str, str, int]]:
@@ -2544,7 +2649,11 @@ def pdf_image_stats(
     resource_name, width, height, bits_per_component, filter,
     colorspace, raw_stream_bytes)] for every /Subtype /Image XObject
     reachable from each page's resources, including images inside
-    (nested) form XObjects. Metadata comes from the image dict only —
+    (nested) form XObjects, PLUS every inline image (§8.9.7
+    ``BI..ID..EI``) in the page's and its forms' content streams —
+    named ``BI<j>`` in per-page encounter order, abbreviated dict keys
+    and filter/colorspace names expanded to their canonical long forms.
+    Metadata comes from the image dict only —
     the sample stream stays encoded (DCT/JPX payloads need no codec for
     corpus analytics: format mix, pixel volume, bytes-per-page). Images
     shared by name at several nesting levels are reported once per
@@ -2593,5 +2702,42 @@ def pdf_image_stats(
                 elif xo[0] == "form" and xo[4]:
                     walk(xo[4], page_idx, seen_nums)
 
-        walk(doc.page_xobjects(page))
+        xobjs = doc.page_xobjects(page)
+        walk(xobjs)
+
+        # inline images: page content first, then form content streams
+        # (sorted resource order, nested), once per distinct form object
+        contents: list[bytes] = [doc.page_content(page)]
+        seen_forms: set[int] = set()
+
+        def collect_forms(xo_map: dict) -> None:
+            for _name, xo in sorted(xo_map.items()):
+                if xo[0] == "form" and xo[1] not in seen_forms:
+                    seen_forms.add(xo[1])
+                    contents.append(xo[2])
+                    if xo[4]:
+                        collect_forms(xo[4])
+
+        collect_forms(xobjs)
+        j = 0
+        for blob in contents:
+            for params, n_payload in _inline_images_from_content(blob):
+                w = params.get("W", params.get("Width"))
+                h = params.get("H", params.get("Height"))
+                bpc = params.get("BPC", params.get("BitsPerComponent"))
+                filt = params.get("F", params.get("Filter")) or ""
+                cs = params.get("CS", params.get("ColorSpace")) or ""
+                out.append(
+                    (
+                        i,
+                        "BI%d" % j,
+                        int(w) if isinstance(w, (int, float)) else 0,
+                        int(h) if isinstance(h, (int, float)) else 0,
+                        int(bpc) if isinstance(bpc, (int, float)) else 0,
+                        _INLINE_FILTER_ABBR.get(filt, filt) if isinstance(filt, str) else "",
+                        _INLINE_CS_ABBR.get(cs, cs) if isinstance(cs, str) else "",
+                        n_payload,
+                    )
+                )
+                j += 1
     return out

@@ -2681,18 +2681,23 @@ def q57_sql():
 
 
 def q58_pdf_image_inventory(spark, sf_dir):
-    """Image-XObject inventory over the synthetic PDF corpus — the
+    """Image inventory over the synthetic PDF corpus — the
     multimodal-column analytics a crawl pipeline runs before deciding
     what to decode (format mix, pixel volume, bytes per document):
     ``doc_id % 4`` deterministic images are embedded per document
     (dims/filter/colorspace closed-form in len(text) and the image
-    index — sources/pdfgen._image_xobject), invoked by ``Do`` between
-    the text streams, and inventoried back by kernel
-    pdf_image_stats WITHOUT decoding a single sample (DCT/JPX payloads
-    need no codec for metadata analytics; decode stays a pluggable
-    stub per the env constraint). The text variants still cycle
-    underneath, so the inventory is proven text-invisible across the
-    whole writer surface including the encrypted tiers."""
+    index — sources/pdfgen._image_params). Image index ``k % 3 == 2``
+    is an INLINE image (§8.9.7 ``BI..ID..EI`` with abbreviated dict
+    keys, /CCF filter and an exact /L) living inside the content
+    stream; the rest are /Image XObjects invoked by ``Do``. Both are
+    inventoried back by kernel pdf_image_stats WITHOUT decoding a
+    single sample (DCT/JPX payloads need no codec for metadata
+    analytics; decode stays a pluggable stub per the env constraint),
+    inline rows named ``BI<j>`` with abbreviations expanded to the
+    canonical long forms. The text variants still cycle underneath, so
+    the inventory is proven text-invisible across the whole writer
+    surface including the encrypted tiers (an inline payload is
+    arbitrary binary INSIDE the encrypted/compressed stream)."""
     from ..operators.pdf import pdf_images, render_pdf_column  # noqa: PLC0415
 
     d = load(spark, sf_dir, "documents").repartition(
@@ -2727,15 +2732,19 @@ def q58_sql():
              64 + (tl * 7 + k * 13) % 512 AS width,
              36 + (tl * 11 + k * 17) % 512 AS height,
              CASE WHEN k % 3 = 1 THEN 1 ELSE 8 END AS bpc,
-             CASE k % 4 WHEN 0 THEN 'DCTDecode' WHEN 1 THEN 'FlateDecode'
-                        WHEN 2 THEN 'CCITTFaxDecode' ELSE 'JPXDecode'
+             CASE WHEN k % 3 = 2 THEN 'CCITTFaxDecode'
+                  ELSE CASE k % 4 WHEN 0 THEN 'DCTDecode'
+                                  WHEN 1 THEN 'FlateDecode'
+                                  WHEN 2 THEN 'CCITTFaxDecode'
+                                  ELSE 'JPXDecode' END
              END AS img_filter,
              CASE k % 3 WHEN 0 THEN 'DeviceRGB' WHEN 1 THEN 'DeviceGray'
                         ELSE 'DeviceCMYK' END AS colorspace
       FROM img
     )
     SELECT doc_id,
-           'Im' || CAST(k AS VARCHAR) AS img_name,
+           CASE WHEN k % 3 = 2 THEN 'BI' || CAST(k // 3 AS VARCHAR)
+                ELSE 'Im' || CAST(k AS VARCHAR) END AS img_name,
            CAST(width AS INTEGER) AS width,
            CAST(height AS INTEGER) AS height,
            CAST(bpc AS INTEGER) AS bpc,

@@ -364,13 +364,15 @@ _IMG_FILTERS = (b"DCTDecode", b"FlateDecode", b"CCITTFaxDecode", b"JPXDecode")
 _IMG_SPACES = (b"DeviceRGB", b"DeviceGray", b"DeviceCMYK")
 
 
-def _image_xobject(text_len: int, k: int) -> tuple[bytes, bytes]:
-    """(stream dict, raw payload) for per-page image ``k`` — every
-    metadata field is a closed form of (text_len, k) so the image
-    inventory query's DuckDB oracle reproduces the result without
-    parsing a byte of PDF. The payload is deterministic junk: the
-    inventory reports metadata + raw byte count and never decodes
-    samples (DCT/JPX codecs are out of scope by design)."""
+def _image_params(
+    text_len: int, k: int
+) -> tuple[int, int, int, bytes, bytes, bytes]:
+    """(width, height, bpc, filter, colorspace, payload) for per-page
+    image ``k`` — every metadata field is a closed form of (text_len,
+    k) so the image inventory query's DuckDB oracle reproduces the
+    result without parsing a byte of PDF. The payload is deterministic
+    junk: the inventory reports metadata + raw byte count and never
+    decodes samples (DCT/JPX codecs are out of scope by design)."""
     import hashlib  # noqa: PLC0415
 
     w = 64 + (text_len * 7 + k * 13) % 512
@@ -381,12 +383,33 @@ def _image_xobject(text_len: int, k: int) -> tuple[bytes, bytes]:
     n_bytes = 32 + (w * h) % 191
     seed = hashlib.sha256(b"img:%d:%d" % (text_len, k)).digest()
     payload = (seed * (n_bytes // 32 + 1))[:n_bytes]
+    return w, h, bpc, filt, cs, payload
+
+
+def _image_xobject(text_len: int, k: int) -> tuple[bytes, bytes]:
+    """(stream dict, raw payload) for per-page image XObject ``k``."""
+    w, h, bpc, filt, cs, payload = _image_params(text_len, k)
     sd = (
         b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
         b" /BitsPerComponent %d /ColorSpace /%s /Filter /%s /Length %d >>"
-        % (w, h, bpc, cs, filt, n_bytes)
+        % (w, h, bpc, cs, filt, len(payload))
     )
     return sd, payload
+
+
+def _inline_image_op(text_len: int, k: int) -> bytes:
+    """A ``BI..ID..EI`` content-stream operator for image ``k``
+    (§8.9.7): abbreviated dict keys and names (Table 93/94) with /CCF —
+    inline images may not use JPXDecode, so the filter pins to
+    CCITTFaxDecode — and an explicit /L so the reader's exact-length
+    path (not the delimited-EI scan) carries arbitrary binary payloads.
+    Same closed-form dims/colorspace/payload as the XObject twin."""
+    w, h, bpc, _filt, cs, payload = _image_params(text_len, k)
+    abbr_cs = {b"DeviceRGB": b"RGB", b"DeviceGray": b"G", b"DeviceCMYK": b"CMYK"}[cs]
+    return (
+        b"BI /W %d /H %d /BPC %d /CS /%s /F /CCF /L %d ID "
+        % (w, h, bpc, abbr_cs, len(payload))
+    ) + payload + b" EI"
 
 
 def _truetype_font(
@@ -806,10 +829,12 @@ def build_pdf(
 ) -> bytes:
     """Render ``text`` (lines split on \\n) into a deterministic PDF.
 
-    ``n_images`` > 0 additionally embeds that many deterministic image
-    XObjects per page (dims/filter/colorspace closed-form from
-    ``len(text)`` and the image index — see ``_image_xobject``) each
-    invoked by a ``Do`` between the text streams: the payloads stay
+    ``n_images`` > 0 additionally embeds that many deterministic images
+    per page (dims/filter/colorspace closed-form from ``len(text)`` and
+    the image index — see ``_image_params``): index ``k % 3 == 2`` is
+    an INLINE image (``BI..ID..EI`` in the content stream, abbreviated
+    keys, exact /L), the rest are image XObjects each invoked by a
+    ``Do`` between the text streams. The payloads stay
     encoded junk (inventory never decodes samples) and MUST be
     text-invisible to the extractor. Works with every variant; under
     the encrypting variants the image dicts survive because encryption
@@ -1122,6 +1147,12 @@ def build_pdf(
         else:
             ops = _content_ops(plines, variant, two_column, codes, code_width)
         for k in range(n_images):
+            if k % 3 == 2:
+                # every third image is inline (§8.9.7) — the content-
+                # stream path, exercised under compression + encryption
+                # because the whole stream wraps it
+                ops.append(_inline_image_op(len(text), k))
+                continue
             sd, payload = _image_xobject(len(text), k)
             im_num = next_num
             next_num += 1

@@ -118,6 +118,54 @@ def test_inline_image_skipped():
     assert extract_pdf_text(_mini_pdf(content)) == "keep\ntail"
 
 
+def test_inline_image_payload_containing_EI_bytes():
+    """A bare 'EI' INSIDE the payload (no whitespace delimiters) must
+    not truncate the image — the old find(b'EI') would then lex the
+    payload tail as operators and surface '(fake)' as a text run."""
+    content = (
+        b"BT 1 0 0 1 72 720 Tm (keep) Tj ET "
+        b"BI /W 4 /H 4 /CS /RGB /BPC 8 ID xxEIyy(fake) Tj zz EI "
+        b"BT 1 0 0 1 72 706 Tm (tail) Tj ET"
+    )
+    assert extract_pdf_text(_mini_pdf(content)) == "keep\ntail"
+
+
+def test_inline_image_explicit_length_beats_embedded_delimiters():
+    """With /L, the payload may contain a fully-delimited ' EI ' and
+    still parse whole: the exact-length path never scans."""
+    from sax_wasm_spark.kernel.pdftext import _parse_inline_image
+
+    content = b"BI /W 2 /H 2 /L 10 ID ab EI cdef EI BT 1 0 0 1 72 1 Tm (ok) Tj ET"
+    resume, params, s, e = _parse_inline_image(content, 2)
+    assert params["L"] == 10 and content[s:e] == b"ab EI cdef"
+    assert extract_pdf_text(_mini_pdf(content)) == "ok"
+    # a lying /L (points past the real EI) falls back to the scan
+    lying = b"BI /W 2 /H 2 /L 9999 ID ab EI BT 1 0 0 1 72 1 Tm (ok) Tj ET"
+    assert extract_pdf_text(_mini_pdf(lying)) == "ok"
+
+
+def test_inline_images_enumerated_in_stream_order():
+    """_inline_images_from_content: multiple BIs per stream, abbreviated
+    and long keys both surfaced; strings containing 'BI' never
+    false-trigger."""
+    from sax_wasm_spark.kernel.pdftext import _inline_images_from_content
+
+    blob = (
+        b"BT (BI not an image) Tj ET "
+        b"BI /W 3 /H 4 /L 2 ID ab EI "
+        b"q BI /Width 7 /Height 8 /BPC 1 /F /Fl /L 3 ID xyz EI Q"
+    )
+    imgs = _inline_images_from_content(blob)
+    assert [(p.get("W", p.get("Width")), n) for p, n in imgs] == [(3, 2), (7, 3)]
+
+
+def test_inline_image_truncated_stream_terminates():
+    """No EI at all: the skip consumes to EOF — never hangs, never
+    surfaces payload bytes as text."""
+    content = b"BT 1 0 0 1 72 720 Tm (keep) Tj ET BI /D [0 1] /W 4 ID payload with no end"
+    assert extract_pdf_text(_mini_pdf(content)) == "keep"
+
+
 def test_ascii_filters():
     ops = b"BT 1 0 0 1 72 720 Tm (hi there) Tj ET"
     hexed = ops.hex().encode() + b">"
@@ -1790,13 +1838,21 @@ def test_image_inventory_closed_form_and_encrypted_tiers():
         pdf = build_pdf(text, variant=v, n_images=4)
         stats = pdf_image_stats(pdf)
         assert len(stats) == 4, (v, stats)
-        for k, (pi, name, w, h, bpc, filt, cs, nb) in enumerate(stats):
-            assert (pi, name) == (0, f"Im{k}")
+        # XObject rows first (k = 0, 1, 3 — sorted by name), then the
+        # inline k = 2 image named BI0
+        order = [(0, "Im0"), (1, "Im1"), (3, "Im3"), (2, "BI0")]
+        for (k, want_name), (pi, name, w, h, bpc, filt, cs, nb) in zip(
+            order, stats
+        ):
+            assert (pi, name) == (0, want_name)
             assert w == 64 + (len(text) * 7 + k * 13) % 512
             assert h == 36 + (len(text) * 11 + k * 17) % 512
             assert bpc == (1 if k % 3 == 1 else 8)
-            assert filt == ("DCTDecode", "FlateDecode", "CCITTFaxDecode",
-                            "JPXDecode")[k % 4]
+            want_filt = ("DCTDecode", "FlateDecode", "CCITTFaxDecode",
+                         "JPXDecode")[k % 4]
+            if k % 3 == 2:
+                want_filt = "CCITTFaxDecode"  # inline never uses JPX
+            assert filt == want_filt
             assert cs == ("DeviceRGB", "DeviceGray", "DeviceCMYK")[k % 3]
             assert nb == 32 + (w * h) % 191
         assert extract_pdf_text(pdf) == text  # images stay text-invisible
