@@ -1,0 +1,210 @@
+"""Head-metadata extraction: <title>, meta description, og:title, canonical.
+
+The fields real pipelines keep alongside main content (retrieval titles,
+snippet text, URL canonicalization) are read straight off the SAX
+kernel's event stream — no regex scraping, no DOM build. The pairing of
+Attribute events with the element that owns them is purely structural:
+in the kernel's event order (mirroring the reference's
+process_attribute → process_open_tag sequencing,
+/root/reference/src/sax/parser.rs), every Attribute event of an element
+precedes that element's OpenTag event and no tag event intervenes. So
+"number of tag events strictly before me" is constant across an
+element's attributes AND its OpenTag row — one running sum (`grp`) over
+the per-doc window pairs them exactly. Attribute payloads travel
+forward as last(struct(grp, value)) over the same window and are
+accepted only when their grp equals the OpenTag row's grp, so a stale
+attribute from an earlier element can never leak onto a later one
+(e.g. a second <meta> without content must NOT inherit the first's).
+
+Scale shape: the whole extraction is ONE doc_id-partitioned window
+(Catalyst stacks the two frame variants over a single hash exchange +
+sort) followed by a groupBy on the window's own partition key, which
+reuses that partitioning — a single exchange end-to-end, plan-gated in
+tests/test_plan_quality.py. Events per document head are bounded, so
+the window carries no skew risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tokenize import tokenize_events
+
+_EV_TEXT = 0
+_EV_ATTRIBUTE = 6
+_EV_OPEN = 7
+_EV_CLOSE = 8
+_MASK = (
+    (1 << _EV_TEXT) | (1 << _EV_ATTRIBUTE) | (1 << _EV_OPEN) | (1 << _EV_CLOSE)
+)
+
+
+def extract_head_metadata(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """pages(id…, html:binary) → (id…, title, description, og_title,
+    canonical). Every page yields exactly one row; missing fields come
+    back NULL. A multi-Text-event title (newline flushes) is
+    reassembled in event order; for repeated fields the FIRST
+    occurrence wins (crawl convention)."""
+    ids = list(id_cols)
+    ev = tokenize_events(
+        pages.select(*ids, html_col),
+        id_cols=tuple(ids),
+        events=_MASK,
+        positions=False,
+    )
+    w_prev = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_tag = F.col("event").isin(_EV_OPEN, _EV_CLOSE).cast("int")
+    staged = ev.select(
+        *ids,
+        "event",
+        "event_idx",
+        "name",
+        F.col("value").cast("string").alias("text"),
+        F.col("attr_name").cast("string").alias("attr_name"),
+        F.col("attr_value").cast("string").alias("attr_value"),
+        F.coalesce(F.sum(is_tag).over(w_prev), F.lit(0)).alias("grp"),
+        F.sum(
+            F.when(
+                (F.col("event") == _EV_OPEN) & (F.col("name") == "title"), 1
+            )
+            .when(
+                (F.col("event") == _EV_CLOSE) & (F.col("name") == "title"), -1
+            )
+            .otherwise(0)
+        )
+        .over(w_run)
+        .alias("title_depth"),
+    )
+    w_run2 = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def attr_last(key: str):
+        return F.last(
+            F.when(
+                (F.col("event") == _EV_ATTRIBUTE) & (F.col("attr_name") == key),
+                F.struct(
+                    F.col("grp").alias("g"), F.col("attr_value").alias("v")
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w_run2)
+
+    paired = staged.select(
+        *ids,
+        "event",
+        "event_idx",
+        "name",
+        "text",
+        "grp",
+        "title_depth",
+        attr_last("name").alias("a_name"),
+        attr_last("property").alias("a_prop"),
+        attr_last("content").alias("a_content"),
+        attr_last("rel").alias("a_rel"),
+        attr_last("href").alias("a_href"),
+    )
+    g = F.col("grp")
+
+    def own(a: str):  # the carried attribute belongs to THIS element
+        return F.col(a).isNotNull() & (F.col(a)["g"] == g)
+
+    is_open = F.col("event") == _EV_OPEN
+    kind = (
+        F.when(
+            (F.col("event") == _EV_TEXT) & (F.col("title_depth") > 0),
+            F.lit("title"),
+        )
+        .when(
+            is_open
+            & (F.col("name") == "meta")
+            & own("a_name")
+            & own("a_content")
+            & (F.col("a_name")["v"] == "description"),
+            F.lit("description"),
+        )
+        .when(
+            is_open
+            & (F.col("name") == "meta")
+            & own("a_prop")
+            & own("a_content")
+            & (F.col("a_prop")["v"] == "og:title"),
+            F.lit("og_title"),
+        )
+        .when(
+            is_open
+            & (F.col("name") == "link")
+            & own("a_rel")
+            & own("a_href")
+            & (F.col("a_rel")["v"] == "canonical"),
+            F.lit("canonical"),
+        )
+    )
+    val = (
+        F.when(F.col("event") == _EV_TEXT, F.col("text"))
+        .when(F.col("name") == "link", F.col("a_href")["v"])
+        .otherwise(F.col("a_content")["v"])
+    )
+    # No kind-filter: a page with no head fields still yields one row
+    # (all fields NULL). The groupBy sits on the window's partition key
+    # so keeping every event row adds no exchange, only same-partition
+    # aggregation input.
+    rows = paired.select(
+        *ids, "event_idx", kind.alias("kind"), val.alias("val")
+    )
+
+    def first_of(k: str):  # first occurrence in event order, NULL if absent
+        picked = F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("kind") == k,
+                    F.struct(F.col("event_idx").alias("i"), F.col("val").alias("v")),
+                )
+            )
+        )
+        return F.try_element_at(picked, F.lit(1))["v"]  # NULL when absent
+
+    title = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("kind") == "title",
+                        F.struct(
+                            F.col("event_idx").alias("i"),
+                            F.col("val").alias("v"),
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ),
+        # The kernel flushes Text at '\n' and the newline byte is not
+        # part of either event's value (reference parity) — so with
+        # positions off, consecutive title Text events rejoin with the
+        # newline that split them.
+        "\n",
+    )
+    out = rows.groupBy(*ids).agg(
+        F.nullif(title, F.lit("")).alias("title"),
+        first_of("description").alias("description"),
+        first_of("og_title").alias("og_title"),
+        first_of("canonical").alias("canonical"),
+    )
+    return out

@@ -1,0 +1,93 @@
+"""Charset sniff + transcode semantics (functions/charset.py).
+
+Pins the WHATWG-subset precedence (BOM > meta prescan > utf-8
+fallback), the spec quirks, and the never-throws degradation contract
+— pure-python first, then the Spark column plumbing."""
+
+from __future__ import annotations
+
+from sax_wasm_spark.functions.charset import (
+    decode_page,
+    detect_encoding,
+    pages_to_utf8,
+)
+
+
+def test_bom_beats_contradicting_meta():
+    page = b"\xff\xfe" + (
+        '<html><head><meta charset="shift_jis"></head>'
+        "<body>café</body></html>"
+    ).encode("utf-16-le")
+    enc, text = decode_page(page)
+    assert enc == "utf-16-le"
+    assert "café" in text
+    assert "shift_jis" in text  # the meta survives as text, not as truth
+
+
+def test_utf8_bom_stripped():
+    enc, text = decode_page(b"\xef\xbb\xbf<p>x</p>")
+    assert enc == "utf-8"
+    assert text == "<p>x</p>"  # BOM is not part of the text
+
+
+def test_meta_prescan_simple_and_http_equiv():
+    assert detect_encoding(b'<meta charset="windows-1251">')[0] == "cp1251"
+    assert (
+        detect_encoding(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=iso-8859-1">'
+        )[0]
+        == "cp1252"  # WHATWG alias: iso-8859-1 label IS windows-1252
+    )
+
+
+def test_meta_beyond_1024_bytes_is_ignored():
+    page = b"<!--" + b"x" * 1100 + b'--><meta charset="shift_jis">'
+    assert detect_encoding(page)[0] == "utf-8"
+
+
+def test_unknown_label_falls_back_to_utf8():
+    assert detect_encoding(b'<meta charset="no-such-enc-999">')[0] == "utf-8"
+
+
+def test_meta_declared_utf16_is_treated_as_utf8():
+    # spec quirk: a page you could ASCII-prescan cannot be utf-16
+    assert detect_encoding(b'<meta charset="utf-16">')[0] == "utf-8"
+    assert detect_encoding(b'<meta charset="UTF-16LE">')[0] == "utf-8"
+
+
+def test_undecodable_bytes_degrade_to_replacement():
+    enc, text = decode_page(b'<meta charset="utf-8"><p>\xff\xfe\xfa</p>')
+    assert enc == "utf-8"
+    assert "�" in text and text.startswith("<meta")
+
+
+def test_gb2312_label_maps_to_gbk():
+    assert detect_encoding(b'<meta charset="gb2312">')[0] == "gbk"
+
+
+def test_null_page_is_empty_utf8():
+    assert decode_page(None) == ("utf-8", "")
+
+
+def test_pages_to_utf8_byte_identity_for_utf8_majority(spark):
+    """The transcode front porch must leave BOM-less utf-8 pages
+    byte-identical (the extraction byte-identity invariant holds for
+    the utf-8 majority) and must transcode a cp1252 page to the utf-8
+    bytes of the same text."""
+    rows = [
+        (0, "<p>café utf8</p>".encode("utf-8")),
+        (1, b'<meta charset="windows-1252"><p>caf\xe9</p>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {
+        r["doc_id"]: r
+        for r in pages_to_utf8(df).select("doc_id", "html", "encoding").collect()
+    }
+    assert bytes(got[0]["html"]) == rows[0][1]
+    assert got[0]["encoding"] == "utf-8"
+    assert got[1]["encoding"] == "windows-1252"
+    assert (
+        bytes(got[1]["html"])
+        == '<meta charset="windows-1252"><p>café</p>'.encode("utf-8")
+    )

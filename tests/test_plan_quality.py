@@ -344,3 +344,16 @@ def test_q57_two_hop_joins_deduped_host_edges(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert re.search(r"Keys \[2\]: \[src_host", plan), plan[:3000]
+
+
+def test_q61_head_metadata_single_doc_exchange(spark):
+    """Head-metadata extraction is window-only: both window frames
+    stack over ONE doc_id hash exchange, and the first-occurrence
+    groupBy keys on the window's own partition column so it reuses
+    that partitioning — no join, no second hash exchange."""
+    from sax_wasm_spark.plans.queries import q61_head_metadata
+
+    plan = plan_of(q61_head_metadata(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(\w+", plan)
+    assert hash_ex == ["Arguments: hashpartitioning(doc_id"], plan[:3000]

@@ -1037,3 +1037,65 @@ def test_streaming_pdf_ingestion(spark, tmp_path):
     for name, want in texts.items():
         assert got[name].status == "ok" and got[name].text == want, name
     assert got["poison.pdf"].status.startswith("error:")
+
+
+def test_head_metadata_pairing_and_edge_cases(spark):
+    """Structural attribute→element pairing: a <meta> without content
+    must NOT inherit an earlier element's content (no stale-attribute
+    leakage); a newline-split <title> reassembles across Text events;
+    repeated description keeps the FIRST; a page with no head fields
+    still yields one all-NULL row; body-tag attributes never register."""
+    from sax_wasm_spark.operators.metadata import extract_head_metadata
+
+    pages = [
+        # A: full head, title split across a newline flush, a second
+        # (decoy) description that must lose to the first
+        (
+            0,
+            b"<html><head><title>Line1\nLine2</title>"
+            b'<meta name="description" content="first desc">'
+            b'<meta name="description" content="second desc">'
+            b'<meta property="og:title" content="OG A">'
+            b'<link rel="canonical" href="https://a.example.com/c">'
+            b'</head><body><p class="x">b</p></body></html>',
+        ),
+        # B: description meta has NO content; the next meta carries
+        # og:title + content — leakage would wrongly pair them
+        (
+            1,
+            b"<html><head>"
+            b'<meta name="description">'
+            b'<meta property="og:title" content="OG B">'
+            b"</head><body>t</body></html>",
+        ),
+        # C: no head metadata at all
+        (2, b"<html><body><p>plain</p></body></html>"),
+        # D: link without rel=canonical must not register; stylesheet
+        # href must not leak into canonical
+        (
+            3,
+            b"<html><head><title>D</title>"
+            b'<link rel="stylesheet" href="https://a.example.com/s.css">'
+            b"</head><body>t</body></html>",
+        ),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html binary")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in extract_head_metadata(df).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    a = got[0]
+    assert a["title"] == "Line1\nLine2"
+    assert a["description"] == "first desc"
+    assert a["og_title"] == "OG A"
+    assert a["canonical"] == "https://a.example.com/c"
+    b = got[1]
+    assert b["description"] is None  # no stale pairing
+    assert b["og_title"] == "OG B"
+    assert b["title"] is None
+    c = got[2]
+    assert all(c[k] is None for k in ("title", "description", "og_title", "canonical"))
+    d = got[3]
+    assert d["title"] == "D"
+    assert d["canonical"] is None
