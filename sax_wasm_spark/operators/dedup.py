@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
@@ -520,3 +520,61 @@ def embedding_neardup_lsh(
     )
     out._sax_persisted = getattr(buckets, "_sax_persisted", None)
     return out
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the CCNet shape: boilerplate
+    paragraphs — nav, cookie banners, license footers — repeat across
+    MILLIONS of pages; per-paragraph dedup removes them even when
+    whole-document dedup can't). Each doc splits into paragraphs
+    row-locally; the FIRST occurrence corpus-wide (ordered by
+    (id, paragraph index)) survives, every later copy is dropped, and
+    each doc's retained text reassembles in original order.
+
+    → (id, n_paras, n_kept, dedup_text); dedup_text is NULL when every
+    paragraph of the doc was seen earlier elsewhere.
+
+    Scale shape: exactly two exchanges — one on the paragraph's md5
+    (the first-occurrence window; 16-byte keys through the shuffle,
+    partition sizes bounded by duplicate multiplicity which is exactly
+    what dedup removes) and one back on the id for reassembly. No
+    joins, no collect; at 10^12 docs this is the same partition-by-
+    content-hash discipline as exact_dedup with bounded paragraph
+    payloads."""
+    paras = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "idx")
+    flagged = paras.select(
+        id_col,
+        "idx",
+        "para",
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    )
+    reassembled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("kept") == 1,
+                        F.struct(F.col("idx").alias("i"), F.col("para").alias("v")),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ),
+        sep,
+    )
+    # split() yields >=1 element for every non-null text, so each doc
+    # keeps exactly one output row
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum("kept").alias("n_kept"),
+        F.nullif(reassembled, F.lit("")).alias("dedup_text"),
+    )

@@ -357,3 +357,18 @@ def test_q61_head_metadata_single_doc_exchange(spark):
     assert "Join" not in plan, plan[:3000]
     hash_ex = re.findall(r"Arguments: hashpartitioning\(\w+", plan)
     assert hash_ex == ["Arguments: hashpartitioning(doc_id"], plan[:3000]
+
+
+def test_q63_paragraph_dedup_two_exchanges_no_join(spark):
+    """Paragraph dedup shuffles exactly twice — once on the paragraph
+    md5 (first-occurrence window; fixed 16-byte keys) and once back on
+    doc_id for reassembly — and never joins."""
+    from sax_wasm_spark.plans.queries import q63_paragraph_dedup
+
+    plan = plan_of(q63_paragraph_dedup(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    # the window key is the md5 projection (_w0); the reassembly keys
+    # on doc_id — exactly two hash exchanges
+    hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert len(hash_ex) == 2 and "doc_id" in hash_ex, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:3000]

@@ -1099,3 +1099,24 @@ def test_head_metadata_pairing_and_edge_cases(spark):
     d = got[3]
     assert d["title"] == "D"
     assert d["canonical"] is None
+
+
+def test_paragraph_dedup_first_occurrence_semantics(spark):
+    """Corpus-first wins, later copies drop (even WITHIN one doc);
+    reassembly preserves original order; a doc whose every paragraph
+    was seen earlier gets dedup_text NULL."""
+    from sax_wasm_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (0, "alpha\nshared\nalpha"),  # in-doc repeat of 'alpha' drops
+        (1, "shared\nbravo"),  # 'shared' first seen in doc 0
+        (2, "shared"),  # everything already seen
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert got[0]["n_paras"] == 3 and got[0]["n_kept"] == 2
+    assert got[0]["dedup_text"] == "alpha\nshared"
+    assert got[1]["n_paras"] == 2 and got[1]["n_kept"] == 1
+    assert got[1]["dedup_text"] == "bravo"
+    assert got[2]["n_paras"] == 1 and got[2]["n_kept"] == 0
+    assert got[2]["dedup_text"] is None
