@@ -82,6 +82,8 @@ import struct
 import zlib
 from typing import NamedTuple
 
+from .jpegmeta import jpeg_sof
+
 __all__ = [
     "PdfError",
     "UnsupportedFilter",
@@ -1238,7 +1240,7 @@ class PdfDocument:
         (``None`` fonts/xobjs = the form has no /Resources of its own
         and inherits the invoking context's — deprecated by ISO 32000
         §7.8.3 but ubiquitous in real files) or
-        ``('image', objnum, dict, raw_len)``. Nested form resources are
+        ``('image', objnum, dict, raw_len, raw_bytes)``. Nested form resources are
         resolved recursively with a depth cap and a visited set, so
         self-referencing forms degrade to truncated nesting instead of
         recursing forever. Shared forms (per-page headers) are cached
@@ -1284,7 +1286,7 @@ class PdfDocument:
             elif sub == "/Image":
                 raw = self.streams.get(ref.num)
                 out[name.lstrip("/")] = (
-                    "image", ref.num, d, 0 if raw is None else len(raw)
+                    "image", ref.num, d, 0 if raw is None else len(raw), raw
                 )
         return out
 
@@ -2625,7 +2627,7 @@ _INLINE_CS_ABBR = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK", 
 
 
 def _inline_images_from_content(content: bytes) -> list[tuple[dict, int]]:
-    """[(BI-dict params, payload_byte_count)] for every inline image in
+    """[(BI-dict params, payload_byte_count, payload_bytes)] for every inline image in
     one content stream, in stream order. Strings/arrays tokenize as
     units, so payload-lookalike bytes inside them never false-trigger;
     the payload itself is skipped by _parse_inline_image's /L-or-
@@ -2638,16 +2640,32 @@ def _inline_images_from_content(content: bytes) -> list[tuple[dict, int]]:
             return out
         if tok == ("kw", b"BI"):
             resume, params, s, e = _parse_inline_image(content, lex.pos)
-            out.append((params, max(0, e - s)))
+            out.append((params, max(0, e - s), content[s:e]))
             lex.pos = resume
+
+
+def _codec_truth(filt: str, raw: bytes | None):
+    """(codec_w, codec_h, codec_nc, codec_progressive) — the JPEG
+    payload's OWN frame-header facts for a pure /DCTDecode stream
+    (filter chains would need the prefix filters applied first; chained
+    DCT rows report None), None-columns otherwise. The dict's claims
+    and the codec's wire truth disagree in real crawls — the inventory
+    reports both."""
+    if filt == "DCTDecode" and raw:
+        sof = jpeg_sof(raw)
+        if sof is not None:
+            return sof
+    return (None, None, None, None)
 
 
 def pdf_image_stats(
     data: bytes,
-) -> list[tuple[int, str, int, int, int, str, str, int]]:
+) -> list[tuple]:
     """Per-image inventory WITHOUT decoding pixels: [(page_index,
     resource_name, width, height, bits_per_component, filter,
-    colorspace, raw_stream_bytes)] for every /Subtype /Image XObject
+    colorspace, raw_stream_bytes, codec_w, codec_h, codec_nc,
+    codec_progressive)] — the last four from the JPEG payload's own
+    SOF header for pure-/DCTDecode images (kernel/jpegmeta.py), None for every /Subtype /Image XObject
     reachable from each page's resources, including images inside
     (nested) form XObjects, PLUS every inline image (§8.9.7
     ``BI..ID..EI``) in the page's and its forms' content streams —
@@ -2670,7 +2688,7 @@ def pdf_image_stats(
         def walk(xobjs: dict, page_idx: int = i, seen_nums: set = seen) -> None:
             for name, xo in sorted(xobjs.items()):
                 if xo[0] == "image":
-                    _, num, d, raw_len = xo
+                    _, num, d, raw_len, raw = xo
                     if num in seen_nums:
                         continue
                     seen_nums.add(num)
@@ -2697,6 +2715,7 @@ def pdf_image_stats(
                             filt,
                             cs,
                             raw_len,
+                            *_codec_truth(filt, raw),
                         )
                     )
                 elif xo[0] == "form" and xo[4]:
@@ -2721,7 +2740,7 @@ def pdf_image_stats(
         collect_forms(xobjs)
         j = 0
         for blob in contents:
-            for params, n_payload in _inline_images_from_content(blob):
+            for params, n_payload, payload in _inline_images_from_content(blob):
                 w = params.get("W", params.get("Width"))
                 h = params.get("H", params.get("Height"))
                 bpc = params.get("BPC", params.get("BitsPerComponent"))
@@ -2737,6 +2756,11 @@ def pdf_image_stats(
                         _INLINE_FILTER_ABBR.get(filt, filt) if isinstance(filt, str) else "",
                         _INLINE_CS_ABBR.get(cs, cs) if isinstance(cs, str) else "",
                         n_payload,
+                        *_codec_truth(
+                            _INLINE_FILTER_ABBR.get(filt, filt)
+                            if isinstance(filt, str) else "",
+                            payload,
+                        ),
                     )
                 )
                 j += 1

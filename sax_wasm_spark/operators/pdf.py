@@ -107,6 +107,12 @@ PDF_IMAGE_FIELDS = [
     StructField("filter", StringType(), False),
     StructField("colorspace", StringType(), False),
     StructField("n_bytes", IntegerType(), False),
+    # JPEG wire truth for pure-/DCTDecode payloads (SOF frame header,
+    # kernel/jpegmeta.py); NULL for every other filter
+    StructField("codec_w", IntegerType(), True),
+    StructField("codec_h", IntegerType(), True),
+    StructField("codec_nc", IntegerType(), True),
+    StructField("codec_progressive", IntegerType(), True),
 ]
 
 PDF_FIELD_FIELDS = [

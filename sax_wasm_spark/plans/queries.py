@@ -2717,6 +2717,10 @@ def q58_pdf_image_inventory(spark, sf_dir):
         F.col("filter").alias("img_filter"),
         "colorspace",
         F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("codec_w").cast("int").alias("codec_w"),
+        F.col("codec_h").cast("int").alias("codec_h"),
+        F.col("codec_nc").cast("int").alias("codec_nc"),
+        F.col("codec_progressive").cast("int").alias("codec_progressive"),
     ).orderBy("doc_id", "img_name")
 
 
@@ -2739,7 +2743,10 @@ def q58_sql():
                                   ELSE 'JPXDecode' END
              END AS img_filter,
              CASE k % 3 WHEN 0 THEN 'DeviceRGB' WHEN 1 THEN 'DeviceGray'
-                        ELSE 'DeviceCMYK' END AS colorspace
+                        ELSE 'DeviceCMYK' END AS colorspace,
+             CASE k % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 4 END AS nc,
+             CASE WHEN k % 3 <> 2 AND k % 4 = 0 THEN 1 ELSE 0 END AS is_dct,
+             tl
       FROM img
     )
     SELECT doc_id,
@@ -2749,7 +2756,15 @@ def q58_sql():
            CAST(height AS INTEGER) AS height,
            CAST(bpc AS INTEGER) AS bpc,
            img_filter, colorspace,
-           CAST(32 + (width * height) % 191 AS INTEGER) AS n_bytes
+           CAST(CASE WHEN is_dct = 1
+                     THEN 22 + 5 * nc + 16 + (width * height) % 191
+                     ELSE 32 + (width * height) % 191 END
+                AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN is_dct = 1 THEN width END AS INTEGER) AS codec_w,
+           CAST(CASE WHEN is_dct = 1 THEN height END AS INTEGER) AS codec_h,
+           CAST(CASE WHEN is_dct = 1 THEN nc END AS INTEGER) AS codec_nc,
+           CAST(CASE WHEN is_dct = 1 THEN tl % 2 END AS INTEGER)
+             AS codec_progressive
     FROM m ORDER BY doc_id, img_name
     """
 

@@ -365,23 +365,38 @@ _IMG_SPACES = (b"DeviceRGB", b"DeviceGray", b"DeviceCMYK")
 
 
 def _image_params(
-    text_len: int, k: int
+    text_len: int, k: int, inline: bool = False
 ) -> tuple[int, int, int, bytes, bytes, bytes]:
     """(width, height, bpc, filter, colorspace, payload) for per-page
     image ``k`` — every metadata field is a closed form of (text_len,
     k) so the image inventory query's DuckDB oracle reproduces the
-    result without parsing a byte of PDF. The payload is deterministic
-    junk: the inventory reports metadata + raw byte count and never
-    decodes samples (DCT/JPX codecs are out of scope by design)."""
+    result without parsing a byte of PDF. Non-DCT payloads are
+    deterministic junk (the inventory reports metadata + raw byte
+    count and never decodes samples); /DCTDecode XObject payloads are
+    a minimal REAL JPEG (kernel/jpegmeta.synth_jpeg_header — SOI +
+    SOFn + SOS + entropy + EOI) whose frame header restates the same
+    closed-form dims, n_components from the colorspace, and
+    progressive iff ``text_len`` is odd — so the reader's codec-truth
+    columns have a closed SQL form too (total bytes =
+    22 + 5*nc + 16 + (w*h)%191). Inline images pin /CCF and keep the
+    junk payload regardless of k."""
     import hashlib  # noqa: PLC0415
+
+    from ..kernel.jpegmeta import synth_jpeg_header  # noqa: PLC0415
 
     w = 64 + (text_len * 7 + k * 13) % 512
     h = 36 + (text_len * 11 + k * 17) % 512
     bpc = 1 if k % 3 == 1 else 8
     filt = _IMG_FILTERS[k % 4]
     cs = _IMG_SPACES[k % 3]
-    n_bytes = 32 + (w * h) % 191
     seed = hashlib.sha256(b"img:%d:%d" % (text_len, k)).digest()
+    if filt == b"DCTDecode" and not inline:
+        nc = {b"DeviceRGB": 3, b"DeviceGray": 1, b"DeviceCMYK": 4}[cs]
+        e = 16 + (w * h) % 191
+        entropy = (seed * (e // 32 + 1))[:e]
+        payload = synth_jpeg_header(w, h, nc, text_len % 2 == 1, entropy)
+        return w, h, bpc, filt, cs, payload
+    n_bytes = 32 + (w * h) % 191
     payload = (seed * (n_bytes // 32 + 1))[:n_bytes]
     return w, h, bpc, filt, cs, payload
 
@@ -404,7 +419,7 @@ def _inline_image_op(text_len: int, k: int) -> bytes:
     CCITTFaxDecode — and an explicit /L so the reader's exact-length
     path (not the delimited-EI scan) carries arbitrary binary payloads.
     Same closed-form dims/colorspace/payload as the XObject twin."""
-    w, h, bpc, _filt, cs, payload = _image_params(text_len, k)
+    w, h, bpc, _filt, cs, payload = _image_params(text_len, k, inline=True)
     abbr_cs = {b"DeviceRGB": b"RGB", b"DeviceGray": b"G", b"DeviceCMYK": b"CMYK"}[cs]
     return (
         b"BI /W %d /H %d /BPC %d /CS /%s /F /CCF /L %d ID "

@@ -156,7 +156,8 @@ def test_inline_images_enumerated_in_stream_order():
         b"q BI /Width 7 /Height 8 /BPC 1 /F /Fl /L 3 ID xyz EI Q"
     )
     imgs = _inline_images_from_content(blob)
-    assert [(p.get("W", p.get("Width")), n) for p, n in imgs] == [(3, 2), (7, 3)]
+    assert [(p.get("W", p.get("Width")), n) for p, n, _pay in imgs] == [(3, 2), (7, 3)]
+    assert [pay for _p, _n, pay in imgs] == [b"ab", b"xyz"]
 
 
 def test_inline_image_truncated_stream_terminates():
@@ -1841,9 +1842,9 @@ def test_image_inventory_closed_form_and_encrypted_tiers():
         # XObject rows first (k = 0, 1, 3 — sorted by name), then the
         # inline k = 2 image named BI0
         order = [(0, "Im0"), (1, "Im1"), (3, "Im3"), (2, "BI0")]
-        for (k, want_name), (pi, name, w, h, bpc, filt, cs, nb) in zip(
-            order, stats
-        ):
+        for (k, want_name), (
+            pi, name, w, h, bpc, filt, cs, nb, cw, ch, cnc, cprog
+        ) in zip(order, stats):
             assert (pi, name) == (0, want_name)
             assert w == 64 + (len(text) * 7 + k * 13) % 512
             assert h == 36 + (len(text) * 11 + k * 17) % 512
@@ -1854,7 +1855,16 @@ def test_image_inventory_closed_form_and_encrypted_tiers():
                 want_filt = "CCITTFaxDecode"  # inline never uses JPX
             assert filt == want_filt
             assert cs == ("DeviceRGB", "DeviceGray", "DeviceCMYK")[k % 3]
-            assert nb == 32 + (w * h) % 191
+            if want_filt == "DCTDecode" and k % 3 != 2:
+                # real JPEG payload: wire truth matches the dict claim,
+                # nc follows the colorspace, progressive = odd text len
+                nc = {"DeviceRGB": 3, "DeviceGray": 1, "DeviceCMYK": 4}[cs]
+                assert (cw, ch, cnc) == (w, h, nc)
+                assert cprog == len(text) % 2
+                assert nb == 22 + 5 * nc + 16 + (w * h) % 191
+            else:
+                assert (cw, ch, cnc, cprog) == (None, None, None, None)
+                assert nb == 32 + (w * h) % 191
         assert extract_pdf_text(pdf) == text  # images stay text-invisible
 
 
@@ -2035,3 +2045,29 @@ def test_no_acroform_no_outline_empty():
     doc = PdfDocument(build_pdf("plain", variant=0))
     assert doc.form_fields() == []
     assert doc.outline_titles() == []
+
+
+def test_jpeg_sof_roundtrip_and_negatives():
+    """kernel/jpegmeta: synth headers parse back exactly for every
+    component count and both scan types; non-JPEG and markerless
+    payloads return None instead of raising (T.81 §B.2 marker walk,
+    fill bytes tolerated, APPn skipped by explicit length)."""
+    from sax_wasm_spark.kernel.jpegmeta import jpeg_sof, synth_jpeg_header
+
+    for nc in (1, 3, 4):
+        for prog in (False, True):
+            b = synth_jpeg_header(513, 37, nc, prog, b"\x12\x34" * 20)
+            assert len(b) == 22 + 5 * nc + 40
+            assert jpeg_sof(b) == (513, 37, nc, int(prog))
+    # APP0 before SOF (the common JFIF shape) + a fill byte
+    jfif = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        b"\xff\xff\xc0\x00\x11\x08\x00\x25\x02\x01\x03"
+        b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    assert jpeg_sof(jfif) == (513, 37, 3, 0)
+    assert jpeg_sof(b"") is None
+    assert jpeg_sof(b"nonsense") is None
+    assert jpeg_sof(b"\xff\xd8\xff\xd9") is None  # EOI before any SOF
+    assert jpeg_sof(b"\xff\xd8\xff\xc0\x00\x03\x08") is None  # short SOF
+    assert jpeg_sof(b"\xff\xd8\xff\xda\x00\x02") is None  # SOS first
