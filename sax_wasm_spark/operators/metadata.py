@@ -208,3 +208,73 @@ def extract_head_metadata(
         first_of("canonical").alias("canonical"),
     )
     return out
+
+
+def parse_sitemap_entries(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    fields: tuple[str, ...] = ("loc", "lastmod", "changefreq", "priority"),
+) -> DataFrame:
+    """sitemaps(id…, xml:binary) → one row per <url> entry:
+    (id…, url_ord, loc, lastmod, changefreq, priority) — the crawl
+    frontier's seed feed (sitemaps.org protocol), parsed by the SAX
+    kernel itself (the reference engine's native XML ground).
+
+    Structural pairing, whitespace-robust: a Text event belongs to
+    element <t> only when the IMMEDIATELY preceding tag event is
+    <t>'s OpenTag (pretty-printing whitespace between a CloseTag and
+    the next OpenTag pairs with a CloseTag and drops out). The entry
+    ordinal is a running count of <url> OpenTags. Scale shape: one
+    doc-partitioned window; the per-entry groupBy keys on
+    (id…, url_ord) whose prefix is the window's partition key, so the
+    exchange is reused — a single shuffle end-to-end."""
+    ids = list(id_cols)
+    ev = tokenize_events(
+        sitemaps.select(*ids, xml_col),
+        html_col=xml_col,
+        id_cols=tuple(ids),
+        events=(1 << _EV_TEXT) | (1 << _EV_OPEN) | (1 << _EV_CLOSE),
+        positions=False,
+    )
+    w = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    url_ord = (
+        F.sum(
+            ((F.col("event") == _EV_OPEN) & (F.col("name") == "url")).cast(
+                "int"
+            )
+        ).over(w)
+        - 1
+    )
+    last_tag = F.last(
+        F.when(
+            F.col("event").isin(_EV_OPEN, _EV_CLOSE),
+            F.struct(F.col("event").alias("e"), F.col("name").alias("n")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    texts = (
+        ev.select(
+            *ids,
+            "event",
+            F.col("value").cast("string").alias("text"),
+            url_ord.alias("url_ord"),
+            last_tag.alias("lt"),
+        )
+        .where(
+            (F.col("event") == _EV_TEXT)
+            & (F.col("url_ord") >= 0)
+            & (F.col("lt")["e"] == _EV_OPEN)
+            & F.col("lt")["n"].isin(*fields)
+        )
+        .select(*ids, "url_ord", F.col("lt")["n"].alias("tag"), "text")
+    )
+    aggs = [
+        F.max(F.when(F.col("tag") == f, F.col("text"))).alias(f)
+        for f in fields
+    ]
+    return texts.groupBy(*ids, "url_ord").agg(*aggs)

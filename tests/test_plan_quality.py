@@ -372,3 +372,15 @@ def test_q63_paragraph_dedup_two_exchanges_no_join(spark):
     hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert len(hash_ex) == 2 and "doc_id" in hash_ex, plan[:3000]
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:3000]
+
+
+def test_q65_sitemap_single_doc_exchange(spark):
+    """Sitemap parsing reuses the window's doc_id exchange for the
+    (doc_id, url_ord) groupBy (prefix key) — one hash exchange, no
+    join beyond the presentation sort."""
+    from sax_wasm_spark.plans.queries import q65_sitemap_parse
+
+    plan = plan_of(q65_sitemap_parse(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(\w+", plan)
+    assert hash_ex == ["Arguments: hashpartitioning(doc_id"], plan[:3000]

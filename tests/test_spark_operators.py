@@ -1120,3 +1120,33 @@ def test_paragraph_dedup_first_occurrence_semantics(spark):
     assert got[1]["dedup_text"] == "bravo"
     assert got[2]["n_paras"] == 1 and got[2]["n_kept"] == 0
     assert got[2]["dedup_text"] is None
+
+
+def test_sitemap_parse_whitespace_and_missing_fields(spark):
+    """Pretty-printed sitemaps (newlines/indentation between elements)
+    must not attach whitespace text to any field; entries may omit
+    optional fields (NULL); text outside any <url> entry is ignored."""
+    from sax_wasm_spark.operators.metadata import parse_sitemap_entries
+
+    xml = (
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        b"  <url>\n"
+        b"    <loc>https://a.example.com/1</loc>\n"
+        b"    <lastmod>2024-02-01</lastmod>\n"
+        b"  </url>\n"
+        b"  <url><loc>https://a.example.com/2</loc>"
+        b"<priority>0.9</priority></url>\n"
+        b"</urlset>"
+    )
+    df = spark.createDataFrame([(0, xml)], "doc_id long, xml binary")
+    rows = sorted(
+        parse_sitemap_entries(df).collect(), key=lambda r: r["url_ord"]
+    )
+    assert len(rows) == 2
+    a, b = rows
+    assert a["loc"] == "https://a.example.com/1"
+    assert a["lastmod"] == "2024-02-01"
+    assert a["changefreq"] is None and a["priority"] is None
+    assert b["loc"] == "https://a.example.com/2"
+    assert b["priority"] == "0.9" and b["lastmod"] is None
