@@ -422,3 +422,48 @@ def with_crawl_delay(
     return joined.withColumn(out_col, delay(F.col(tmp_body))).drop(
         tmp_host, tmp_body
     )
+
+
+def sitemap_urls(body: str | None) -> list[str]:
+    """Every ``Sitemap:`` directive in the policy, in file order — the
+    sitemaps.org robots extension (referenced by RFC 9309 §2.2.4 as an
+    "other record"): global lines, NOT scoped to any user-agent group,
+    so they are collected independently of group selection. Values are
+    kept verbatim (absolute URLs per the protocol; the frontier decides
+    normalization). Comment stripping matches the group parser: '#'
+    starts a comment, so a fragment on a sitemap URL is dropped — which
+    is correct, fragments are meaningless to a fetcher."""
+    if not isinstance(body, str):
+        return []
+    out: list[str] = []
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
+def with_sitemap_urls(
+    robots: DataFrame,
+    robots_col: str = "robots_txt",
+    out_col: str = "sitemap_url",
+    ord_col: str = "sitemap_ord",
+) -> DataFrame:
+    """robots(…, robots_txt) → one row per declared sitemap:
+    (…, sitemap_ord, sitemap_url); hosts declaring none drop out (the
+    frontier falls back to /sitemap.xml probing as policy, not data).
+    Vectorized batch parse + a row-local posexplode — no shuffle."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("array<string>")
+    def maps(bodies: pd.Series) -> pd.Series:
+        return pd.Series([sitemap_urls(b) for b in bodies], dtype=object)
+
+    other = [c for c in robots.columns if c != robots_col]
+    return robots.select(
+        *other,
+        F.posexplode(maps(F.col(robots_col))).alias(ord_col, out_col),
+    )

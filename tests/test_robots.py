@@ -394,3 +394,28 @@ def test_compile_and_evaluate_never_raise(body, ua, path):
     boolean — a crawl cannot crash on a hostile robots.txt."""
     rules = compile_robots(body, ua)
     assert robots_allowed(rules, path) in (True, False)
+
+
+def test_sitemap_directive_extraction():
+    """Sitemap: lines are GLOBAL (collected regardless of group
+    position), case-insensitive, whitespace-sloppy, comment-stripped;
+    non-strings and directive-free bodies yield []."""
+    from sax_wasm_spark.functions.robots import sitemap_urls
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: https://h1.example.com/sitemap.xml\n"
+        "User-agent: GoodBot\n"
+        "Allow: /\n"
+        "sitemap:   https://h1.example.com/s2.xml#frag\n"
+        "SITEMAP: https://h1.example.com/s3.xml  # mirror\n"
+    )
+    assert sitemap_urls(body) == [
+        "https://h1.example.com/sitemap.xml",
+        "https://h1.example.com/s2.xml",
+        "https://h1.example.com/s3.xml",
+    ]
+    assert sitemap_urls(None) == []
+    assert sitemap_urls("User-agent: *\nDisallow:") == []
+    assert sitemap_urls("Sitemap:") == []  # empty value dropped
