@@ -204,3 +204,27 @@ def pages_to_utf8(
     return decoded.withColumn(
         html_col, F.encode(F.col("__t"), "UTF-8")
     ).drop("__t")
+
+
+@pandas_udf(StringType())
+def _nfc_udf(texts: pd.Series) -> pd.Series:
+    import unicodedata  # noqa: PLC0415
+
+    return pd.Series(
+        [
+            unicodedata.normalize("NFC", t) if isinstance(t, str) else t
+            for t in texts
+        ],
+        dtype=object,
+    )
+
+
+def nfc_normalize_column(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode NFC normalization (the canonical-composition pass real
+    text pipelines run before hashing/dedup — 'café' spelled with a
+    combining acute and 'café' precomposed must hash identically).
+    Vectorized pandas UDF (Spark has no normalization built-in);
+    NULL-safe; ``out_col=None`` rewrites ``text_col`` in place."""
+    return df.withColumn(out_col or text_col, _nfc_udf(F.col(text_col)))
