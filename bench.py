@@ -84,6 +84,8 @@ HEADLINE = [
     "q38_boilerplate_lines",
     "q44_host_politeness",
     "q45_sequence_pack",
+    "q63_paragraph_dedup",
+    "q64_extract_non_utf8",
     "sax_text_events",
     "sax_extract_roundtrip",
     "pdf_extract_roundtrip",
