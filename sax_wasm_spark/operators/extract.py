@@ -9,10 +9,14 @@ Documented reduction (deterministic; goldens in tests/goldens are frozen
 from exactly this spec — FIXTURES.md §6):
 
 1. Subscribe OpenTag | CloseTag | Text | Cdata; replay events in order,
-   maintaining a stack of open element names. Self-closing tags never
-   push (kernel emits their OpenTag+CloseTag back-to-back); orphan
-   closes arrive as Text events, so the stack replay mirrors the
-   kernel's own stack exactly.
+   maintaining a stack of open element names. Self-closing tags and
+   WHATWG void elements (meta, link, br, img, …) never push — the
+   kernel is a generic SAX parser and keeps an unclosed <meta> open,
+   but the classifier is the HTML layer, and a page-leading unclosed
+   <meta> must not drop the whole document; the kernel's matching
+   unwind CloseTags are skipped symmetrically. Orphan
+   closes arrive as Text events, so the stack replay otherwise mirrors
+   the kernel's own stack exactly.
 2. A Text/Cdata event is *candidate content* iff no open ancestor's
    lowercased name is in DROP_TAGS.
 3. Each candidate is labeled with (a) whether an ``<a>`` ancestor is
@@ -64,6 +68,21 @@ DROP_TAGS = frozenset(
         "script", "style", "noscript", "template", "head", "nav", "header",
         "footer", "aside", "form", "iframe", "svg", "select", "option",
         "button", "datalist", "meta", "link", "title",
+    )
+)
+
+# WHATWG §13.1.2 void elements: the KERNEL (a generic SAX parser, like
+# the reference) keeps an unclosed <meta>/<link>/<br> open until an
+# enclosing close unwinds it — correct XML semantics. The CLASSIFIER is
+# the HTML-aware layer, so on ITS replay stack these never push:
+# otherwise a single unclosed <meta> before <body> opens a drop-subtree
+# over the entire page (a ubiquitous real-crawl shape). CloseTag events
+# for them (the kernel's unwind emits one per pop) are skipped
+# symmetrically, keeping the two stacks aligned.
+VOID_TAGS = frozenset(
+    (
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
     )
 )
 
@@ -124,6 +143,8 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]], bytes | None]:
             if row[7]:  # self_closing
                 continue
             name = row[2].lower()
+            if name in VOID_TAGS:  # HTML void element: never pushes here
+                continue
             stack.append(name)
             if name in DROP_TAGS:
                 drop_depth += 1
@@ -141,6 +162,8 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]], bytes | None]:
         elif code == 8:  # CloseTag
             if row[7] or not stack:
                 continue
+            if row[2] and row[2].lower() in VOID_TAGS:
+                continue  # kernel-stack pop of an element we never pushed
             name = stack.pop()
             fid = frame_ids.pop()
             if name in DROP_TAGS:

@@ -62,12 +62,25 @@ def extract_stream(
     output_path: str,
     checkpoint_path: str,
     available_now: bool = True,
+    transcode: bool = False,
 ):
     """Streaming extraction query. ``available_now=True`` drains the
     current input and stops (used by tests and backfills); otherwise the
-    query runs continuously."""
+    query runs continuously. ``transcode=True`` prepends the charset
+    front porch (functions/charset.pages_to_utf8 — BOM/meta sniff +
+    in-place re-encode, a stateless vectorized UDF, so it lifts into
+    Structured Streaming unchanged) for corpora that aren't utf-8-only;
+    the detected encoding rides along as a passthrough column."""
     pages = read_pages_stream(spark, input_path)
-    extracted = extract_main_content(pages, "html", "url")
+    if transcode:
+        from ..functions.charset import pages_to_utf8  # noqa: PLC0415
+
+        pages = pages_to_utf8(pages)
+        extracted = extract_main_content(
+            pages, "html", "url", passthrough=("encoding",)
+        )
+    else:
+        extracted = extract_main_content(pages, "html", "url")
     writer = (
         extracted.writeStream.format("parquet")
         .option("path", output_path)

@@ -91,3 +91,40 @@ def test_pages_to_utf8_byte_identity_for_utf8_majority(spark):
         bytes(got[1]["html"])
         == '<meta charset="windows-1252"><p>café</p>'.encode("utf-8")
     )
+
+
+def test_streaming_extraction_with_transcode(spark, tmp_path):
+    """The charset front porch lifts into Structured Streaming
+    unchanged: a mixed utf-8 / utf-16-le / windows-1252 corpus streams
+    through pages_to_utf8 → extract and lands with the same extracted
+    text the batch path produces, plus the detected encoding column."""
+    from sax_wasm_spark.streaming.stream import extract_stream
+
+    body = "<html><body><p>stream café %d</p></body></html>"
+    rows = []
+    for i in range(12):
+        t = body % i
+        if i % 3 == 0:
+            raw = t.encode("utf-8")
+        elif i % 3 == 1:
+            raw = b"\xff\xfe" + t.encode("utf-16-le")
+        else:
+            raw = (
+                b'<meta charset="windows-1252">' + t.encode("cp1252")
+            )
+        rows.append((str(i), raw))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    in_path = str(tmp_path / "enc_in")
+    out_path = str(tmp_path / "enc_out")
+    ckpt = str(tmp_path / "enc_ckpt")
+    df.write.mode("overwrite").parquet(in_path)
+    q = extract_stream(
+        spark, in_path, out_path, ckpt, available_now=True, transcode=True
+    )
+    q.awaitTermination(120)
+    got = {r.url: r for r in spark.read.parquet(out_path).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        r = got[str(i)]
+        assert bytes(r.text_bytes).decode("utf-8") == "stream café %d" % i
+        assert r.encoding == ("utf-8", "utf-16-le", "windows-1252")[i % 3]

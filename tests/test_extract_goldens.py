@@ -77,3 +77,29 @@ def test_reference_fixture_matches_golden():
         hashlib.sha256(json.dumps([list(s) for s in spans]).encode()).hexdigest()
         == g["spans_sha256"]
     )
+
+
+def test_void_elements_do_not_open_drop_subtrees():
+    """WHATWG void elements on the classifier's replay stack: an
+    UNCLOSED <meta>/<link> (kernel keeps it open — generic SAX
+    semantics) must not drop the rest of the page, and <br>/<img>
+    interleaved in a paragraph must not desync the block stack. An
+    explicit </meta> (XML-ish) is skipped symmetrically."""
+    from sax_wasm_spark.operators.extract import extract_bytes
+
+    text, spans, *_ = extract_bytes(
+        b'<meta charset="utf-8"><html><body>'
+        b"<p>body text that survives the leading void element</p>"
+        b"</body></html>"
+    )
+    assert text == b"body text that survives the leading void element"
+    text2, *_ = extract_bytes(
+        b'<html><body><link rel="stylesheet" href="s.css">'
+        b"<p>one<br>two halves of a long enough paragraph</p></body></html>"
+    )
+    assert text2 == b"one\ntwo halves of a long enough paragraph"
+    text3, *_ = extract_bytes(
+        b"<html><body><meta></meta>"
+        b"<p>explicitly closed void element page text</p></body></html>"
+    )
+    assert text3 == b"explicitly closed void element page text"
