@@ -128,3 +128,46 @@ def test_streaming_extraction_with_transcode(spark, tmp_path):
         r = got[str(i)]
         assert bytes(r.text_bytes).decode("utf-8") == "stream café %d" % i
         assert r.encoding == ("utf-8", "utf-16-le", "windows-1252")[i % 3]
+
+
+def test_charset_roundtrip_property():
+    """Property: for ANY text encodable in a declared encoding, a page
+    built as '<meta charset=L>' + encode(text) sniffs to that encoding
+    and decodes to exactly the original text (hypothesis over the
+    supported label set)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    labels = [
+        ("utf-8", "utf-8"),
+        ("windows-1252", "cp1252"),
+        ("iso-8859-1", "cp1252"),
+        ("shift_jis", "shift_jis"),
+        ("euc-kr", "euc-kr"),
+        ("koi8-r", "koi8-r"),
+        ("gb18030", "gb18030"),
+    ]
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(
+        st.sampled_from(labels),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters='"<>&',
+                exclude_categories=("Cs",),
+            ),
+            max_size=60,
+        ),
+    )
+    def check(pair, text):
+        label, codec = pair
+        try:
+            payload = text.encode(codec)
+        except (UnicodeEncodeError, ValueError):
+            return  # text not representable in this encoding — vacuous
+        page = f'<meta charset="{label}"><p>'.encode("ascii") + payload
+        enc, got = decode_page(page)
+        assert got == f'<meta charset="{label}"><p>' + payload.decode(codec)
+        assert got.endswith(text)
+
+    check()
