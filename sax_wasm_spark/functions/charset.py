@@ -122,7 +122,15 @@ _REPORT: dict[str, str] = {
     "koi8-u": "koi8-u",
 }
 
-_META_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9_:.+-]+)")
+# charset= is honored only INSIDE a <meta ...> tag (covers both the
+# charset attribute and the http-equiv content= form) — a bare
+# "charset=" in a URL or script src in the first KiB must NOT hijack
+# the sniff (the WHATWG prescan walks meta attributes; this is the
+# bounded-regex approximation of that rule).
+_META_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_:.+-]+)",
+    re.IGNORECASE,
+)
 _PRESCAN = 1024
 
 
@@ -131,10 +139,20 @@ def _codec_for_label(label: bytes) -> str | None:
     codec = _LABELS.get(name)
     if codec is not None:
         return codec
-    try:  # permissive tail: any label python itself knows
-        return codecs.lookup(name).name
+    # Permissive tail: any label python itself knows — but ONLY real
+    # text encodings (codecs.lookup also resolves bytes-to-bytes codecs
+    # like 'hex'/'zlib', whose .decode would raise LookupError inside
+    # the never-throws UDF), and the WHATWG utf-16 quirk applies to the
+    # whole family regardless of label spelling ('utf16', 'u16', …).
+    try:
+        info = codecs.lookup(name)
     except LookupError:
         return None
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    if info.name.startswith(("utf-16", "utf-32")):
+        return "utf-8"  # spec quirk: ASCII-prescannable page cannot be
+    return info.name
 
 
 def detect_encoding(data: bytes) -> tuple[str, int]:

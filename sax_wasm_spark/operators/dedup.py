@@ -546,9 +546,13 @@ def paragraph_dedup(
     joins, no collect; at 10^12 docs this is the same partition-by-
     content-hash discipline as exact_dedup with bounded paragraph
     payloads."""
+    # F.split takes a JAVA REGEX: quote the separator so a literal '.'
+    # or '|' splits as the caller means, not as a regex metachar
     paras = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("idx", "para"),
     )
     w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "idx")
     flagged = paras.select(

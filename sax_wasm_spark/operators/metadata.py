@@ -77,22 +77,30 @@ def extract_head_metadata(
         F.col("attr_name").cast("string").alias("attr_name"),
         F.col("attr_value").cast("string").alias("attr_value"),
         F.coalesce(F.sum(is_tag).over(w_prev), F.lit(0)).alias("grp"),
+        # Title gating is deliberately NOT a raw open/close depth: an
+        # UNCLOSED <title> (common malformation — generic SAX nests the
+        # whole body inside it) would swallow the document, and a later
+        # <svg><title> would violate first-wins. Text is title text iff
+        # the IMMEDIATELY preceding tag event is the FIRST <title>'s
+        # OpenTag — newline-split fragments still qualify (text events
+        # don't advance the last tag), anything after the next tag
+        # event does not.
         F.sum(
-            F.when(
-                (F.col("event") == _EV_OPEN) & (F.col("name") == "title"), 1
+            ((F.col("event") == _EV_OPEN) & (F.col("name") == "title")).cast(
+                "int"
             )
-            .when(
-                (F.col("event") == _EV_CLOSE) & (F.col("name") == "title"), -1
-            )
-            .otherwise(0)
         )
         .over(w_run)
-        .alias("title_depth"),
-    )
-    w_run2 = (
-        Window.partitionBy(*ids)
-        .orderBy("event_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .alias("title_ord"),
+        F.last(
+            F.when(
+                F.col("event").isin(_EV_OPEN, _EV_CLOSE),
+                F.struct(F.col("event").alias("e"), F.col("name").alias("n")),
+            ),
+            ignorenulls=True,
+        )
+        .over(w_run)
+        .alias("last_tag"),
     )
 
     def attr_last(key: str):
@@ -104,7 +112,7 @@ def extract_head_metadata(
                 ),
             ),
             ignorenulls=True,
-        ).over(w_run2)
+        ).over(w_run)
 
     paired = staged.select(
         *ids,
@@ -113,7 +121,8 @@ def extract_head_metadata(
         "name",
         "text",
         "grp",
-        "title_depth",
+        "title_ord",
+        "last_tag",
         attr_last("name").alias("a_name"),
         attr_last("property").alias("a_prop"),
         attr_last("content").alias("a_content"),
@@ -126,11 +135,15 @@ def extract_head_metadata(
         return F.col(a).isNotNull() & (F.col(a)["g"] == g)
 
     is_open = F.col("event") == _EV_OPEN
+    in_first_title = (
+        (F.col("event") == _EV_TEXT)
+        & (F.col("title_ord") == 1)
+        & F.col("last_tag").isNotNull()
+        & (F.col("last_tag")["e"] == _EV_OPEN)
+        & (F.col("last_tag")["n"] == "title")
+    )
     kind = (
-        F.when(
-            (F.col("event") == _EV_TEXT) & (F.col("title_depth") > 0),
-            F.lit("title"),
-        )
+        F.when(in_first_title, F.lit("title"))
         .when(
             is_open
             & (F.col("name") == "meta")
@@ -261,6 +274,7 @@ def parse_sitemap_entries(
         ev.select(
             *ids,
             "event",
+            "event_idx",
             F.col("value").cast("string").alias("text"),
             url_ord.alias("url_ord"),
             last_tag.alias("lt"),
@@ -271,10 +285,37 @@ def parse_sitemap_entries(
             & (F.col("lt")["e"] == _EV_OPEN)
             & F.col("lt")["n"].isin(*fields)
         )
-        .select(*ids, "url_ord", F.col("lt")["n"].alias("tag"), "text")
+        .select(
+            *ids, "url_ord", "event_idx",
+            F.col("lt")["n"].alias("tag"), "text",
+        )
     )
-    aggs = [
-        F.max(F.when(F.col("tag") == f, F.col("text"))).alias(f)
-        for f in fields
-    ]
-    return texts.groupBy(*ids, "url_ord").agg(*aggs)
+
+    def field_value(f: str):
+        # fragments in event order (the kernel flushes Text at '\n', so
+        # a pretty-printed value arrives in pieces), rejoined with the
+        # newline that split them, then trimmed — NOT F.max, which is
+        # lexicographic over fragments and returns garbage for
+        # multi-line values
+        joined = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("tag") == f,
+                            F.struct(
+                                F.col("event_idx").alias("i"),
+                                F.col("text").alias("v"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            "\n",
+        )
+        return F.nullif(F.trim(joined), F.lit("")).alias(f)
+
+    return texts.groupBy(*ids, "url_ord").agg(
+        *[field_value(f) for f in fields]
+    )

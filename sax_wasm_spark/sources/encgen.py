@@ -54,7 +54,10 @@ def _encode_variant_udf(text: pd.Series, variant: pd.Series) -> pd.Series:
     out = []
     for t, v in zip(text, variant):
         codec, bom, _ = _VARIANTS[int(v) % N_ENC_VARIANTS]
-        out.append(bom + t.encode(codec))
+        # errors='replace': a corpus character outside the variant's
+        # repertoire degrades to '?' instead of killing the task (the
+        # oracle suffixes are chosen encodable, so closed forms hold)
+        out.append(bom + t.encode(codec, errors="replace"))
     return pd.Series(out, dtype=object)
 
 

@@ -171,3 +171,22 @@ def test_charset_roundtrip_property():
         assert got.endswith(text)
 
     check()
+
+
+def test_sniff_hardening_review_findings():
+    """Round-7 review regressions: (a) 'charset=' outside a <meta> tag
+    (URLs, script srcs) must not hijack the sniff; (b) labels resolving
+    to bytes-to-bytes codecs ('hex', 'zlib') must not crash the
+    never-throws contract; (c) the utf-16 quirk covers the whole family
+    under ANY label spelling python resolves ('utf16', 'u16')."""
+    assert detect_encoding(b'<a href="/x?charset=koi8-r">caf\xc3\xa9')[0] == "utf-8"
+    enc, text = decode_page(b'<a href="/x?charset=koi8-r"><p>caf\xc3\xa9</p>')
+    assert enc == "utf-8" and "café" in text
+    enc, _ = decode_page(b'<meta charset="hex"><p>\x01\x02')  # must not raise
+    assert enc == "utf-8"
+    assert detect_encoding(b'<meta charset="zlib">')[0] == "utf-8"
+    assert detect_encoding(b'<meta charset="utf16">')[0] == "utf-8"
+    assert detect_encoding(b'<meta charset="u16">')[0] == "utf-8"
+    # the anchored form still resolves, case-insensitive, both shapes
+    assert detect_encoding(b'<META CHARSET="KOI8-R">')[0] == "koi8-r"
+    assert detect_encoding(b'<meta charset="cp437">')[0] == "cp437"

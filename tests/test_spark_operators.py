@@ -1150,3 +1150,56 @@ def test_sitemap_parse_whitespace_and_missing_fields(spark):
     assert a["changefreq"] is None and a["priority"] is None
     assert b["loc"] == "https://a.example.com/2"
     assert b["priority"] == "0.9" and b["lastmod"] is None
+
+
+def test_head_metadata_title_hardening(spark):
+    """Round-7 review regressions: an UNCLOSED <title> must not swallow
+    the document body into the title; a later <svg><title> must not
+    concatenate onto the first title (first-wins)."""
+    from sax_wasm_spark.operators.metadata import extract_head_metadata
+
+    pages = [
+        (0, b"<html><head><title>Only This<body><p>body text here</p>"),
+        (
+            1,
+            b"<html><head><title>Real</title></head><body>"
+            b"<svg><title>tooltip</title></svg><p>t</p></body></html>",
+        ),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html binary")
+    got = {r["doc_id"]: r for r in extract_head_metadata(df).collect()}
+    assert got[0]["title"] == "Only This"
+    assert got[1]["title"] == "Real"
+
+
+def test_sitemap_multiline_field_values(spark):
+    """Pretty-printed field VALUES (newlines inside <loc>) reassemble
+    in event order and trim — not lexicographic max over fragments."""
+    from sax_wasm_spark.operators.metadata import parse_sitemap_entries
+
+    xml = (
+        b"<urlset><url><loc>\n"
+        b"    https://a.example.com/deep\n"
+        b"  </loc><changefreq>daily</changefreq></url></urlset>"
+    )
+    df = spark.createDataFrame([(0, xml)], "doc_id long, xml binary")
+    rows = parse_sitemap_entries(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["loc"] == "https://a.example.com/deep"
+    assert rows[0]["changefreq"] == "daily"
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """The separator is LITERAL, not a Java regex: sep='.' must split
+    on dots (sentence-ish dedup), not on every character."""
+    from sax_wasm_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(0, "one sentence.shared tail"), (1, "other text.shared tail")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(df, sep=".").collect()}
+    assert got[0]["n_paras"] == 2 and got[0]["n_kept"] == 2
+    assert got[0]["dedup_text"] == "one sentence.shared tail"
+    assert got[1]["n_paras"] == 2 and got[1]["n_kept"] == 1
+    assert got[1]["dedup_text"] == "other text"
