@@ -3775,8 +3775,11 @@ def q44_sql():
 # tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 tail candidates: q20–q27 slice out,
-# q09–q19 + q28–q32 back in.
+# in-window permanently. Round-8 rotation: with 77 registered and 27
+# outside, bring the current tail (q09–q19, q26–q32) back through the
+# window and slice q35–q47 out — every query driver-checked at least
+# every other round; q61–q69 hold the head until they earn a first
+# driver row.
 QUERIES = {
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,

@@ -384,3 +384,17 @@ def test_q65_sitemap_single_doc_exchange(spark):
     assert "Join" not in plan, plan[:3000]
     hash_ex = re.findall(r"Arguments: hashpartitioning\(\w+", plan)
     assert hash_ex == ["Arguments: hashpartitioning(doc_id"], plan[:3000]
+
+
+def test_q69_canonical_cluster_no_join(spark):
+    """Canonical clustering is metadata-window + ONE hash aggregation
+    on the canonical target — no self-join of the page set (at web
+    scale the cluster map is built by aggregation, never by joining
+    pages to pages)."""
+    from sax_wasm_spark.plans.queries import q69_canonical_cluster
+
+    plan = plan_of(q69_canonical_cluster(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert len(hash_ex) == 2 and "canonical" in hash_ex, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial agg
