@@ -128,7 +128,7 @@ _REPORT: dict[str, str] = {
 # the sniff (the WHATWG prescan walks meta attributes; this is the
 # bounded-regex approximation of that rule).
 _META_RE = re.compile(
-    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_:.+-]+)",
+    rb"<meta[\s/][^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_:.+-]+)",
     re.IGNORECASE,
 )
 _PRESCAN = 1024
@@ -164,8 +164,10 @@ def detect_encoding(data: bytes) -> tuple[str, int]:
         return "utf-16-le", 2
     if data[:2] == b"\xfe\xff":
         return "utf-16-be", 2
-    m = _META_RE.search(data[:_PRESCAN])
-    if m:
+    # keep walking like the WHATWG prescan: an earlier meta whose
+    # content merely CONTAINS 'charset=<junk>' (generator strings) must
+    # not shadow a later resolvable declaration
+    for m in _META_RE.finditer(data[:_PRESCAN]):
         codec = _codec_for_label(m.group(1))
         if codec is not None:
             return codec, 0

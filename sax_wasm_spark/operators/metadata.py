@@ -39,6 +39,31 @@ _MASK = (
     (1 << _EV_TEXT) | (1 << _EV_ATTRIBUTE) | (1 << _EV_OPEN) | (1 << _EV_CLOSE)
 )
 
+# Tags whose OpenTag ends title collection even without </title>: an
+# UNCLOSED <title> (common malformation — a generic SAX parser nests
+# everything after it inside the title) must not swallow the document,
+# but inline markup INSIDE a title (<b>, <span>, <br>…) must not
+# truncate it. HTML treats title as RCDATA, so any structural tag
+# appearing "inside" it really means the author forgot </title>.
+_TITLE_BREAKERS = (
+    "head", "body", "html", "meta", "link", "script", "style", "base",
+    "p", "div", "main", "article", "section", "nav", "header", "footer",
+)
+
+
+def _ordered_fragments(cond, value):
+    """Aggregate expression: the rows matching ``cond``'s values as an
+    array sorted in event order (the shared reassembly idiom — title
+    fragments, sitemap field fragments, first-occurrence picks)."""
+    return F.array_sort(
+        F.collect_list(
+            F.when(
+                cond,
+                F.struct(F.col("event_idx").alias("i"), value.alias("v")),
+            )
+        )
+    )
+
 
 def extract_head_metadata(
     pages: DataFrame,
@@ -77,14 +102,14 @@ def extract_head_metadata(
         F.col("attr_name").cast("string").alias("attr_name"),
         F.col("attr_value").cast("string").alias("attr_value"),
         F.coalesce(F.sum(is_tag).over(w_prev), F.lit(0)).alias("grp"),
-        # Title gating is deliberately NOT a raw open/close depth: an
-        # UNCLOSED <title> (common malformation — generic SAX nests the
-        # whole body inside it) would swallow the document, and a later
-        # <svg><title> would violate first-wins. Text is title text iff
-        # the IMMEDIATELY preceding tag event is the FIRST <title>'s
-        # OpenTag — newline-split fragments still qualify (text events
-        # don't advance the last tag), anything after the next tag
-        # event does not.
+        # Title gating is neither a raw open/close depth (an unclosed
+        # <title> would swallow the document) nor immediate-predecessor
+        # (inline <b>/<span> inside a title would truncate it): text is
+        # title text iff it belongs to the FIRST <title> (first-wins)
+        # and the running title state is live — set by <title>'s
+        # OpenTag, cleared by </title> OR by the OpenTag of any
+        # structural tag (_TITLE_BREAKERS), which in RCDATA-correct
+        # HTML can only mean the author forgot the close.
         F.sum(
             ((F.col("event") == _EV_OPEN) & (F.col("name") == "title")).cast(
                 "int"
@@ -92,15 +117,26 @@ def extract_head_metadata(
         )
         .over(w_run)
         .alias("title_ord"),
-        F.last(
-            F.when(
-                F.col("event").isin(_EV_OPEN, _EV_CLOSE),
-                F.struct(F.col("event").alias("e"), F.col("name").alias("n")),
-            ),
-            ignorenulls=True,
-        )
-        .over(w_run)
-        .alias("last_tag"),
+        F.coalesce(
+            F.last(
+                F.when(
+                    (F.col("event") == _EV_OPEN) & (F.col("name") == "title"),
+                    F.lit(1),
+                ).when(
+                    (
+                        (F.col("event") == _EV_CLOSE)
+                        & (F.col("name") == "title")
+                    )
+                    | (
+                        (F.col("event") == _EV_OPEN)
+                        & F.col("name").isin(*_TITLE_BREAKERS)
+                    ),
+                    F.lit(0),
+                ),
+                ignorenulls=True,
+            ).over(w_run),
+            F.lit(0),
+        ).alias("title_live"),
     )
 
     def attr_last(key: str):
@@ -122,7 +158,7 @@ def extract_head_metadata(
         "text",
         "grp",
         "title_ord",
-        "last_tag",
+        "title_live",
         attr_last("name").alias("a_name"),
         attr_last("property").alias("a_prop"),
         attr_last("content").alias("a_content"),
@@ -138,9 +174,7 @@ def extract_head_metadata(
     in_first_title = (
         (F.col("event") == _EV_TEXT)
         & (F.col("title_ord") == 1)
-        & F.col("last_tag").isNotNull()
-        & (F.col("last_tag")["e"] == _EV_OPEN)
-        & (F.col("last_tag")["n"] == "title")
+        & (F.col("title_live") == 1)
     )
     kind = (
         F.when(in_first_title, F.lit("title"))
@@ -183,35 +217,20 @@ def extract_head_metadata(
     )
 
     def first_of(k: str):  # first occurrence in event order, NULL if absent
-        picked = F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("kind") == k,
-                    F.struct(F.col("event_idx").alias("i"), F.col("val").alias("v")),
-                )
-            )
-        )
+        picked = _ordered_fragments(F.col("kind") == k, F.col("val"))
         return F.try_element_at(picked, F.lit(1))["v"]  # NULL when absent
 
     title = F.array_join(
         F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("kind") == "title",
-                        F.struct(
-                            F.col("event_idx").alias("i"),
-                            F.col("val").alias("v"),
-                        ),
-                    )
-                )
-            ),
+            _ordered_fragments(F.col("kind") == "title", F.col("val")),
             lambda s: s["v"],
         ),
         # The kernel flushes Text at '\n' and the newline byte is not
         # part of either event's value (reference parity) — so with
         # positions off, consecutive title Text events rejoin with the
-        # newline that split them.
+        # newline that split them (fragments split by inline tags also
+        # rejoin with '\n' — the separator position is not recoverable
+        # with positions off, and a visible seam beats silent loss).
         "\n",
     )
     out = rows.groupBy(*ids).agg(
@@ -299,17 +318,7 @@ def parse_sitemap_entries(
         # multi-line values
         joined = F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("tag") == f,
-                            F.struct(
-                                F.col("event_idx").alias("i"),
-                                F.col("text").alias("v"),
-                            ),
-                        )
-                    )
-                ),
+                _ordered_fragments(F.col("tag") == f, F.col("text")),
                 lambda x: x["v"],
             ),
             "\n",

@@ -3776,10 +3776,11 @@ def q44_sql():
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
 # in-window permanently. Round-8 rotation: with 77 registered and 27
-# outside, bring the current tail (q09–q19, q26–q32) back through the
-# window and slice q35–q47 out — every query driver-checked at least
-# every other round; q61–q69 hold the head until they earn a first
-# driver row.
+# outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
+# of those back through the window and slice q33–q39 + q43–q52 out
+# (every one of them driver-green in r6/r7); every query
+# driver-checked at least every other round; q61–q69 hold the head
+# until they earn a first driver row.
 QUERIES = {
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,

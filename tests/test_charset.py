@@ -190,3 +190,17 @@ def test_sniff_hardening_review_findings():
     # the anchored form still resolves, case-insensitive, both shapes
     assert detect_encoding(b'<META CHARSET="KOI8-R">')[0] == "koi8-r"
     assert detect_encoding(b'<meta charset="cp437">')[0] == "cp437"
+
+
+def test_sniff_second_review_findings():
+    """(a) a generator string containing 'charset=<junk>' must not
+    shadow a later resolvable <meta charset>; (b) '<metadata' and other
+    longer tag names must not match the <meta prescan anchor."""
+    assert (
+        detect_encoding(
+            b'<meta name="generator" content="cms; charset=x-legacy">'
+            b'<meta charset="shift_jis">'
+        )[0]
+        == "shift_jis"
+    )
+    assert detect_encoding(b'<metadata charset="koi8-r"></metadata>')[0] == "utf-8"

@@ -1203,3 +1203,21 @@ def test_paragraph_dedup_literal_separator(spark):
     assert got[0]["dedup_text"] == "one sentence.shared tail"
     assert got[1]["n_paras"] == 2 and got[1]["n_kept"] == 1
     assert got[1]["dedup_text"] == "other text"
+
+
+def test_head_metadata_title_inline_markup_survives(spark):
+    """Second-review regression: inline markup INSIDE a title (<b>,
+    <span>) must not truncate it — only </title> or a structural tag
+    (forgotten close) ends collection."""
+    from sax_wasm_spark.operators.metadata import extract_head_metadata
+
+    pages = [
+        (0, b"<html><head><title>Hello <b>World</b> Again</title></head>"
+            b"<body>x</body></html>"),
+        (1, b"<html><head><title>Cut <meta name=x content=y>here"
+            b"</head><body>x</body></html>"),  # unclosed + structural
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html binary")
+    got = {r["doc_id"]: r for r in extract_head_metadata(df).collect()}
+    assert got[0]["title"] == "Hello \nWorld\n Again"
+    assert got[1]["title"] == "Cut "
