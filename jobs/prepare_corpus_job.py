@@ -95,6 +95,7 @@ def run_pipeline(
     robots_user_agent: str = "*",
     previous_path: str | None = None,
     run_id: str = "run",
+    transcode: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -112,6 +113,18 @@ def run_pipeline(
         run_extraction,
         run_extraction_incremental,
     )
+
+    # ---- -1. optional charset front porch ----
+    # BEFORE everything: sniff + transcode html to utf-8 in place
+    # (functions/charset.pages_to_utf8). Stateless and row-local, so it
+    # fuses into the extraction stage; BOM-less utf-8 pages re-encode
+    # byte-identically, so lineage hashes of the unchanged majority are
+    # stable across runs that toggle this flag only for corpora that
+    # were already utf-8.
+    if transcode:
+        from sax_wasm_spark.functions.charset import pages_to_utf8  # noqa: PLC0415
+
+        pages = pages_to_utf8(pages).drop("encoding")
 
     # ---- 0. optional robots.txt gate (RFC 9309) ----
     # BEFORE extraction: a disallowed page must cost a broadcast-join
@@ -317,6 +330,9 @@ def main():
     ap.add_argument("--max-dup-bigram", type=float, default=0.5)
     ap.add_argument("--line-min-df", type=int, default=0, help="0 = off")
     ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--transcode", action="store_true",
+                    help="charset-sniff + transcode html to utf-8 first"
+                         " (WHATWG subset; for non-utf-8-only corpora)")
     ap.add_argument("--eval-path", default="", help="parquet of eval texts for decontamination")
     ap.add_argument("--decon-n", type=int, default=13)
     ap.add_argument("--line-broadcast-limit", type=int, default=1_000_000,
@@ -376,6 +392,7 @@ def main():
             robots_user_agent=args.robots_user_agent,
             previous_path=args.previous or None,
             run_id=args.run_id,
+            transcode=args.transcode,
         )
         print(json.dumps(stats))
     finally:

@@ -19,8 +19,13 @@ reimplemented from the public spec text):
    (subset below); per the spec's quirk, a meta claiming utf-16 is
    treated as utf-8 (a page readable enough to prescan cannot be
    utf-16), and x-user-defined maps to windows-1252 in the meta path.
-3. **fallback** — utf-8. (The spec's locale-default table is a crawler
-   policy knob, not page evidence; utf-8 is today's dominant reality.)
+3. **content fallback** — strict-validate as UTF-8 first (UTF-8 is
+   self-synchronizing: real UTF-8 essentially never fails validation,
+   and legacy single-byte text with high bytes essentially never
+   passes it), else windows-1252 — the browsers' western legacy
+   default and the overwhelmingly most common undeclared legacy
+   encoding in practice. (The spec's locale-default table is a crawler
+   policy knob, not page evidence; this pair covers the reality.)
 
 Decoding never throws: undecodable byte sequences become U+FFFD so a
 mislabeled page degrades, it doesn't poison the partition.
@@ -171,7 +176,14 @@ def detect_encoding(data: bytes) -> tuple[str, int]:
         codec = _codec_for_label(m.group(1))
         if codec is not None:
             return codec, 0
-    return "utf-8", 0
+    # undeclared: validate as utf-8, else the western legacy default —
+    # an undeclared cp1252 page decodes to its real text instead of a
+    # row of U+FFFD
+    try:
+        data.decode("utf-8")
+        return "utf-8", 0
+    except UnicodeDecodeError:
+        return "cp1252", 0
 
 
 def decode_page(data: bytes | None) -> tuple[str, str]:

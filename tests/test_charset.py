@@ -204,3 +204,14 @@ def test_sniff_second_review_findings():
         == "shift_jis"
     )
     assert detect_encoding(b'<metadata charset="koi8-r"></metadata>')[0] == "utf-8"
+
+
+def test_undeclared_legacy_falls_back_to_cp1252():
+    """Content fallback: an UNDECLARED page (no BOM, no meta) that
+    fails strict UTF-8 validation decodes as windows-1252 (the western
+    legacy default) instead of a row of U+FFFD; valid UTF-8 and pure
+    ASCII stay utf-8 (the byte-identity invariant)."""
+    enc, text = decode_page(b"<html><body><p>caf\xe9 legacy</p></body></html>")
+    assert enc == "windows-1252" and "café legacy" in text
+    assert detect_encoding(b"<p>plain ascii</p>")[0] == "utf-8"
+    assert detect_encoding("<p>café utf8</p>".encode("utf-8"))[0] == "utf-8"

@@ -1221,3 +1221,33 @@ def test_head_metadata_title_inline_markup_survives(spark):
     got = {r["doc_id"]: r for r in extract_head_metadata(df).collect()}
     assert got[0]["title"] == "Hello \nWorld\n Again"
     assert got[1]["title"] == "Cut "
+
+
+def test_prepare_corpus_pipeline_transcode(spark, pages, tmp_path):
+    """run_pipeline(transcode=True) over a corpus where a third of the
+    pages are windows-1252 bytes: the porch transcodes in place, the
+    rest of the pipeline runs unchanged, and the extracted text matches
+    the plain-utf8 run byte-for-byte (utf-8 pages are untouched;
+    cp1252 pages decode to the same unicode text)."""
+    from jobs.prepare_corpus_job import run_pipeline
+
+    src = pages.limit(24).collect()
+    mixed = []
+    for i, r in enumerate(src):
+        html = bytes(r.html)
+        if i % 3 == 2:
+            try:
+                html = html.decode("utf-8").encode("cp1252")
+            except UnicodeEncodeError:
+                pass  # emoji pages stay utf-8 (still exercises the porch)
+        mixed.append((r.url, r.warc_ts, html, r.text, r.lang))
+    mixed_df = spark.createDataFrame(mixed, pages.schema)
+
+    out_a = str(tmp_path / "corpus_utf8")
+    out_b = str(tmp_path / "corpus_mixed")
+    base = dict(num_shards=4, min_quality=0.0, min_chars=0, jaccard=0.99)
+    run_pipeline(spark, pages.limit(24), out_a, run_id="a", **base)
+    run_pipeline(spark, mixed_df, out_b, run_id="b", transcode=True, **base)
+    a = {r.url: r.text for r in spark.read.parquet(f"{out_a}/kept").collect()}
+    b = {r.url: r.text for r in spark.read.parquet(f"{out_b}/kept").collect()}
+    assert a == b and len(a) > 0
