@@ -2644,18 +2644,32 @@ def _inline_images_from_content(content: bytes) -> list[tuple[dict, int]]:
             lex.pos = resume
 
 
-def _codec_truth(filt: str, raw: bytes | None):
+def _codec_truth(filt: str, raw: bytes | None, parms=None):
     """(codec_w, codec_h, codec_nc, codec_progressive) — the JPEG
-    payload's OWN frame-header facts for a pure /DCTDecode stream
-    (filter chains would need the prefix filters applied first; chained
-    DCT rows report None), None-columns otherwise. The dict's claims
-    and the codec's wire truth disagree in real crawls — the inventory
-    reports both."""
-    if filt == "DCTDecode" and raw:
-        sof = jpeg_sof(raw)
-        if sof is not None:
-            return sof
-    return (None, None, None, None)
+    payload's OWN frame-header facts for a stream whose filter chain
+    ENDS in /DCTDecode: a pure DCT stream parses directly; a chained
+    one (e.g. Flate+DCT — generators recompress) has its prefix
+    filters applied first via the ordinary filter machinery, bounded
+    by the stream's own size. Unsupported prefix filters or a
+    non-JPEG payload degrade to None-columns, never an error row —
+    wire truth is best-effort metadata. The dict's claims and the
+    codec's facts disagree in real crawls; the inventory reports
+    both."""
+    if not raw or not filt:
+        return (None, None, None, None)
+    chain = filt.split("+")
+    if chain[-1] != "DCTDecode":
+        return (None, None, None, None)
+    data = raw
+    if len(chain) > 1:
+        prefix = ["/" + f for f in chain[:-1]]
+        pm = parms if isinstance(parms, list) else [parms] * len(prefix)
+        try:
+            data = _apply_filters(data, prefix, pm[: len(prefix)])
+        except Exception:
+            return (None, None, None, None)
+    sof = jpeg_sof(data)
+    return sof if sof is not None else (None, None, None, None)
 
 
 def pdf_image_stats(
@@ -2715,7 +2729,9 @@ def pdf_image_stats(
                             filt,
                             cs,
                             raw_len,
-                            *_codec_truth(filt, raw),
+                            *_codec_truth(
+                                filt, raw, doc.resolve(d.get("/DecodeParms"))
+                            ),
                         )
                     )
                 elif xo[0] == "form" and xo[4]:

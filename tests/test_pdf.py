@@ -2071,3 +2071,59 @@ def test_jpeg_sof_roundtrip_and_negatives():
     assert jpeg_sof(b"\xff\xd8\xff\xd9") is None  # EOI before any SOF
     assert jpeg_sof(b"\xff\xd8\xff\xc0\x00\x03\x08") is None  # short SOF
     assert jpeg_sof(b"\xff\xd8\xff\xda\x00\x02") is None  # SOS first
+
+
+def test_codec_truth_through_filter_chain():
+    """A Flate-recompressed JPEG ([/FlateDecode /DCTDecode]) still
+    yields SOF wire-truth columns — the prefix filters are applied via
+    the ordinary filter machinery; an unsupported prefix degrades to
+    None-columns instead of an error row."""
+    import zlib
+
+    from sax_wasm_spark.kernel.jpegmeta import synth_jpeg_header
+    from sax_wasm_spark.kernel.pdftext import pdf_image_stats
+
+    jpeg = synth_jpeg_header(321, 77, 3, True, b"\xab" * 40)
+    flated = zlib.compress(jpeg)
+
+    def one_pdf(filter_entry: bytes, payload: bytes) -> bytes:
+        isd = (
+            b"<< /Type /XObject /Subtype /Image /Width 321 /Height 77"
+            b" /BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter "
+            + filter_entry
+            + b" /Length %d >>" % len(payload)
+        )
+        content = b"BT (x) Tj ET"
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for num, body in (
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Contents 4 0 R /Resources"
+                b" << /XObject << /Im0 5 0 R >> >> >>"),
+        ):
+            offs[num] = len(out)
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        offs[4] = len(out)
+        out += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+                + content + b"\nendstream\nendobj\n")
+        offs[5] = len(out)
+        out += b"5 0 obj\n" + isd + b"\nstream\n" + payload + b"\nendstream\nendobj\n"
+        xref = len(out)
+        out += b"xref\n0 6\n0000000000 65535 f \n"
+        for num in range(1, 6):
+            out += b"%010d 00000 n \n" % offs[num]
+        out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+                % xref)
+        return bytes(out)
+
+    rows = pdf_image_stats(one_pdf(b"[/FlateDecode /DCTDecode]", flated))
+    assert rows[0][5] == "FlateDecode+DCTDecode"
+    assert rows[0][8:12] == (321, 77, 3, 1)
+    # unsupported prefix (JPX before DCT is nonsense but must not raise)
+    rows = pdf_image_stats(one_pdf(b"[/JPXDecode /DCTDecode]", flated))
+    assert rows[0][8:12] == (None, None, None, None)
+    # corrupt flate payload degrades the same way
+    rows = pdf_image_stats(one_pdf(b"[/FlateDecode /DCTDecode]", b"junk!"))
+    assert rows[0][8:12] == (None, None, None, None)
