@@ -2,12 +2,14 @@
 metadata, with the Spark-side plumbing (schemas, Arrow batching,
 mapInPandas decode stage) fully real and tested.
 
-The actual codecs (Pillow/ffmpeg/torchaudio) are NOT in this container,
-so the decode step is a stub boundary: ``decoder="fake"`` (default in
-tests) computes deterministic features from the raw bytes so the whole
-pipeline — batch shapes, schema, partitioning — is exercised end to end;
-``decoder="real"`` raises NotImplementedError at the exact line where a
-production codec plugs in.
+External codecs (Pillow/ffmpeg/torchaudio) are NOT in this container,
+but JPEG images decode for REAL via the from-scratch baseline codec
+(kernel/jpegcodec.py): ``decoder="real"`` returns true dimensions and a
+pixel-derived feature vector for JPEG payloads, and raises
+NotImplementedError only for the formats that genuinely need an
+external library (PNG/audio/video). ``decoder="fake"`` (default in
+plumbing tests) computes deterministic features from the raw bytes so
+batch shapes, schema, and partitioning are exercised without any codec.
 
 At scale the same plumbing holds: media bytes stay in executor-side
 Arrow buffers, one batch per ``maxRecordsPerBatch``, and feature
@@ -55,6 +57,43 @@ FEATURE_SCHEMA = StructType(
 _FEATURE_DIM = 8
 
 
+def _real_decode(kind: str, data: bytes):
+    """Real decode where a from-scratch codec exists (baseline JPEG —
+    kernel/jpegcodec.py); NotImplementedError names the library an
+    integration would need everywhere else. Feature = luma mean/std/
+    min/max plus four quadrant means, all in [-0.5, 0.5] — a real
+    pixel-derived embedding stand-in with the stub's shape."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..kernel.jpegcodec import JpegError, decode_jpeg_rgb  # noqa: PLC0415
+
+    if kind == "image" and data[:2] == b"\xff\xd8":
+        try:
+            img = decode_jpeg_rgb(data)
+        except JpegError as e:
+            raise ValueError(f"jpeg: {e}") from e
+        luma = img.planes.astype(np.float64).mean(axis=2)
+        h2, w2 = max(img.height // 2, 1), max(img.width // 2, 1)
+        feature = [
+            float(luma.mean() / 255.0 - 0.5),
+            float(luma.std() / 255.0 - 0.5),
+            float(luma.min() / 255.0 - 0.5),
+            float(luma.max() / 255.0 - 0.5),
+            float(luma[:h2, :w2].mean() / 255.0 - 0.5),
+            float(luma[:h2, w2:].mean() / 255.0 - 0.5) if img.width > 1 else 0.0,
+            float(luma[h2:, :w2].mean() / 255.0 - 0.5) if img.height > 1 else 0.0,
+            float(luma[h2:, w2:].mean() / 255.0 - 0.5)
+            if img.width > 1 and img.height > 1
+            else 0.0,
+        ]
+        return img.width, img.height, None, feature
+    # non-JPEG codec integration point (Pillow / ffmpeg / torchaudio
+    # are not available in this environment)
+    raise NotImplementedError(
+        f"decoding {kind} media beyond baseline JPEG requires external codecs"
+    )
+
+
 def _fake_decode(kind: str, data: bytes):
     """Deterministic stand-in for a real codec: derives pseudo
     dimensions/duration and a small feature vector from the bytes."""
@@ -84,8 +123,10 @@ def extract_media_features(
     ``decoder`` is pluggable (VERDICT r1 item 10):
 
     - ``"fake"`` — deterministic hash-derived metadata/features (the
-      in-container default; real codecs are absent here);
-    - ``"real"`` — raises NotImplementedError at the integration point;
+      plumbing-test default; needs no codec at all);
+    - ``"real"`` — baseline JPEG decodes via the from-scratch numpy
+      codec (true dims + pixel-derived features); other formats raise
+      NotImplementedError at the integration point;
     - a CALLABLE ``(kind: str, data: bytes) -> (width, height,
       duration_ms, feature: list[float])`` — a production codec
       (Pillow / ffmpeg / torchaudio wrapper) injected without editing
@@ -97,10 +138,7 @@ def extract_media_features(
     elif decoder == "fake":
         decode = _fake_decode
     elif decoder == "real":
-        def decode(kind, data):
-            # production codec integration point (Pillow / ffmpeg /
-            # torchaudio are not available in this environment)
-            raise NotImplementedError("real media decoding requires image/audio libraries")
+        decode = _real_decode
     else:
         raise ValueError(f"decoder must be 'fake', 'real', or a callable, got {decoder!r}")
 
@@ -242,6 +280,109 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
+def render_jpeg_column(
+    df: DataFrame, id_col: str = "doc_id", n_col: str = "n_imgs"
+) -> DataFrame:
+    """(id, n) → one row per image: (id, img_idx, jpeg:binary). The
+    deterministic writer twin for the decode oracle (sources/imagegen
+    closed forms) — identical regardless of partitioning, a 1→n
+    fan-out inside the executor batch (no shuffle, bytes never visit
+    the driver)."""
+    from pyspark.sql.types import BinaryType  # noqa: PLC0415
+
+    from ..sources.imagegen import build_jpeg  # noqa: PLC0415
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("img_idx", IntegerType(), False),
+            StructField("jpeg", BinaryType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {id_col: [], "img_idx": [], "jpeg": []}
+            for did, n in zip(pdf[id_col], pdf[n_col]):
+                for k in range(int(n)):
+                    out[id_col].append(int(did))
+                    out["img_idx"].append(k)
+                    out["jpeg"].append(build_jpeg(int(did), k))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, n_col).mapInPandas(run, schema=out_schema)
+
+
+DECODE_STATS_SCHEMA_TAIL = [
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+    StructField("pixel_sum", LongType(), True),
+    StructField("pixel_min", IntegerType(), True),
+    StructField("pixel_max", IntegerType(), True),
+    StructField("status", StringType(), False),
+]
+
+
+def decode_jpeg_stats(
+    df: DataFrame,
+    media_col: str = "jpeg",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+    max_pixels: int = 1 << 24,
+) -> DataFrame:
+    """REAL pixel decode over a binary JPEG column → per-image pixel
+    statistics: (id…, width, height, n_channels, pixel_sum, pixel_min,
+    pixel_max, status). Raw component planes (no color transform) so
+    deterministic corpora keep their closed forms; malformed or
+    unsupported payloads degrade to ``status='error:…'`` rows with NULL
+    stats — the straggler/poison budget, same policy as the PDF
+    extraction tier. Per-row CPU work, zero shuffle; ``max_pixels``
+    bounds hostile dimension claims before any allocation."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..kernel.jpegcodec import JpegError, decode_jpeg  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(list(id_fields) + DECODE_STATS_SCHEMA_TAIL)
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[row])
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    img = decode_jpeg(data, max_pixels=max_pixels)
+                    px = img.planes.astype(np.int64)
+                    out["width"].append(img.width)
+                    out["height"].append(img.height)
+                    out["n_channels"].append(img.n_components)
+                    out["pixel_sum"].append(int(px.sum()))
+                    out["pixel_min"].append(int(px.min()))
+                    out["pixel_max"].append(int(px.max()))
+                    out["status"].append("ok")
+                except JpegError as e:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_channels"].append(None)
+                    out["pixel_sum"].append(None)
+                    out["pixel_min"].append(None)
+                    out["pixel_max"].append(None)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def media_dedup_exact(features: DataFrame) -> DataFrame:

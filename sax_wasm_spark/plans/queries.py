@@ -3466,6 +3466,90 @@ def q69_sql():
     """
 
 
+def q70_jpeg_decode_stats(spark, sf_dir):
+    """REAL image decode over a deterministic JPEG corpus — the
+    multimodal tier's previously env-blocked leg made concrete with
+    the from-scratch baseline codec (kernel/jpegcodec.py): ``1 +
+    doc_id % 3`` images per document are ENCODED by the writer twin
+    (sources/imagegen — grayscale 4:4:4, RGB 4:4:4 with restart
+    markers, RGB 4:2:0, cycling by image index) and DECODED back to
+    pixels by the operator under test (multimodal.decode_jpeg_stats —
+    Huffman entropy decode, dequant, IDCT, chroma upsample). Pixel
+    values are constant per 8x8 block (16x16 macroblock for 4:2:0),
+    which round-trips bit-exactly at quant=1, so the oracle computes
+    the decoded pixel sum/min/max from the closed-form block grid in
+    pure SQL — ground truth, not a copy of the codec. Decode is
+    per-row CPU inside Arrow batches: zero shuffle, embarrassingly
+    parallel, the 100-TB shape for a decode stage."""
+    from ..operators.multimodal import (  # noqa: PLC0415
+        decode_jpeg_stats,
+        render_jpeg_column,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", (1 + F.col("doc_id") % 3).cast("int").alias("n_imgs")
+    )
+    jpegs = render_jpeg_column(src, id_col="doc_id", n_col="n_imgs")
+    stats = decode_jpeg_stats(jpegs, media_col="jpeg", id_cols=("doc_id", "img_idx"))
+    return stats.select(
+        "doc_id",
+        F.col("img_idx").cast("int").alias("img_idx"),
+        "width",
+        "height",
+        "n_channels",
+        "pixel_sum",
+        "pixel_min",
+        "pixel_max",
+        "status",
+    ).orderBy("doc_id", "img_idx")
+
+
+def q70_sql():
+    # mirrors sources/imagegen.py closed forms: geometry from
+    # (doc_id, k), value(c,bx,by) = (doc_id + 31k + 7bx + 13by + 97c)
+    # % 256 per block; npix = 64 (8x8) or 256 (16x16 macroblocks).
+    return """
+    WITH imgs AS (
+      SELECT d.doc_id, k.range AS k
+      FROM documents d, range(3) k
+      WHERE k.range < 1 + d.doc_id % 3
+    ), geom AS (
+      SELECT doc_id, k, k % 3 AS mode,
+             CASE WHEN k % 3 = 2 THEN 16 * (1 + (doc_id + 7*k) % 3)
+                  ELSE 8 * (2 + (doc_id + 7*k) % 5) END AS width,
+             CASE WHEN k % 3 = 2 THEN 16 * (1 + (2*doc_id + 11*k) % 3)
+                  ELSE 8 * (1 + (2*doc_id + 11*k) % 5) END AS height,
+             CASE WHEN k % 3 = 0 THEN 1 ELSE 3 END AS nc,
+             CASE WHEN k % 3 = 2 THEN 16 ELSE 8 END AS blk
+      FROM imgs
+    ), cells AS (
+      SELECT g.doc_id, g.k, g.width, g.height, g.nc,
+             (g.doc_id + 31*g.k + 7*bx.range + 13*by.range + 97*c.range)
+               % 256 AS v,
+             g.blk * g.blk AS npix
+      FROM geom g, range(6) bx, range(6) by, range(3) c
+      WHERE c.range < g.nc
+        AND bx.range < g.width // g.blk
+        AND by.range < g.height // g.blk
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS img_idx,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(nc AS INTEGER) AS n_channels,
+           CAST(SUM(v * npix) AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INTEGER) AS pixel_min,
+           CAST(MAX(v) AS INTEGER) AS pixel_max,
+           'ok' AS status
+    FROM cells
+    GROUP BY doc_id, k, width, height, nc
+    ORDER BY doc_id, img_idx
+    """
+
+
 def q49_crawl_schedule(spark, sf_dir):
     """Politeness-correct fetch scheduling — the synthesis of the
     crawl-politeness triplet (q44 audits actual gaps, q46 gates what
@@ -3775,11 +3859,11 @@ def q44_sql():
 # tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 rotation: with 77 registered and 27
+# in-window permanently. Round-8 rotation: with 78 registered and 28
 # outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
 # of those back through the window and slice q33–q39 + q43–q52 out
 # (every one of them driver-green in r6/r7); every query
-# driver-checked at least every other round; q61–q69 hold the head
+# driver-checked at least every other round; q61–q70 hold the head
 # until they earn a first driver row.
 QUERIES = {
     "sax_positions": sax_positions,
@@ -3790,6 +3874,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q70_jpeg_decode_stats": q70_jpeg_decode_stats,
     "q69_canonical_cluster": q69_canonical_cluster,
     "q68_wat_metadata": q68_wat_metadata,
     "q67_nfc_normalize": q67_nfc_normalize,
@@ -3931,6 +4016,7 @@ ORACLES = {
     "q67_nfc_normalize": q67_sql(),
     "q68_wat_metadata": q68_sql(),
     "q69_canonical_cluster": q69_sql(),
+    "q70_jpeg_decode_stats": q70_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

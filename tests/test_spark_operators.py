@@ -1251,3 +1251,72 @@ def test_prepare_corpus_pipeline_transcode(spark, pages, tmp_path):
     a = {r.url: r.text for r in spark.read.parquet(f"{out_a}/kept").collect()}
     b = {r.url: r.text for r in spark.read.parquet(f"{out_b}/kept").collect()}
     assert a == b and len(a) > 0
+
+
+def test_jpeg_decode_stats_roundtrip_and_errors(spark):
+    """The q70 shape end to end in-Spark: writer twin fans out real
+    encoded JPEGs, decode_jpeg_stats recovers the closed-form pixel
+    grid bit-exactly; a corrupt payload degrades to an error row with
+    NULL stats instead of failing the batch."""
+    import numpy as np
+
+    from sax_wasm_spark.operators.multimodal import (
+        decode_jpeg_stats,
+        render_jpeg_column,
+    )
+    from sax_wasm_spark.sources.imagegen import jpeg_pixels
+
+    src = spark.createDataFrame(
+        [(d, 3) for d in range(8)], "doc_id long, n_imgs int"
+    )
+    jpegs = render_jpeg_column(src)
+    out = decode_jpeg_stats(jpegs).collect()
+    assert len(out) == 24
+    for r in out:
+        px = jpeg_pixels(r.doc_id, r.img_idx).astype(np.int64)
+        assert r.status == "ok"
+        assert (r.height, r.width) == px.shape[:2]
+        assert r.n_channels == (px.shape[2] if px.ndim == 3 else 1)
+        assert r.pixel_sum == int(px.sum())
+        assert r.pixel_min == int(px.min())
+        assert r.pixel_max == int(px.max())
+
+    # poison rows: truncated JPEG and non-JPEG bytes -> error:* rows
+    bad = spark.createDataFrame(
+        [(900, 0, bytes(next(iter(jpegs.limit(1).collect())).jpeg)[:40]),
+         (901, 0, b"not a jpeg at all")],
+        "doc_id long, img_idx int, jpeg binary",
+    )
+    rows = {r.doc_id: r for r in decode_jpeg_stats(bad).collect()}
+    assert rows[900].status.startswith("error:")
+    assert rows[901].status.startswith("error:")
+    assert rows[900].pixel_sum is None and rows[901].width is None
+
+
+def test_real_decoder_jpeg_features(spark):
+    """decoder='real' now actually decodes JPEG images: true dims and
+    a pixel-derived feature vector; non-JPEG media still raises at the
+    integration point (no codec libs in this container)."""
+    import pytest
+
+    from sax_wasm_spark.operators.multimodal import extract_media_features
+    from sax_wasm_spark.sources.imagegen import build_jpeg, jpeg_geometry, jpeg_pixels
+
+    rows = [(int(d), "image", build_jpeg(d, 1)) for d in range(4)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, media binary")
+    got = {r.media_id: r for r in extract_media_features(df, decoder="real").collect()}
+    for d in range(4):
+        _, w, h, _ = jpeg_geometry(d, 1)
+        px = jpeg_pixels(d, 1)
+        luma = px.astype("float64").mean(axis=2)
+        r = got[d]
+        assert (r.width, r.height, r.duration_ms) == (w, h, None)
+        assert len(r.feature) == 8
+        assert abs(r.feature[0] - (luma.mean() / 255.0 - 0.5)) < 1e-6
+        assert r.status == "ok"
+
+    audio = spark.createDataFrame(
+        [(9, "audio", b"\x00" * 64)], "media_id long, kind string, media binary"
+    )
+    with pytest.raises(Exception, match="external codecs"):
+        extract_media_features(audio, decoder="real").collect()
