@@ -2781,3 +2781,83 @@ def pdf_image_stats(
                 )
                 j += 1
     return out
+
+
+def pdf_decode_image_stats(data: bytes, max_pixels: int = 1 << 24) -> list[tuple]:
+    """REAL pixel decode of every image XObject whose filter chain ends
+    in /DCTDecode (prefix filters applied first, same machinery as
+    ``_codec_truth``): [(page_index, resource_name, width, height,
+    n_channels, pixel_sum, pixel_min, pixel_max, status)]. Dimensions
+    and stats are the CODEC's facts (raw component planes, no color
+    transform — deterministic corpora keep their closed forms), not the
+    dict's claims. Non-DCT images yield ``status='skip:<filter>'`` rows
+    with NULL stats; malformed/unsupported payloads (progressive,
+    truncated, hostile dims past ``max_pixels``) degrade to
+    ``status='error:…'`` rows — the straggler/poison budget, same
+    policy as the extraction tier. Walks nested form XObjects like
+    ``pdf_image_stats``; under the §7.6 encryption variants the stream
+    bytes arrive decrypted, so this oracles decode-under-encryption.
+    The reference repo has no image/PDF surface (sax-wasm is an XML
+    tokenizer, ``/root/reference/src/sax/parser.rs:1``); this serves
+    the assignment's multimodal tier."""
+    import numpy as np  # noqa: PLC0415
+
+    from .jpegcodec import decode_jpeg  # noqa: PLC0415
+
+    def name_of(v) -> str:
+        return v.lstrip("/") if isinstance(v, str) else ""
+
+    doc = PdfDocument(data)
+    out = []
+    for i, page in enumerate(doc.pages()):
+        seen: set[int] = set()
+
+        def walk(xobjs: dict, page_idx: int = i, seen_nums: set = seen) -> None:
+            for name, xo in sorted(xobjs.items()):
+                if xo[0] == "image":
+                    _, num, d, _raw_len, raw = xo
+                    if num in seen_nums:
+                        continue
+                    seen_nums.add(num)
+                    filt = doc.resolve(d.get("/Filter"))
+                    if isinstance(filt, list):
+                        filt = "+".join(name_of(f) for f in filt)
+                    else:
+                        filt = name_of(filt)
+                    chain = filt.split("+") if filt else []
+                    if not chain or chain[-1] != "DCTDecode":
+                        out.append(
+                            (page_idx, name, None, None, None, None, None,
+                             None, "skip:%s" % filt)
+                        )
+                        continue
+                    payload = raw or b""
+                    try:
+                        if len(chain) > 1:
+                            parms = doc.resolve(d.get("/DecodeParms"))
+                            prefix = ["/" + f for f in chain[:-1]]
+                            pm = (
+                                parms if isinstance(parms, list)
+                                else [parms] * len(prefix)
+                            )
+                            payload = _apply_filters(
+                                payload, prefix, pm[: len(prefix)]
+                            )
+                        img = decode_jpeg(payload, max_pixels=max_pixels)
+                    except Exception as e:  # JpegError / filter failures
+                        out.append(
+                            (page_idx, name, None, None, None, None, None,
+                             None, "error:%s" % e)
+                        )
+                        continue
+                    px = img.planes.astype(np.int64)
+                    out.append(
+                        (page_idx, name, img.width, img.height,
+                         img.n_components, int(px.sum()), int(px.min()),
+                         int(px.max()), "ok")
+                    )
+                elif xo[0] == "form" and xo[4]:
+                    walk(xo[4], page_idx, seen_nums)
+
+        walk(doc.page_xobjects(page))
+    return out

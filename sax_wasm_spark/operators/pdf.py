@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -115,6 +116,18 @@ PDF_IMAGE_FIELDS = [
     StructField("codec_progressive", IntegerType(), True),
 ]
 
+PDF_DECODE_FIELDS = [
+    StructField("page_idx", IntegerType(), False),
+    StructField("img_name", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+    StructField("pixel_sum", LongType(), True),
+    StructField("pixel_min", IntegerType(), True),
+    StructField("pixel_max", IntegerType(), True),
+    StructField("status", StringType(), False),
+]
+
 PDF_FIELD_FIELDS = [
     StructField("field_ord", IntegerType(), False),
     StructField("field_name", StringType(), False),
@@ -194,6 +207,23 @@ def pdf_images(
     return _per_pdf_rows(df, pdf_col, id_cols, PDF_IMAGE_FIELDS, pdf_image_stats)
 
 
+def pdf_decode_images(
+    df: DataFrame, pdf_col: str = "pdf", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """pages(id…, pdf:binary) → one row per image XObject with REAL
+    pixel decode for /DCTDecode payloads (from-scratch baseline JPEG
+    codec, kernel/jpegcodec.py — prefix filters like Flate+DCT applied
+    first): (id…, page_idx, img_name, width, height, n_channels,
+    pixel_sum, pixel_min, pixel_max, status). Codec facts, not dict
+    claims; non-DCT images are ``skip:*`` rows and poison payloads
+    ``error:*`` rows. Per-row CPU inside Arrow batches, zero shuffle —
+    the 100-TB decode-stage shape, and under the §7.6 encrypting
+    variants it proves decode-under-encryption end to end."""
+    from ..kernel.pdftext import pdf_decode_image_stats  # noqa: PLC0415
+
+    return _per_pdf_rows(df, pdf_col, id_cols, PDF_DECODE_FIELDS, pdf_decode_image_stats)
+
+
 def pdf_form_fields(
     df: DataFrame, pdf_col: str = "pdf", id_cols: tuple[str, ...] = ("doc_id",)
 ) -> DataFrame:
@@ -233,6 +263,7 @@ def render_pdf_column(
     images_col: str | None = None,
     fields_col: str | None = None,
     outline_col: str | None = None,
+    real_images_col: str | None = None,
 ) -> DataFrame:
     """(id…, text) → (id…, pdf:binary). Deterministic synthesis — the
     variant defaults to ``first_id % N_VARIANTS`` so the corpus exercises
@@ -254,7 +285,9 @@ def render_pdf_column(
     ]
     arrow_schema = pa.schema(arrow_fields)
     extra_cols = [
-        c for c in (variant_col, images_col, fields_col, outline_col) if c
+        c
+        for c in (variant_col, images_col, fields_col, outline_col, real_images_col)
+        if c
     ]
     cols = list(id_cols) + [text_col] + extra_cols
     src = df.select(*cols)
@@ -266,7 +299,9 @@ def render_pdf_column(
             texts = rb.column(n_id).to_pylist()
             col = n_id + 1
             extras: dict[str, list] = {}
-            for name in (variant_col, images_col, fields_col, outline_col):
+            for name in (
+                variant_col, images_col, fields_col, outline_col, real_images_col
+            ):
                 if name:
                     extras[name] = rb.column(col).to_pylist()
                     col += 1
@@ -279,6 +314,7 @@ def render_pdf_column(
             images = extras[images_col] if images_col else zero
             fields = extras[fields_col] if fields_col else zero
             outlines = extras[outline_col] if outline_col else zero
+            real_imgs = extras[real_images_col] if real_images_col else zero
             pdfs = [
                 build_pdf(
                     t if t is not None else "",
@@ -286,9 +322,10 @@ def render_pdf_column(
                     n_images=int(ni or 0),
                     n_fields=int(nf or 0),
                     n_outline=int(no or 0),
+                    n_real_images=int(nr or 0),
                 )
-                for t, v, ni, nf, no in zip(
-                    texts, variants, images, fields, outlines
+                for t, v, ni, nf, no, nr in zip(
+                    texts, variants, images, fields, outlines, real_imgs
                 )
             ]
             arrays = [pa.array(ids[j], type=arrow_fields[j].type) for j in range(n_id)] + [

@@ -3550,6 +3550,86 @@ def q70_sql():
     """
 
 
+def q71_pdf_image_decode(spark, sf_dir):
+    """REAL pixel decode of images extracted FROM PDF documents — the
+    q70 decode stage chained through the full PDF container: the
+    writer embeds ``1 + doc_id % 3`` real baseline JPEGs per document
+    (imagegen closed forms keyed on ``len(text)``, /Rm<k> XObjects)
+    across the full 14-variant generator cycle, so the payloads travel
+    through Flate/LZW object layers, /ObjStm relocation, incremental
+    updates, AND the three §7.6 encryption tiers (RC4 R2/R3, AESV2,
+    AESV3) — pdf_decode_images recovers the pixel grid bit-exactly
+    regardless (codec facts, not dict claims). The oracle computes the
+    decoded stats from the closed-form block grid in pure SQL — it
+    never touches a PDF or JPEG byte, so a decrypt-then-decode bug
+    anywhere in the chain hash-fails. Per-row CPU inside Arrow
+    batches, zero shuffle."""
+    from ..operators.pdf import pdf_decode_images, render_pdf_column  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", "text", (1 + F.col("doc_id") % 3).cast("int").alias("n_real")
+    )
+    pdfs = render_pdf_column(src, id_cols=("doc_id",), real_images_col="n_real")
+    stats = pdf_decode_images(pdfs, pdf_col="pdf", id_cols=("doc_id",))
+    return stats.select(
+        "doc_id",
+        "img_name",
+        "width",
+        "height",
+        "n_channels",
+        "pixel_sum",
+        "pixel_min",
+        "pixel_max",
+        "status",
+    ).orderBy("doc_id", "img_name")
+
+
+def q71_sql():
+    # mirrors sources/imagegen.py closed forms keyed on (length(text), k)
+    # — identical grid to q70's but with tl in place of doc_id; names
+    # are the writer's /Rm<k> resources.
+    return """
+    WITH imgs AS (
+      SELECT d.doc_id, length(d.text) AS tl, k.range AS k
+      FROM documents d, range(3) k
+      WHERE k.range < 1 + d.doc_id % 3
+    ), geom AS (
+      SELECT doc_id, tl, k, k % 3 AS mode,
+             CASE WHEN k % 3 = 2 THEN 16 * (1 + (tl + 7*k) % 3)
+                  ELSE 8 * (2 + (tl + 7*k) % 5) END AS width,
+             CASE WHEN k % 3 = 2 THEN 16 * (1 + (2*tl + 11*k) % 3)
+                  ELSE 8 * (1 + (2*tl + 11*k) % 5) END AS height,
+             CASE WHEN k % 3 = 0 THEN 1 ELSE 3 END AS nc,
+             CASE WHEN k % 3 = 2 THEN 16 ELSE 8 END AS blk
+      FROM imgs
+    ), cells AS (
+      SELECT g.doc_id, g.k, g.width, g.height, g.nc,
+             (g.tl + 31*g.k + 7*bx.range + 13*by.range + 97*c.range)
+               % 256 AS v,
+             g.blk * g.blk AS npix
+      FROM geom g, range(6) bx, range(6) by, range(3) c
+      WHERE c.range < g.nc
+        AND bx.range < g.width // g.blk
+        AND by.range < g.height // g.blk
+    )
+    SELECT doc_id,
+           'Rm' || CAST(k AS VARCHAR) AS img_name,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(nc AS INTEGER) AS n_channels,
+           CAST(SUM(v * npix) AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INTEGER) AS pixel_min,
+           CAST(MAX(v) AS INTEGER) AS pixel_max,
+           'ok' AS status
+    FROM cells
+    GROUP BY doc_id, k, width, height, nc
+    ORDER BY doc_id, img_name
+    """
+
+
 def q49_crawl_schedule(spark, sf_dir):
     """Politeness-correct fetch scheduling — the synthesis of the
     crawl-politeness triplet (q44 audits actual gaps, q46 gates what
@@ -3859,11 +3939,11 @@ def q44_sql():
 # tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 rotation: with 78 registered and 28
+# in-window permanently. Round-8 rotation: with 79 registered and 29
 # outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
 # of those back through the window and slice q33–q39 + q43–q52 out
 # (every one of them driver-green in r6/r7); every query
-# driver-checked at least every other round; q61–q70 hold the head
+# driver-checked at least every other round; q61–q71 hold the head
 # until they earn a first driver row.
 QUERIES = {
     "sax_positions": sax_positions,
@@ -3874,6 +3954,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q71_pdf_image_decode": q71_pdf_image_decode,
     "q70_jpeg_decode_stats": q70_jpeg_decode_stats,
     "q69_canonical_cluster": q69_canonical_cluster,
     "q68_wat_metadata": q68_wat_metadata,
@@ -4017,6 +4098,7 @@ ORACLES = {
     "q68_wat_metadata": q68_sql(),
     "q69_canonical_cluster": q69_sql(),
     "q70_jpeg_decode_stats": q70_sql(),
+    "q71_pdf_image_decode": q71_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

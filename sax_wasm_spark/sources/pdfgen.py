@@ -412,6 +412,29 @@ def _image_xobject(text_len: int, k: int) -> tuple[bytes, bytes]:
     return sd, payload
 
 
+def _real_image_xobject(text_len: int, k: int) -> tuple[bytes, bytes]:
+    """(stream dict, payload) for DECODABLE image XObject ``k`` — a
+    real baseline JPEG from the imagegen closed forms keyed on
+    ``(text_len, k)`` (grayscale 4:4:4 / RGB 4:4:4 + restarts /
+    RGB 4:2:0 cycling by k%3, tiny block-grid dims, bit-exact at
+    quant=1), so the pixel-decode roundtrip (q71) has a pure-SQL
+    oracle THROUGH the PDF container — incl. the encrypting variants,
+    which encrypt the JPEG payload like any other stream. Distinct
+    ``/Rm<k>`` names keep these apart from the metadata-only ``/Im<k>``
+    synth images (whose n_bytes closed form q58 depends on)."""
+    from .imagegen import build_jpeg, jpeg_geometry  # noqa: PLC0415
+
+    mode, w, h, nc = jpeg_geometry(text_len, k)
+    payload = build_jpeg(text_len, k)
+    cs = b"DeviceGray" if nc == 1 else b"DeviceRGB"
+    sd = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+        b" /BitsPerComponent 8 /ColorSpace /%s /Filter /DCTDecode"
+        b" /Length %d >>" % (w, h, cs, len(payload))
+    )
+    return sd, payload
+
+
 def _inline_image_op(text_len: int, k: int) -> bytes:
     """A ``BI..ID..EI`` content-stream operator for image ``k``
     (§8.9.7): abbreviated dict keys and names (Table 93/94) with /CCF —
@@ -841,6 +864,7 @@ def build_pdf(
     n_images: int = 0,
     n_fields: int = 0,
     n_outline: int = 0,
+    n_real_images: int = 0,
 ) -> bytes:
     """Render ``text`` (lines split on \\n) into a deterministic PDF.
 
@@ -854,6 +878,12 @@ def build_pdf(
     text-invisible to the extractor. Works with every variant; under
     the encrypting variants the image dicts survive because encryption
     rewrites only the /Length entry.
+
+    ``n_real_images`` > 0 embeds that many DECODABLE /DCTDecode image
+    XObjects per page (real baseline JPEGs, imagegen closed forms keyed
+    on ``len(text)`` and the index, ``/Rm<k>`` names) — the pixel-level
+    roundtrip corpus (q71); independent of ``n_images`` so the q58
+    metadata closed forms stay untouched.
 
     ``n_fields`` adds that many AcroForm text fields (shapes cycle:
     flat, hierarchical parent.kid, widget-merged value-on-parent;
@@ -1174,6 +1204,13 @@ def build_pdf(
             streams[im_num] = (sd, payload)
             xobj_entries.append(b"/Im%d %d 0 R" % (k, im_num))
             ops.append(b"/Im%d Do" % k)
+        for k in range(n_real_images):
+            sd, payload = _real_image_xobject(len(text), k)
+            im_num = next_num
+            next_num += 1
+            streams[im_num] = (sd, payload)
+            xobj_entries.append(b"/Rm%d %d 0 R" % (k, im_num))
+            ops.append(b"/Rm%d Do" % k)
         if variant == 3 and len(ops) > 4:
             split = len(ops) // 2
             chunks = [b"\n".join(ops[:split]), b"\n".join(ops[split:])]

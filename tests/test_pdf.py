@@ -2127,3 +2127,57 @@ def test_codec_truth_through_filter_chain():
     # corrupt flate payload degrades the same way
     rows = pdf_image_stats(one_pdf(b"[/FlateDecode /DCTDecode]", b"junk!"))
     assert rows[0][8:12] == (None, None, None, None)
+
+
+def test_pdf_decode_image_stats_roundtrip_all_variants():
+    """Real JPEG XObjects (/Rm<k>, imagegen closed forms) decode back
+    to the exact closed-form pixel grid through every writer variant —
+    including the encrypting ones, where the payload is decrypted
+    before the codec sees it."""
+    import numpy as np
+
+    from sax_wasm_spark.kernel.pdftext import pdf_decode_image_stats
+    from sax_wasm_spark.sources.imagegen import jpeg_geometry, jpeg_pixels
+    from sax_wasm_spark.sources.pdfgen import N_VARIANTS
+
+    for v in range(N_VARIANTS):
+        text = "alpha beta\ngamma %d\n" % v + "pad" * v
+        tl = len(text)
+        rows = pdf_decode_image_stats(build_pdf(text, variant=v, n_real_images=3))
+        got = {r[1]: r for r in rows if r[1].startswith("Rm")}
+        assert len(got) == 3, (v, rows)
+        for k in range(3):
+            _, w, h, nc = jpeg_geometry(tl, k)
+            px = jpeg_pixels(tl, k).astype(np.int64)
+            r = got["Rm%d" % k]
+            assert r[8] == "ok", (v, k, r)
+            assert (r[2], r[3], r[4]) == (w, h, nc)
+            assert (r[5], r[6], r[7]) == (int(px.sum()), int(px.min()), int(px.max()))
+
+
+def test_pdf_decode_image_stats_aesv3_and_skip_rows():
+    """Decode-under-AES-256: len(text)%16==1 routes variant 10 to
+    /AESV3 and the pixel grid still round-trips; metadata-only synth
+    images (/Im<k>) surface as skip:/error: rows, never crashes."""
+    import numpy as np
+
+    from sax_wasm_spark.kernel.pdftext import pdf_decode_image_stats
+    from sax_wasm_spark.sources.imagegen import jpeg_pixels
+
+    text = "x" * 17
+    pdf = build_pdf(text, variant=10, n_real_images=1)
+    assert b"/AESV3" in pdf
+    rows = pdf_decode_image_stats(pdf)
+    r = {row[1]: row for row in rows}["Rm0"]
+    px = jpeg_pixels(17, 0).astype(np.int64)
+    assert r[8] == "ok" and r[5] == int(px.sum())
+
+    # synth images: FlateDecode/CCITT -> skip rows; header-only DCT -> error row
+    pdf = build_pdf("some text here", variant=0, n_images=4, n_real_images=1)
+    rows = pdf_decode_image_stats(pdf)
+    by_name = {row[1]: row for row in rows}
+    assert by_name["Rm0"][8] == "ok"
+    statuses = {n: r[8] for n, r in by_name.items() if n.startswith("Im")}
+    assert statuses["Im1"].startswith("skip:")  # FlateDecode
+    assert statuses["Im0"].startswith("error:")  # synth DCT header, no scan
+    assert all(v.startswith(("skip:", "error:")) for v in statuses.values())
