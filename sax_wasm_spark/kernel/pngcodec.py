@@ -1,0 +1,282 @@
+"""PNG codec (RFC 2083 / ISO 15948) — from-scratch encode + decode on
+stdlib zlib + numpy.
+
+This extends the multimodal tier's REAL-decode leg beyond JPEG
+(kernel/jpegcodec.py): a full 8-bit-depth PNG decoder — chunk walk with
+CRC verification, IHDR validation, IDAT concatenation, bounded zlib
+inflate, all five scanline filters (None/Sub/Up/Average/Paeth),
+grayscale / truecolor / palette / alpha color types — plus an encoder
+twin whose per-row filter choice cycles through all five types, so a
+deterministic corpus exercises every decode path. External image
+libraries (Pillow/libpng) are absent in this environment; the reference
+repo has no image surface at all (sax-wasm is an XML tokenizer,
+``/root/reference/src/sax/parser.rs:1``) — this tier belongs to the
+assignment's multimodal/training-data scope.
+
+Design constraints, same policy as the JPEG codec:
+
+- **Per-row CPU work, zero shuffle** — operators run it inside
+  mapInPandas/mapInArrow batches; nothing here touches Spark.
+- **Hostile-input budget**: dimensions are capped BEFORE the inflate
+  (``max_pixels``, default 4 MPx — the Average/Paeth unfilters walk
+  bytes in Python, so the cap is the straggler bound), the inflate
+  itself is bounded to the expected scanline volume (a 100-byte zip
+  bomb cannot allocate gigabytes), and every malformed structure
+  raises a typed ``PngError`` so poison payloads degrade to
+  ``status='error:*'`` rows.
+- **Exactness**: PNG is lossless — every decode is bit-exact, so
+  closed-form pixel corpora oracle directly (q72), no quantization
+  contract needed.
+
+Scope: 8-bit sample depth, no interlacing. Adam7 interlace, 16-bit
+depth, and sub-byte gray depths raise typed errors naming the feature —
+real-crawl shares of those are small and an error row is the designed
+degradation.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class PngError(ValueError):
+    """Typed failure for malformed/unsupported PNG payloads — callers
+    map it to an ``error:*`` status row, never a crash or straggler."""
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# IHDR color type → samples per pixel (before palette expansion)
+_TYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+@dataclass
+class PngImage:
+    """Decoded pixels (palette already expanded to RGB) plus the
+    stream facts a pipeline routes on."""
+
+    planes: np.ndarray  # uint8 (h, w, ncomp)
+    width: int
+    height: int
+    n_components: int  # after palette expansion
+    color_type: int  # the wire's IHDR color type
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Scanline unfilter → (h, stride) uint8 of reconstructed bytes.
+    None/Up are fully vectorized; Sub uses a modulo-256 accumulate;
+    Average/Paeth walk the row in Python (sequential left-pixel
+    dependency — the reason for the ``max_pixels`` cap)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: accumulate along x per byte lane
+            pad = (-stride) % bpp
+            lanes = np.concatenate([row, np.zeros(pad, np.uint8)]).reshape(-1, bpp)
+            rec = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)[:stride]
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            p = prev
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + ((left + int(p[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            p = prev
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(p[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + _paeth(left, int(p[x]), ul)) & 0xFF
+        else:
+            raise PngError(f"unknown filter type {ftype}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def decode_png(data: bytes, max_pixels: int = 1 << 22) -> PngImage:
+    """Decode an 8-bit-depth PNG to uint8 pixels (palette expanded).
+
+    Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+
+    alpha), 6 (RGBA), non-interlaced, 8-bit depth. Raises ``PngError``
+    on anything else — Adam7 interlace, 16-bit / sub-byte depths —
+    naming the unsupported feature. CRCs are verified on every chunk;
+    ``max_pixels`` bounds hostile dimension claims before the inflate
+    allocates anything."""
+    if not data.startswith(PNG_SIGNATURE):
+        raise PngError("not a PNG (missing signature)")
+    pos = len(PNG_SIGNATURE)
+    n = len(data)
+    ihdr = None
+    palette: np.ndarray | None = None
+    idat = bytearray()
+    ended = False
+    while pos + 8 <= n:
+        length, ctype = struct.unpack(">I4s", data[pos : pos + 8])
+        if length > n - pos - 12:
+            raise PngError("chunk length exceeds file")
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise PngError(f"CRC mismatch in {ctype.decode('latin-1')}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise PngError("duplicate IHDR")
+            if length != 13:
+                raise PngError("IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise PngError("PLTE length")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3).copy()
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        # ancillary chunks (tEXt, pHYs, tRNS, …) are skipped; critical
+        # unknown chunks (uppercase first letter) must not be
+        elif not (ctype[0] & 0x20):
+            raise PngError(f"unknown critical chunk {ctype.decode('latin-1')}")
+    if ihdr is None:
+        raise PngError("missing IHDR")
+    if not ended:
+        raise PngError("missing IEND")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise PngError("unknown compression/filter method")
+    if interlace != 0:
+        raise PngError("Adam7 interlace unsupported")
+    if color_type not in _TYPE_CHANNELS:
+        raise PngError(f"unknown color type {color_type}")
+    if depth != 8:
+        raise PngError(f"bit depth {depth} unsupported (8 only)")
+    if w == 0 or h == 0:
+        raise PngError("zero dimension")
+    if w * h > max_pixels:
+        raise PngError(f"image {w}x{h} exceeds pixel budget {max_pixels}")
+    ch = _TYPE_CHANNELS[color_type]
+    stride = w * ch
+    expect = h * (1 + stride)
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expect)
+        if d.unconsumed_tail or (d.decompress(b"", 1)):
+            raise PngError("IDAT inflates past scanline volume")
+        raw += d.flush()
+    except zlib.error as e:
+        raise PngError(f"IDAT inflate failed: {e}") from e
+    if len(raw) != expect:
+        raise PngError(f"scanline volume {len(raw)} != expected {expect}")
+    rec = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color_type == 3:
+        if palette is None:
+            raise PngError("palette image without PLTE")
+        idx = rec[:, :, 0]
+        if int(idx.max()) >= len(palette):
+            raise PngError("palette index out of range")
+        rec = palette[idx]
+        return PngImage(rec, w, h, 3, color_type)
+    return PngImage(rec, w, h, ch, color_type)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int | None = None,
+    palette: np.ndarray | None = None,
+    level: int = 6,
+) -> bytes:
+    """Encode uint8 pixels to PNG. ``pixels`` is (h,w) gray, (h,w,3)
+    RGB, (h,w,2) gray+alpha, or (h,w,4) RGBA — or, with
+    ``color_type=3``, an (h,w) array of palette indices plus a
+    ``palette`` of (n,3) RGB entries. The per-row filter type cycles
+    ``row % 5`` through None/Sub/Up/Average/Paeth so a corpus written
+    by this twin exercises every unfilter path in the decoder."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if color_type == 3:
+        if px.ndim != 2:
+            raise PngError("palette pixels must be (h,w) indices")
+        if palette is None or palette.ndim != 2 or palette.shape[1] != 3:
+            raise PngError("palette must be (n,3)")
+        if len(palette) > 256 or int(px.max(initial=0)) >= len(palette):
+            raise PngError("palette index out of range")
+        ch = 1
+    else:
+        if px.ndim == 2:
+            ch, color_type = 1, 0
+        elif px.ndim == 3 and px.shape[2] in (2, 3, 4):
+            ch = px.shape[2]
+            color_type = {2: 4, 3: 2, 4: 6}[ch]
+        else:
+            raise PngError("pixels must be (h,w) or (h,w,{2,3,4})")
+    h, w = px.shape[0], px.shape[1]
+    if h == 0 or w == 0:
+        raise PngError("zero dimension")
+    flat = px.reshape(h, w * ch)
+    stride = w * ch
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = flat[y]
+        ftype = y % 5
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:
+            left = np.zeros(stride, dtype=np.uint8)
+            left[ch:] = row[:-ch] if stride > ch else left[ch:]
+            enc = row - left
+        elif ftype == 2:
+            enc = row - prev
+        elif ftype == 3:
+            enc = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                enc[x] = (int(row[x]) - ((left + int(prev[x])) >> 1)) & 0xFF
+        else:
+            enc = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                enc[x] = (int(row[x]) - _paeth(left, int(prev[x]), ul)) & 0xFF
+        lines.append(ftype)
+        lines += enc.tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    out = bytearray(PNG_SIGNATURE)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if color_type == 3:
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(lines), level))
+    out += chunk(b"IEND", b"")
+    return bytes(out)

@@ -59,19 +59,28 @@ _FEATURE_DIM = 8
 
 def _real_decode(kind: str, data: bytes):
     """Real decode where a from-scratch codec exists (baseline JPEG —
-    kernel/jpegcodec.py); NotImplementedError names the library an
-    integration would need everywhere else. Feature = luma mean/std/
-    min/max plus four quadrant means, all in [-0.5, 0.5] — a real
-    pixel-derived embedding stand-in with the stub's shape."""
+    kernel/jpegcodec.py; PNG — kernel/pngcodec.py); NotImplementedError
+    names the library an integration would need everywhere else.
+    Feature = luma mean/std/min/max plus four quadrant means, all in
+    [-0.5, 0.5] — a real pixel-derived embedding stand-in with the
+    stub's shape."""
     import numpy as np  # noqa: PLC0415
 
     from ..kernel.jpegcodec import JpegError, decode_jpeg_rgb  # noqa: PLC0415
+    from ..kernel.pngcodec import PNG_SIGNATURE, PngError, decode_png  # noqa: PLC0415
 
+    img = None
+    if kind == "image" and data.startswith(PNG_SIGNATURE):
+        try:
+            img = decode_png(data)
+        except PngError as e:
+            raise ValueError(f"png: {e}") from e
     if kind == "image" and data[:2] == b"\xff\xd8":
         try:
             img = decode_jpeg_rgb(data)
         except JpegError as e:
             raise ValueError(f"jpeg: {e}") from e
+    if img is not None:
         luma = img.planes.astype(np.float64).mean(axis=2)
         h2, w2 = max(img.height // 2, 1), max(img.width // 2, 1)
         feature = [
@@ -87,10 +96,10 @@ def _real_decode(kind: str, data: bytes):
             else 0.0,
         ]
         return img.width, img.height, None, feature
-    # non-JPEG codec integration point (Pillow / ffmpeg / torchaudio
+    # non-JPEG/PNG codec integration point (Pillow / ffmpeg / torchaudio
     # are not available in this environment)
     raise NotImplementedError(
-        f"decoding {kind} media beyond baseline JPEG requires external codecs"
+        f"decoding {kind} media beyond baseline JPEG/PNG requires external codecs"
     )
 
 
@@ -282,39 +291,55 @@ def sample_frames(
     return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
 
 
-def render_jpeg_column(
-    df: DataFrame, id_col: str = "doc_id", n_col: str = "n_imgs"
+def _render_media_column(
+    df: DataFrame, id_col: str, n_col: str, media_name: str, builder_name: str
 ) -> DataFrame:
-    """(id, n) → one row per image: (id, img_idx, jpeg:binary). The
-    deterministic writer twin for the decode oracle (sources/imagegen
-    closed forms) — identical regardless of partitioning, a 1→n
-    fan-out inside the executor batch (no shuffle, bytes never visit
-    the driver)."""
+    """(id, n) → one row per image: (id, img_idx, <media_name>:binary).
+    The deterministic writer-twin fan-out for the decode oracles
+    (sources/imagegen closed forms, ``builder_name`` picked by name so
+    only the module ref ships to executors) — identical regardless of
+    partitioning, a 1→n fan-out inside the executor batch (no shuffle,
+    bytes never visit the driver)."""
     from pyspark.sql.types import BinaryType  # noqa: PLC0415
-
-    from ..sources.imagegen import build_jpeg  # noqa: PLC0415
 
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
             StructField("img_idx", IntegerType(), False),
-            StructField("jpeg", BinaryType(), False),
+            StructField(media_name, BinaryType(), False),
         ]
     )
 
     def run(batches):
         import pandas as pd  # noqa: PLC0415
 
+        from ..sources import imagegen  # noqa: PLC0415
+
+        build = getattr(imagegen, builder_name)
         for pdf in batches:
-            out = {id_col: [], "img_idx": [], "jpeg": []}
+            out = {id_col: [], "img_idx": [], media_name: []}
             for did, n in zip(pdf[id_col], pdf[n_col]):
                 for k in range(int(n)):
                     out[id_col].append(int(did))
                     out["img_idx"].append(k)
-                    out["jpeg"].append(build_jpeg(int(did), k))
+                    out[media_name].append(build(int(did), k))
             yield pd.DataFrame(out)
 
     return df.select(id_col, n_col).mapInPandas(run, schema=out_schema)
+
+
+def render_jpeg_column(
+    df: DataFrame, id_col: str = "doc_id", n_col: str = "n_imgs"
+) -> DataFrame:
+    """JPEG writer twin: (id, n) → (id, img_idx, jpeg:binary)."""
+    return _render_media_column(df, id_col, n_col, "jpeg", "build_jpeg")
+
+
+def render_png_column(
+    df: DataFrame, id_col: str = "doc_id", n_col: str = "n_imgs"
+) -> DataFrame:
+    """PNG writer twin: (id, n) → (id, img_idx, png:binary)."""
+    return _render_media_column(df, id_col, n_col, "png", "build_png")
 
 
 DECODE_STATS_SCHEMA_TAIL = [
@@ -373,6 +398,79 @@ def decode_jpeg_stats(
                     out["pixel_max"].append(int(px.max()))
                     out["status"].append("ok")
                 except JpegError as e:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_channels"].append(None)
+                    out["pixel_sum"].append(None)
+                    out["pixel_min"].append(None)
+                    out["pixel_max"].append(None)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_image_stats(
+    df: DataFrame,
+    media_col: str = "img",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+    max_pixels: int = 1 << 22,
+) -> DataFrame:
+    """Format-sniffing REAL pixel decode over a binary image column —
+    JPEG (SOI magic → kernel/jpegcodec) and PNG (signature →
+    kernel/pngcodec) in one pass, the crawl shape where a media column
+    mixes formats: (id…, format, width, height, n_channels, pixel_sum,
+    pixel_min, pixel_max, status). Unknown magics and malformed
+    payloads degrade to ``status='error:…'`` rows with NULL stats;
+    decode is per-row CPU inside Arrow batches, zero shuffle.
+    ``max_pixels`` bounds hostile dimension claims before any
+    allocation (and bounds the PNG unfilter's Python walk)."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..kernel.jpegcodec import decode_jpeg  # noqa: PLC0415
+    from ..kernel.pngcodec import PNG_SIGNATURE, decode_png  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields)
+        + [StructField("format", StringType(), True)]
+        + DECODE_STATS_SCHEMA_TAIL
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[row])
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                fmt = None
+                try:
+                    if data.startswith(PNG_SIGNATURE):
+                        fmt = "png"
+                        img = decode_png(data, max_pixels=max_pixels)
+                    elif data[:2] == b"\xff\xd8":
+                        fmt = "jpeg"
+                        img = decode_jpeg(data, max_pixels=max_pixels)
+                    else:
+                        raise ValueError("unknown image format")
+                    px = img.planes.astype(np.int64)
+                    out["format"].append(fmt)
+                    out["width"].append(img.width)
+                    out["height"].append(img.height)
+                    out["n_channels"].append(img.n_components)
+                    out["pixel_sum"].append(int(px.sum()))
+                    out["pixel_min"].append(int(px.min()))
+                    out["pixel_max"].append(int(px.max()))
+                    out["status"].append("ok")
+                except ValueError as e:  # JpegError/PngError subclass it
+                    out["format"].append(fmt)
                     out["width"].append(None)
                     out["height"].append(None)
                     out["n_channels"].append(None)

@@ -3550,6 +3550,92 @@ def q70_sql():
     """
 
 
+def q72_png_decode_stats(spark, sf_dir):
+    """REAL PNG decode — the lossless twin of q70: ``1 + doc_id % 4``
+    PNGs per document are ENCODED by the writer twin (sources/imagegen
+    — grayscale, RGB, 256-entry palette, RGBA cycling by image index;
+    the encoder's row%5 filter cycle covers every unfilter path:
+    None/Sub/Up/Average/Paeth) and DECODED back to pixels by
+    decode_image_stats — the format-SNIFFING operator (PNG signature →
+    kernel/pngcodec, JPEG SOI → kernel/jpegcodec), the crawl shape
+    where one binary column mixes formats. PNG is lossless, so the
+    closed-form block grid IS the decoded pixel array bit-for-bit and
+    the oracle computes sum/min/max in pure SQL (palette mode derives
+    its three channels (v, 3v%256, 7v%256) from the index grid). Zero
+    shuffle, per-row CPU inside Arrow batches."""
+    from ..operators.multimodal import (  # noqa: PLC0415
+        decode_image_stats,
+        render_png_column,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", (1 + F.col("doc_id") % 4).cast("int").alias("n_imgs")
+    )
+    pngs = render_png_column(src, id_col="doc_id", n_col="n_imgs")
+    stats = decode_image_stats(pngs, media_col="png", id_cols=("doc_id", "img_idx"))
+    return stats.select(
+        "doc_id",
+        F.col("img_idx").cast("int").alias("img_idx"),
+        "format",
+        "width",
+        "height",
+        "n_channels",
+        "pixel_sum",
+        "pixel_min",
+        "pixel_max",
+        "status",
+    ).orderBy("doc_id", "img_idx")
+
+
+def q72_sql():
+    # mirrors the imagegen PNG closed forms: 8x8 block grid, palette
+    # mode (k%4=2) expands index v0 to channels (v0, 3*v0%256, 7*v0%256).
+    return """
+    WITH imgs AS (
+      SELECT d.doc_id, k.range AS k
+      FROM documents d, range(4) k
+      WHERE k.range < 1 + d.doc_id % 4
+    ), geom AS (
+      SELECT doc_id, k, k % 4 AS mode,
+             8 * (2 + (doc_id + 7*k) % 5) AS width,
+             8 * (1 + (2*doc_id + 11*k) % 5) AS height,
+             CASE k % 4 WHEN 0 THEN 1 WHEN 3 THEN 4 ELSE 3 END AS nc
+      FROM imgs
+    ), cells AS (
+      SELECT g.doc_id, g.k, g.width, g.height, g.nc,
+             CASE WHEN g.mode = 2 THEN
+               CASE c.range
+                 WHEN 0 THEN (g.doc_id + 31*g.k + 7*bx.range + 13*by.range) % 256
+                 WHEN 1 THEN (3 * ((g.doc_id + 31*g.k + 7*bx.range + 13*by.range) % 256)) % 256
+                 ELSE (7 * ((g.doc_id + 31*g.k + 7*bx.range + 13*by.range) % 256)) % 256
+               END
+             ELSE
+               (g.doc_id + 31*g.k + 7*bx.range + 13*by.range + 97*c.range) % 256
+             END AS v
+      FROM geom g, range(6) bx, range(6) by, range(4) c
+      WHERE c.range < g.nc
+        AND bx.range < g.width // 8
+        AND by.range < g.height // 8
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS img_idx,
+           'png' AS format,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(nc AS INTEGER) AS n_channels,
+           CAST(SUM(v * 64) AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INTEGER) AS pixel_min,
+           CAST(MAX(v) AS INTEGER) AS pixel_max,
+           'ok' AS status
+    FROM cells
+    GROUP BY doc_id, k, width, height, nc
+    ORDER BY doc_id, img_idx
+    """
+
+
 def q71_pdf_image_decode(spark, sf_dir):
     """REAL pixel decode of images extracted FROM PDF documents — the
     q70 decode stage chained through the full PDF container: the
@@ -3939,11 +4025,11 @@ def q44_sql():
 # tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 rotation: with 79 registered and 29
+# in-window permanently. Round-8 rotation: with 80 registered and 30
 # outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
 # of those back through the window and slice q33–q39 + q43–q52 out
 # (every one of them driver-green in r6/r7); every query
-# driver-checked at least every other round; q61–q71 hold the head
+# driver-checked at least every other round; q61–q72 hold the head
 # until they earn a first driver row.
 QUERIES = {
     "sax_positions": sax_positions,
@@ -3954,6 +4040,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q72_png_decode_stats": q72_png_decode_stats,
     "q71_pdf_image_decode": q71_pdf_image_decode,
     "q70_jpeg_decode_stats": q70_jpeg_decode_stats,
     "q69_canonical_cluster": q69_canonical_cluster,
@@ -4099,6 +4186,7 @@ ORACLES = {
     "q69_canonical_cluster": q69_sql(),
     "q70_jpeg_decode_stats": q70_sql(),
     "q71_pdf_image_decode": q71_sql(),
+    "q72_png_decode_stats": q72_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -70,3 +70,65 @@ def build_jpeg(doc_id: int, k: int) -> bytes:
         adobe_transform=0 if nc == 3 else None,
         restart_interval=2 if mode == 1 else 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG corpus twin (q72) — lossless, so the closed forms ARE the decoded
+# pixels; four modes cycle per image index to cover the decoder's color
+# types, and the encoder's row%5 filter cycle covers every unfilter.
+#
+#   mode = k % 4: 0 grayscale, 1 RGB, 2 palette (256-entry closed-form
+#   palette: index i -> (i, 3i%256, 7i%256)), 3 RGBA
+#   width  = 8 * (2 + (doc_id + 7*k) % 5)     in 8x8 blocks bx
+#   height = 8 * (1 + (2*doc_id + 11*k) % 5)  in 8x8 blocks by
+#   value(c, bx, by) = (doc_id + 31*k + 7*bx + 13*by + 97*c) % 256
+#   (palette mode indexes with the c=0 value; decoded channels are
+#    (v, 3v%256, 7v%256))
+
+from ..kernel.pngcodec import encode_png  # noqa: E402
+
+
+def png_geometry(doc_id: int, k: int) -> tuple[int, int, int, int]:
+    """(mode, width, height, decoded n_channels) for PNG ``k``."""
+    mode = k % 4
+    w = 8 * (2 + (doc_id + 7 * k) % 5)
+    h = 8 * (1 + (2 * doc_id + 11 * k) % 5)
+    nc = {0: 1, 1: 3, 2: 3, 3: 4}[mode]
+    return mode, w, h, nc
+
+
+def _png_grid(doc_id: int, k: int, nc: int, w: int, h: int) -> np.ndarray:
+    bx = np.arange(w // 8).reshape(1, -1, 1)
+    by = np.arange(h // 8).reshape(-1, 1, 1)
+    c = np.arange(nc).reshape(1, 1, -1)
+    vals = (doc_id + 31 * k + 7 * bx + 13 * by + 97 * c) % 256
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+_PNG_PALETTE = np.stack(
+    [
+        np.arange(256, dtype=np.uint16) % 256,
+        (3 * np.arange(256, dtype=np.uint16)) % 256,
+        (7 * np.arange(256, dtype=np.uint16)) % 256,
+    ],
+    axis=1,
+).astype(np.uint8)
+
+
+def png_pixels(doc_id: int, k: int) -> np.ndarray:
+    """The closed-form DECODED pixel array ((h,w) or (h,w,nc) uint8)."""
+    mode, w, h, nc = png_geometry(doc_id, k)
+    if mode == 2:
+        idx = _png_grid(doc_id, k, 1, w, h)[:, :, 0]
+        return _PNG_PALETTE[idx]
+    img = _png_grid(doc_id, k, nc, w, h)
+    return img[:, :, 0] if nc == 1 else img
+
+
+def build_png(doc_id: int, k: int) -> bytes:
+    """Encode PNG ``k`` of ``doc_id`` — the writer twin."""
+    mode, w, h, _nc = png_geometry(doc_id, k)
+    if mode == 2:
+        idx = _png_grid(doc_id, k, 1, w, h)[:, :, 0]
+        return encode_png(idx, color_type=3, palette=_PNG_PALETTE)
+    return encode_png(png_pixels(doc_id, k))

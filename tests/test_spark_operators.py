@@ -1320,3 +1320,51 @@ def test_real_decoder_jpeg_features(spark):
     )
     with pytest.raises(Exception, match="external codecs"):
         extract_media_features(audio, decoder="real").collect()
+
+
+def test_decode_image_stats_mixed_formats(spark):
+    """The sniffing decoder over ONE binary column mixing JPEG and PNG
+    payloads — the real crawl shape — plus poison rows."""
+    import numpy as np
+
+    from sax_wasm_spark.operators.multimodal import decode_image_stats
+    from sax_wasm_spark.sources.imagegen import (
+        build_jpeg,
+        build_png,
+        jpeg_pixels,
+        png_pixels,
+    )
+
+    rows = []
+    for d in range(6):
+        if d % 2 == 0:
+            rows.append((d, 0, build_jpeg(d, 1)))
+        else:
+            rows.append((d, 0, build_png(d, 2)))
+    rows.append((100, 0, b"GIF89a not supported"))
+    df = spark.createDataFrame(rows, "doc_id long, img_idx int, img binary")
+    got = {r.doc_id: r for r in decode_image_stats(df).collect()}
+    for d in range(6):
+        r = got[d]
+        if d % 2 == 0:
+            px = jpeg_pixels(d, 1).astype(np.int64)
+            assert r.format == "jpeg"
+        else:
+            px = png_pixels(d, 2).astype(np.int64)
+            assert r.format == "png"
+        assert r.status == "ok" and r.pixel_sum == int(px.sum())
+    assert got[100].format is None and got[100].status.startswith("error:")
+
+
+def test_real_decoder_png_features(spark):
+    """decoder='real' decodes PNG too: true dims + pixel features."""
+    from sax_wasm_spark.operators.multimodal import extract_media_features
+    from sax_wasm_spark.sources.imagegen import build_png, png_geometry
+
+    rows = [(int(d), "image", build_png(d, 3)) for d in range(3)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, media binary")
+    got = {r.media_id: r for r in extract_media_features(df, decoder="real").collect()}
+    for d in range(3):
+        _, w, h, _ = png_geometry(d, 3)
+        assert (got[d].width, got[d].height) == (w, h)
+        assert got[d].status == "ok" and len(got[d].feature) == 8
