@@ -3,11 +3,12 @@ metadata, with the Spark-side plumbing (schemas, Arrow batching,
 mapInPandas decode stage) fully real and tested.
 
 External codecs (Pillow/ffmpeg/torchaudio) are NOT in this container,
-but JPEG images decode for REAL via the from-scratch baseline codec
-(kernel/jpegcodec.py): ``decoder="real"`` returns true dimensions and a
-pixel-derived feature vector for JPEG payloads, and raises
-NotImplementedError only for the formats that genuinely need an
-external library (PNG/audio/video). ``decoder="fake"`` (default in
+but JPEG and PNG images and PCM WAV audio decode for REAL via the
+from-scratch codecs (kernel/jpegcodec.py, pngcodec.py, wavcodec.py):
+``decoder="real"`` returns true dimensions/duration and a
+pixel/sample-derived feature vector for those formats, and raises
+NotImplementedError only for the ones that genuinely need an external
+library (compressed audio, video). ``decoder="fake"`` (default in
 plumbing tests) computes deterministic features from the raw bytes so
 batch shapes, schema, and partitioning are exercised without any codec.
 
@@ -59,15 +60,38 @@ _FEATURE_DIM = 8
 
 def _real_decode(kind: str, data: bytes):
     """Real decode where a from-scratch codec exists (baseline JPEG —
-    kernel/jpegcodec.py; PNG — kernel/pngcodec.py); NotImplementedError
-    names the library an integration would need everywhere else.
-    Feature = luma mean/std/min/max plus four quadrant means, all in
-    [-0.5, 0.5] — a real pixel-derived embedding stand-in with the
-    stub's shape."""
+    kernel/jpegcodec.py; PNG — kernel/pngcodec.py; PCM WAV —
+    kernel/wavcodec.py); NotImplementedError names the library an
+    integration would need everywhere else. Image feature = luma
+    mean/std/min/max plus four quadrant means; audio feature = sample
+    mean/std/min/max plus four quarter-clip means — all in [-0.5, 0.5],
+    a real pixel/sample-derived embedding stand-in with the stub's
+    shape."""
     import numpy as np  # noqa: PLC0415
 
     from ..kernel.jpegcodec import JpegError, decode_jpeg_rgb  # noqa: PLC0415
     from ..kernel.pngcodec import PNG_SIGNATURE, PngError, decode_png  # noqa: PLC0415
+    from ..kernel.wavcodec import WavError, decode_wav  # noqa: PLC0415
+
+    if kind == "audio" and data[:4] == b"RIFF":
+        try:
+            clip = decode_wav(data)
+        except WavError as e:
+            raise ValueError(f"wav: {e}") from e
+        span = 128.0 if clip.bits == 8 else 32768.0
+        s = clip.samples.astype(np.float64) / (2.0 * span)
+        q = max(clip.n_frames // 4, 1)
+        feature = [
+            float(s.mean()),
+            float(s.std()),
+            float(s.min()),
+            float(s.max()),
+            float(s[:q].mean()),
+            float(s[q : 2 * q].mean()) if clip.n_frames > 1 else 0.0,
+            float(s[2 * q : 3 * q].mean()) if clip.n_frames > 2 else 0.0,
+            float(s[3 * q :].mean()) if clip.n_frames > 3 else 0.0,
+        ]
+        return None, None, clip.duration_ms, feature
 
     img = None
     if kind == "image" and data.startswith(PNG_SIGNATURE):
@@ -96,10 +120,10 @@ def _real_decode(kind: str, data: bytes):
             else 0.0,
         ]
         return img.width, img.height, None, feature
-    # non-JPEG/PNG codec integration point (Pillow / ffmpeg / torchaudio
-    # are not available in this environment)
+    # codec integration point for everything else (Pillow / ffmpeg /
+    # torchaudio are not available in this environment)
     raise NotImplementedError(
-        f"decoding {kind} media beyond baseline JPEG/PNG requires external codecs"
+        f"decoding {kind} media beyond JPEG/PNG/PCM-WAV requires external codecs"
     )
 
 
@@ -133,9 +157,10 @@ def extract_media_features(
 
     - ``"fake"`` — deterministic hash-derived metadata/features (the
       plumbing-test default; needs no codec at all);
-    - ``"real"`` — baseline JPEG decodes via the from-scratch numpy
-      codec (true dims + pixel-derived features); other formats raise
-      NotImplementedError at the integration point;
+    - ``"real"`` — JPEG/PNG images and PCM WAV audio decode via the
+      from-scratch codecs (true dims/duration + pixel/sample-derived
+      features); other formats raise NotImplementedError at the
+      integration point;
     - a CALLABLE ``(kind: str, data: bytes) -> (width, height,
       duration_ms, feature: list[float])`` — a production codec
       (Pillow / ffmpeg / torchaudio wrapper) injected without editing
@@ -292,14 +317,14 @@ def sample_frames(
 
 
 def _render_media_column(
-    df: DataFrame, id_col: str, n_col: str, media_name: str, builder_name: str
+    df: DataFrame, id_col: str, n_col: str, media_name: str, builder: str
 ) -> DataFrame:
-    """(id, n) → one row per image: (id, img_idx, <media_name>:binary).
+    """(id, n) → one row per clip: (id, img_idx, <media_name>:binary).
     The deterministic writer-twin fan-out for the decode oracles
-    (sources/imagegen closed forms, ``builder_name`` picked by name so
-    only the module ref ships to executors) — identical regardless of
-    partitioning, a 1→n fan-out inside the executor batch (no shuffle,
-    bytes never visit the driver)."""
+    (sources/imagegen / audiogen closed forms; ``builder`` is
+    "<module>:<fn>" resolved on the executor so only names ship) —
+    identical regardless of partitioning, a 1→n fan-out inside the
+    executor batch (no shuffle, bytes never visit the driver)."""
     from pyspark.sql.types import BinaryType  # noqa: PLC0415
 
     out_schema = StructType(
@@ -311,11 +336,14 @@ def _render_media_column(
     )
 
     def run(batches):
+        import importlib  # noqa: PLC0415
+
         import pandas as pd  # noqa: PLC0415
 
-        from ..sources import imagegen  # noqa: PLC0415
-
-        build = getattr(imagegen, builder_name)
+        mod_name, fn_name = builder.split(":")
+        build = getattr(
+            importlib.import_module(f"sax_wasm_spark.sources.{mod_name}"), fn_name
+        )
         for pdf in batches:
             out = {id_col: [], "img_idx": [], media_name: []}
             for did, n in zip(pdf[id_col], pdf[n_col]):
@@ -332,14 +360,21 @@ def render_jpeg_column(
     df: DataFrame, id_col: str = "doc_id", n_col: str = "n_imgs"
 ) -> DataFrame:
     """JPEG writer twin: (id, n) → (id, img_idx, jpeg:binary)."""
-    return _render_media_column(df, id_col, n_col, "jpeg", "build_jpeg")
+    return _render_media_column(df, id_col, n_col, "jpeg", "imagegen:build_jpeg")
 
 
 def render_png_column(
     df: DataFrame, id_col: str = "doc_id", n_col: str = "n_imgs"
 ) -> DataFrame:
     """PNG writer twin: (id, n) → (id, img_idx, png:binary)."""
-    return _render_media_column(df, id_col, n_col, "png", "build_png")
+    return _render_media_column(df, id_col, n_col, "png", "imagegen:build_png")
+
+
+def render_wav_column(
+    df: DataFrame, id_col: str = "doc_id", n_col: str = "n_clips"
+) -> DataFrame:
+    """WAV writer twin: (id, n) → (id, img_idx, wav:binary)."""
+    return _render_media_column(df, id_col, n_col, "wav", "audiogen:build_wav")
 
 
 DECODE_STATS_SCHEMA_TAIL = [
@@ -477,6 +512,76 @@ def decode_image_stats(
                     out["pixel_sum"].append(None)
                     out["pixel_min"].append(None)
                     out["pixel_max"].append(None)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+AUDIO_STATS_SCHEMA_TAIL = [
+    StructField("n_channels", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("bits", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("sample_sum", LongType(), True),
+    StructField("sample_min", IntegerType(), True),
+    StructField("sample_max", IntegerType(), True),
+    StructField("status", StringType(), False),
+]
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    media_col: str = "wav",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+    max_frames: int = 1 << 24,
+) -> DataFrame:
+    """REAL PCM decode over a binary WAV column → per-clip facts and
+    sample statistics: (id…, n_channels, sample_rate, bits, n_frames,
+    duration_ms, sample_sum, sample_min, sample_max, status). PCM is
+    lossless so deterministic corpora oracle bit-exactly (q73);
+    malformed or non-PCM payloads degrade to ``status='error:…'`` rows
+    with NULL stats. Per-row CPU inside Arrow batches, zero shuffle;
+    ``max_frames`` bounds hostile length claims before allocation."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..kernel.wavcodec import WavError, decode_wav  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(list(id_fields) + AUDIO_STATS_SCHEMA_TAIL)
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[row])
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    clip = decode_wav(data, max_frames=max_frames)
+                    s = clip.samples.astype(np.int64)
+                    out["n_channels"].append(clip.n_channels)
+                    out["sample_rate"].append(clip.sample_rate)
+                    out["bits"].append(clip.bits)
+                    out["n_frames"].append(clip.n_frames)
+                    out["duration_ms"].append(clip.duration_ms)
+                    out["sample_sum"].append(int(s.sum()))
+                    out["sample_min"].append(int(s.min()))
+                    out["sample_max"].append(int(s.max()))
+                    out["status"].append("ok")
+                except WavError as e:
+                    for col in (
+                        "n_channels", "sample_rate", "bits", "n_frames",
+                        "duration_ms", "sample_sum", "sample_min", "sample_max",
+                    ):
+                        out[col].append(None)
                     out["status"].append(f"error:{e}")
             yield pd.DataFrame(out)
 

@@ -3550,6 +3550,85 @@ def q70_sql():
     """
 
 
+def q73_wav_decode_stats(spark, sf_dir):
+    """REAL audio decode — the multimodal tier's audio leg: ``1 +
+    doc_id % 3`` PCM WAV clips per document are ENCODED by the writer
+    twin (sources/audiogen — mono/16-bit, stereo/16-bit, stereo/8-bit
+    cycling by clip index; samples constant per 64-frame block) and
+    DECODED back by decode_audio_stats (kernel/wavcodec.py RIFF walk +
+    PCM reinterpretation, 8-bit wire samples re-centered to signed).
+    PCM is lossless, so the oracle computes duration and sample
+    sum/min/max from the closed-form block grid in pure SQL. Zero
+    shuffle, per-row CPU inside Arrow batches."""
+    from ..operators.multimodal import (  # noqa: PLC0415
+        decode_audio_stats,
+        render_wav_column,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", (1 + F.col("doc_id") % 3).cast("int").alias("n_clips")
+    )
+    wavs = render_wav_column(src, id_col="doc_id", n_col="n_clips")
+    stats = decode_audio_stats(wavs, media_col="wav", id_cols=("doc_id", "img_idx"))
+    return stats.select(
+        "doc_id",
+        F.col("img_idx").cast("int").alias("clip_idx"),
+        "n_channels",
+        "sample_rate",
+        "bits",
+        "n_frames",
+        "duration_ms",
+        "sample_sum",
+        "sample_min",
+        "sample_max",
+        "status",
+    ).orderBy("doc_id", "clip_idx")
+
+
+def q73_sql():
+    # mirrors sources/audiogen.py closed forms: 64-frame blocks,
+    # value(c,b) = ((7*doc_id + 31*k + 11*c + 17*b) % span) - span/2
+    # with span 256 (8-bit, k%3=2) or 4096 (16-bit).
+    return """
+    WITH clips AS (
+      SELECT d.doc_id, k.range AS k
+      FROM documents d, range(3) k
+      WHERE k.range < 1 + d.doc_id % 3
+    ), geom AS (
+      SELECT doc_id, k, k % 3 AS mode,
+             CASE WHEN k % 3 = 0 THEN 1 ELSE 2 END AS nc,
+             CASE k % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 11025 END AS rate,
+             CASE WHEN k % 3 = 2 THEN 8 ELSE 16 END AS bits,
+             CASE WHEN k % 3 = 2 THEN 256 ELSE 4096 END AS span,
+             2 + (doc_id + 5*k) % 9 AS n_blocks
+      FROM clips
+    ), cells AS (
+      SELECT g.doc_id, g.k, g.nc, g.rate, g.bits, g.n_blocks,
+             (g.doc_id * 7 + 31*g.k + 11*c.range + 17*b.range) % g.span
+               - g.span // 2 AS v
+      FROM geom g, range(11) b, range(2) c
+      WHERE b.range < g.n_blocks AND c.range < g.nc
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS clip_idx,
+           CAST(nc AS INTEGER) AS n_channels,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(bits AS INTEGER) AS bits,
+           CAST(64 * n_blocks AS INTEGER) AS n_frames,
+           CAST(64 * n_blocks * 1000 // rate AS INTEGER) AS duration_ms,
+           CAST(SUM(v * 64) AS BIGINT) AS sample_sum,
+           CAST(MIN(v) AS INTEGER) AS sample_min,
+           CAST(MAX(v) AS INTEGER) AS sample_max,
+           'ok' AS status
+    FROM cells
+    GROUP BY doc_id, k, nc, rate, bits, n_blocks
+    ORDER BY doc_id, clip_idx
+    """
+
+
 def q72_png_decode_stats(spark, sf_dir):
     """REAL PNG decode — the lossless twin of q70: ``1 + doc_id % 4``
     PNGs per document are ENCODED by the writer twin (sources/imagegen
@@ -4025,11 +4104,11 @@ def q44_sql():
 # tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 rotation: with 80 registered and 30
+# in-window permanently. Round-8 rotation: with 81 registered and 31
 # outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
 # of those back through the window and slice q33–q39 + q43–q52 out
 # (every one of them driver-green in r6/r7); every query
-# driver-checked at least every other round; q61–q72 hold the head
+# driver-checked at least every other round; q61–q73 hold the head
 # until they earn a first driver row.
 QUERIES = {
     "sax_positions": sax_positions,
@@ -4040,6 +4119,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q73_wav_decode_stats": q73_wav_decode_stats,
     "q72_png_decode_stats": q72_png_decode_stats,
     "q71_pdf_image_decode": q71_pdf_image_decode,
     "q70_jpeg_decode_stats": q70_jpeg_decode_stats,
@@ -4187,6 +4267,7 @@ ORACLES = {
     "q70_jpeg_decode_stats": q70_sql(),
     "q71_pdf_image_decode": q71_sql(),
     "q72_png_decode_stats": q72_sql(),
+    "q73_wav_decode_stats": q73_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

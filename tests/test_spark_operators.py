@@ -1368,3 +1368,51 @@ def test_real_decoder_png_features(spark):
         _, w, h, _ = png_geometry(d, 3)
         assert (got[d].width, got[d].height) == (w, h)
         assert got[d].status == "ok" and len(got[d].feature) == 8
+
+
+def test_decode_audio_stats_and_real_decoder(spark):
+    """q73's shape in-Spark: WAV writer twin → decode_audio_stats
+    recovers the closed-form sample grid bit-exactly; poison rows
+    degrade; decoder='real' returns true duration for PCM WAV."""
+    import numpy as np
+
+    from sax_wasm_spark.operators.multimodal import (
+        decode_audio_stats,
+        extract_media_features,
+        render_wav_column,
+    )
+    from sax_wasm_spark.sources.audiogen import build_wav, wav_geometry, wav_samples
+
+    src = spark.createDataFrame(
+        [(d, 3) for d in range(6)], "doc_id long, n_clips int"
+    )
+    wavs = render_wav_column(src, n_col="n_clips")
+    out = {(r.doc_id, r.img_idx): r for r in decode_audio_stats(wavs).collect()}
+    assert len(out) == 18
+    for (d, k), r in out.items():
+        _, nc, rate, bits, nf = wav_geometry(d, k)
+        s = wav_samples(d, k).astype(np.int64)
+        assert r.status == "ok"
+        assert (r.n_channels, r.sample_rate, r.bits, r.n_frames) == (nc, rate, bits, nf)
+        assert r.duration_ms == nf * 1000 // rate
+        assert (r.sample_sum, r.sample_min, r.sample_max) == (
+            int(s.sum()), int(s.min()), int(s.max()),
+        )
+
+    bad = spark.createDataFrame(
+        [(900, 0, b"RIFF\x04\x00\x00\x00WAVE"), (901, 0, b"not audio")],
+        "doc_id long, img_idx int, wav binary",
+    )
+    rows = {r.doc_id: r for r in decode_audio_stats(bad).collect()}
+    assert rows[900].status.startswith("error:") and rows[900].sample_sum is None
+    assert rows[901].status.startswith("error:")
+
+    media = spark.createDataFrame(
+        [(int(d), "audio", build_wav(d, 1)) for d in range(3)],
+        "media_id long, kind string, media binary",
+    )
+    feats = {r.media_id: r for r in extract_media_features(media, decoder="real").collect()}
+    for d in range(3):
+        _, _, rate, _, nf = wav_geometry(d, 1)
+        assert feats[d].duration_ms == nf * 1000 // rate
+        assert feats[d].width is None and len(feats[d].feature) == 8
