@@ -94,6 +94,21 @@ def _real_decode(kind: str, data: bytes):
         return None, None, clip.duration_ms, feature
 
     img = None
+    if kind == "image" and data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..kernel.gifcodec import GifError, decode_gif  # noqa: PLC0415
+
+        try:
+            gif = decode_gif(data)
+        except GifError as e:
+            raise ValueError(f"gif: {e}") from e
+        first = gif.frames[0]
+
+        class _GifView:  # duck-typed shim: first frame drives the features
+            planes = first.planes
+            width = first.width  # frame dims, not logical screen — the
+            height = first.height  # quadrant slices must match planes
+
+        img = _GifView()
     if kind == "image" and data.startswith(PNG_SIGNATURE):
         try:
             img = decode_png(data)
@@ -370,6 +385,13 @@ def render_png_column(
     return _render_media_column(df, id_col, n_col, "png", "imagegen:build_png")
 
 
+def render_gif_column(
+    df: DataFrame, id_col: str = "doc_id", n_col: str = "n_imgs"
+) -> DataFrame:
+    """GIF writer twin: (id, n) → (id, img_idx, gif:binary)."""
+    return _render_media_column(df, id_col, n_col, "gif", "imagegen:build_gif")
+
+
 def render_wav_column(
     df: DataFrame, id_col: str = "doc_id", n_col: str = "n_clips"
 ) -> DataFrame:
@@ -452,23 +474,29 @@ def decode_image_stats(
     max_pixels: int = 1 << 22,
 ) -> DataFrame:
     """Format-sniffing REAL pixel decode over a binary image column —
-    JPEG (SOI magic → kernel/jpegcodec) and PNG (signature →
-    kernel/pngcodec) in one pass, the crawl shape where a media column
-    mixes formats: (id…, format, width, height, n_channels, pixel_sum,
-    pixel_min, pixel_max, status). Unknown magics and malformed
+    JPEG (SOI magic → kernel/jpegcodec), PNG (signature →
+    kernel/pngcodec), and GIF (GIF87a/89a → kernel/gifcodec,
+    multi-frame: stats span every frame, ``n_frames`` reports the
+    count) in one pass, the crawl shape where a media column mixes
+    formats: (id…, format, n_frames, width, height, n_channels,
+    pixel_sum, pixel_min, pixel_max, status). Unknown magics and malformed
     payloads degrade to ``status='error:…'`` rows with NULL stats;
     decode is per-row CPU inside Arrow batches, zero shuffle.
     ``max_pixels`` bounds hostile dimension claims before any
     allocation (and bounds the PNG unfilter's Python walk)."""
     import numpy as np  # noqa: PLC0415
 
+    from ..kernel.gifcodec import GIF_MAGICS, decode_gif  # noqa: PLC0415
     from ..kernel.jpegcodec import decode_jpeg  # noqa: PLC0415
     from ..kernel.pngcodec import PNG_SIGNATURE, decode_png  # noqa: PLC0415
 
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = StructType(
         list(id_fields)
-        + [StructField("format", StringType(), True)]
+        + [
+            StructField("format", StringType(), True),
+            StructField("n_frames", IntegerType(), True),
+        ]
         + DECODE_STATS_SCHEMA_TAIL
     )
 
@@ -490,22 +518,41 @@ def decode_image_stats(
                     if data.startswith(PNG_SIGNATURE):
                         fmt = "png"
                         img = decode_png(data, max_pixels=max_pixels)
+                        w, h, nc, nf = img.width, img.height, img.n_components, 1
+                        px = img.planes.astype(np.int64)
+                        stats = (int(px.sum()), int(px.min()), int(px.max()))
                     elif data[:2] == b"\xff\xd8":
                         fmt = "jpeg"
                         img = decode_jpeg(data, max_pixels=max_pixels)
+                        w, h, nc, nf = img.width, img.height, img.n_components, 1
+                        px = img.planes.astype(np.int64)
+                        stats = (int(px.sum()), int(px.min()), int(px.max()))
+                    elif data[:6] in GIF_MAGICS:
+                        fmt = "gif"
+                        gif = decode_gif(data, max_pixels=max_pixels)
+                        w, h, nc, nf = gif.width, gif.height, 3, gif.n_frames
+                        s = mn = mx = None
+                        for fr in gif.frames:  # stats span ALL frames
+                            px = fr.planes.astype(np.int64)
+                            s = (s or 0) + int(px.sum())
+                            fmn, fmx = int(px.min()), int(px.max())
+                            mn = fmn if mn is None else min(mn, fmn)
+                            mx = fmx if mx is None else max(mx, fmx)
+                        stats = (s, mn, mx)
                     else:
                         raise ValueError("unknown image format")
-                    px = img.planes.astype(np.int64)
                     out["format"].append(fmt)
-                    out["width"].append(img.width)
-                    out["height"].append(img.height)
-                    out["n_channels"].append(img.n_components)
-                    out["pixel_sum"].append(int(px.sum()))
-                    out["pixel_min"].append(int(px.min()))
-                    out["pixel_max"].append(int(px.max()))
+                    out["n_frames"].append(nf)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(nc)
+                    out["pixel_sum"].append(stats[0])
+                    out["pixel_min"].append(stats[1])
+                    out["pixel_max"].append(stats[2])
                     out["status"].append("ok")
-                except ValueError as e:  # JpegError/PngError subclass it
+                except ValueError as e:  # Jpeg/Png/GifError subclass it
                     out["format"].append(fmt)
+                    out["n_frames"].append(None)
                     out["width"].append(None)
                     out["height"].append(None)
                     out["n_channels"].append(None)

@@ -3550,6 +3550,90 @@ def q70_sql():
     """
 
 
+def q74_gif_decode_stats(spark, sf_dir):
+    """REAL GIF decode — multi-frame, LZW-compressed, interlaced: the
+    writer twin (sources/imagegen GIF forms) emits ``1 + doc_id % 3``
+    GIFs per document, each with ``1 + (doc_id + k) % 3`` frames of
+    closed-form 8x8-block palette indices against the shared 256-entry
+    closed-form palette, EVERY ODD FRAME written in the four-pass
+    interlaced row order — so the decoder's LZW (LSB-first variable
+    width, the GIF variant, NOT the PDF's MSB-first LZW), palette
+    expansion, and deinterlacer are all on the oracle path.
+    decode_image_stats sniffs the GIF magic and aggregates pixel stats
+    across ALL frames; GIF is lossless so the oracle computes them from
+    the block grid in pure SQL. Zero shuffle, per-row CPU inside Arrow
+    batches."""
+    from ..operators.multimodal import (  # noqa: PLC0415
+        decode_image_stats,
+        render_gif_column,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", (1 + F.col("doc_id") % 3).cast("int").alias("n_imgs")
+    )
+    gifs = render_gif_column(src, id_col="doc_id", n_col="n_imgs")
+    stats = decode_image_stats(gifs, media_col="gif", id_cols=("doc_id", "img_idx"))
+    return stats.select(
+        "doc_id",
+        F.col("img_idx").cast("int").alias("img_idx"),
+        "format",
+        "n_frames",
+        "width",
+        "height",
+        "n_channels",
+        "pixel_sum",
+        "pixel_min",
+        "pixel_max",
+        "status",
+    ).orderBy("doc_id", "img_idx")
+
+
+def q74_sql():
+    # mirrors the imagegen GIF closed forms: per-frame 8x8 block index
+    # grid v0, decoded channels (v0, 3*v0%256, 7*v0%256).
+    return """
+    WITH imgs AS (
+      SELECT d.doc_id, k.range AS k
+      FROM documents d, range(3) k
+      WHERE k.range < 1 + d.doc_id % 3
+    ), geom AS (
+      SELECT doc_id, k,
+             8 * (2 + (doc_id + 7*k) % 5) AS width,
+             8 * (1 + (2*doc_id + 11*k) % 5) AS height,
+             1 + (doc_id + k) % 3 AS n_frames
+      FROM imgs
+    ), cells AS (
+      SELECT g.doc_id, g.k, g.width, g.height, g.n_frames,
+             CASE c.range
+               WHEN 0 THEN (g.doc_id + 31*g.k + 41*f.range + 7*bx.range + 13*by.range) % 256
+               WHEN 1 THEN (3 * ((g.doc_id + 31*g.k + 41*f.range + 7*bx.range + 13*by.range) % 256)) % 256
+               ELSE (7 * ((g.doc_id + 31*g.k + 41*f.range + 7*bx.range + 13*by.range) % 256)) % 256
+             END AS v
+      FROM geom g, range(3) f, range(6) bx, range(6) by, range(3) c
+      WHERE f.range < g.n_frames
+        AND bx.range < g.width // 8
+        AND by.range < g.height // 8
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS img_idx,
+           'gif' AS format,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           3 AS n_channels,
+           CAST(SUM(v * 64) AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INTEGER) AS pixel_min,
+           CAST(MAX(v) AS INTEGER) AS pixel_max,
+           'ok' AS status
+    FROM cells
+    GROUP BY doc_id, k, width, height, n_frames
+    ORDER BY doc_id, img_idx
+    """
+
+
 def q73_wav_decode_stats(spark, sf_dir):
     """REAL audio decode — the multimodal tier's audio leg: ``1 +
     doc_id % 3`` PCM WAV clips per document are ENCODED by the writer
@@ -4104,11 +4188,11 @@ def q44_sql():
 # tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 rotation: with 81 registered and 31
+# in-window permanently. Round-8 rotation: with 82 registered and 32
 # outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
 # of those back through the window and slice q33–q39 + q43–q52 out
 # (every one of them driver-green in r6/r7); every query
-# driver-checked at least every other round; q61–q73 hold the head
+# driver-checked at least every other round; q61–q74 hold the head
 # until they earn a first driver row.
 QUERIES = {
     "sax_positions": sax_positions,
@@ -4119,6 +4203,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q74_gif_decode_stats": q74_gif_decode_stats,
     "q73_wav_decode_stats": q73_wav_decode_stats,
     "q72_png_decode_stats": q72_png_decode_stats,
     "q71_pdf_image_decode": q71_pdf_image_decode,
@@ -4268,6 +4353,7 @@ ORACLES = {
     "q71_pdf_image_decode": q71_sql(),
     "q72_png_decode_stats": q72_sql(),
     "q73_wav_decode_stats": q73_sql(),
+    "q74_gif_decode_stats": q74_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

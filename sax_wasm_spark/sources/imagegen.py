@@ -132,3 +132,46 @@ def build_png(doc_id: int, k: int) -> bytes:
         idx = _png_grid(doc_id, k, 1, w, h)[:, :, 0]
         return encode_png(idx, color_type=3, palette=_PNG_PALETTE)
     return encode_png(png_pixels(doc_id, k))
+
+
+# ---------------------------------------------------------------------------
+# GIF corpus twin (q74) — palette-indexed and lossless, multi-frame,
+# with every odd frame interlaced so the decoder's four-pass
+# deinterlacer is proven in-corpus. Shares the PNG twin's 256-entry
+# closed-form palette (index i -> (i, 3i%256, 7i%256)).
+#
+#   n_frames = 1 + (doc_id + k) % 3
+#   width  = 8 * (2 + (doc_id + 7*k) % 5)     in 8x8 blocks bx
+#   height = 8 * (1 + (2*doc_id + 11*k) % 5)  in 8x8 blocks by
+#   index(f, bx, by) = (doc_id + 31*k + 41*f + 7*bx + 13*by) % 256
+#   (decoded RGB channels are (v, 3v%256, 7v%256))
+
+from ..kernel.gifcodec import encode_gif  # noqa: E402
+
+
+def gif_geometry(doc_id: int, k: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for GIF ``k`` of ``doc_id``."""
+    w = 8 * (2 + (doc_id + 7 * k) % 5)
+    h = 8 * (1 + (2 * doc_id + 11 * k) % 5)
+    return w, h, 1 + (doc_id + k) % 3
+
+
+def gif_frame_indices(doc_id: int, k: int, f: int) -> np.ndarray:
+    """The closed-form palette-index grid for frame ``f``, (h,w) uint8."""
+    w, h, _n = gif_geometry(doc_id, k)
+    bx = np.arange(w // 8).reshape(1, -1)
+    by = np.arange(h // 8).reshape(-1, 1)
+    vals = (doc_id + 31 * k + 41 * f + 7 * bx + 13 * by) % 256
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+def gif_frame_pixels(doc_id: int, k: int, f: int) -> np.ndarray:
+    """Decoded RGB pixels of frame ``f`` ((h,w,3) uint8)."""
+    return _PNG_PALETTE[gif_frame_indices(doc_id, k, f)]
+
+
+def build_gif(doc_id: int, k: int) -> bytes:
+    """Encode GIF ``k`` of ``doc_id`` — the writer twin."""
+    _w, _h, n = gif_geometry(doc_id, k)
+    frames = [gif_frame_indices(doc_id, k, f) for f in range(n)]
+    return encode_gif(frames, _PNG_PALETTE, interlace_odd_frames=True)

@@ -1341,7 +1341,7 @@ def test_decode_image_stats_mixed_formats(spark):
             rows.append((d, 0, build_jpeg(d, 1)))
         else:
             rows.append((d, 0, build_png(d, 2)))
-    rows.append((100, 0, b"GIF89a not supported"))
+    rows.append((100, 0, b"BM bitmap not supported"))
     df = spark.createDataFrame(rows, "doc_id long, img_idx int, img binary")
     got = {r.doc_id: r for r in decode_image_stats(df).collect()}
     for d in range(6):
@@ -1416,3 +1416,60 @@ def test_decode_audio_stats_and_real_decoder(spark):
         _, _, rate, _, nf = wav_geometry(d, 1)
         assert feats[d].duration_ms == nf * 1000 // rate
         assert feats[d].width is None and len(feats[d].feature) == 8
+
+
+def test_decode_image_stats_gif_and_four_format_mix(spark):
+    """GIF joins the sniff: multi-frame stats span every frame; one
+    binary column mixing jpeg/png/gif decodes in a single pass."""
+    import numpy as np
+
+    from sax_wasm_spark.operators.multimodal import decode_image_stats
+    from sax_wasm_spark.sources.imagegen import (
+        build_gif,
+        build_jpeg,
+        build_png,
+        gif_frame_pixels,
+        gif_geometry,
+        jpeg_pixels,
+        png_pixels,
+    )
+
+    rows = []
+    for d in range(9):
+        media = (build_jpeg, build_png, build_gif)[d % 3](d, d % 3)
+        rows.append((d, d % 3, media))
+    df = spark.createDataFrame(rows, "doc_id long, img_idx int, img binary")
+    got = {r.doc_id: r for r in decode_image_stats(df).collect()}
+    for d in range(9):
+        r, k = got[d], d % 3
+        if d % 3 == 0:
+            px = jpeg_pixels(d, k).astype(np.int64)
+            assert (r.format, r.n_frames) == ("jpeg", 1)
+            assert r.pixel_sum == int(px.sum())
+        elif d % 3 == 1:
+            px = png_pixels(d, k).astype(np.int64)
+            assert (r.format, r.n_frames) == ("png", 1)
+            assert r.pixel_sum == int(px.sum())
+        else:
+            _, _, n = gif_geometry(d, k)
+            total = sum(
+                int(gif_frame_pixels(d, k, f).astype(np.int64).sum())
+                for f in range(n)
+            )
+            assert (r.format, r.n_frames) == ("gif", n)
+            assert r.pixel_sum == total
+        assert r.status == "ok"
+
+
+def test_real_decoder_gif_features(spark):
+    """decoder='real' decodes GIF via the first frame."""
+    from sax_wasm_spark.operators.multimodal import extract_media_features
+    from sax_wasm_spark.sources.imagegen import build_gif, gif_geometry
+
+    rows = [(int(d), "image", build_gif(d, 0)) for d in range(3)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, media binary")
+    got = {r.media_id: r for r in extract_media_features(df, decoder="real").collect()}
+    for d in range(3):
+        w, h, _ = gif_geometry(d, 0)
+        assert (got[d].width, got[d].height) == (w, h)
+        assert got[d].status == "ok" and len(got[d].feature) == 8
