@@ -3550,6 +3550,83 @@ def q70_sql():
     """
 
 
+def q75_html_media_decode(spark, sf_dir):
+    """The SAX tier chained into the codec tier — the web-scale media
+    extraction shape end to end: pages carry ``1 + doc_id % 4``
+    data-URI PNG images (writer twin build_media_page, plus script-src
+    and href DECOYS the filter must reject), the SAX kernel's
+    Attribute events surface every src, the base64 payload is decoded
+    JVM-SIDE (F.unbase64 — the bytes never round-trip through Python
+    between parse and decode), and decode_image_stats sniffs + decodes
+    the pixels. The oracle is LITERALLY q72's SQL — the same closed
+    forms reached through a completely different plan (HTML parse →
+    attribute filter → base64 → codec vs direct render), so any drift
+    anywhere in the chain hash-fails. ONE exchange (the per-doc
+    img_idx window); decode stays per-row CPU."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from ..operators.multimodal import decode_image_stats  # noqa: PLC0415
+    from ..operators.tokenize import tokenize_events  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.imagegen import build_media_page  # noqa: PLC0415
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        build_media_page(int(i), 1 + int(i) % 4)
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    pages = d.select("doc_id").mapInPandas(render, schema="doc_id long, html binary")
+    ev = tokenize_events(pages, id_cols=("doc_id",), events=1 << 6, positions=False)
+    srcs = (
+        ev.where(
+            (F.col("event") == 6)
+            & (F.col("attr_name").cast("string") == "src")
+            & F.col("attr_value").cast("string").startswith("data:image/")
+        )
+        .select(
+            "doc_id",
+            "event_idx",
+            F.unbase64(
+                F.regexp_extract(
+                    F.col("attr_value").cast("string"),
+                    "^data:image/[a-z]+;base64,(.*)$",
+                    1,
+                )
+            ).alias("png"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("event_idx")
+    imgs = srcs.withColumn(
+        "img_idx", (F.row_number().over(w) - 1).cast("int")
+    ).select("doc_id", "img_idx", "png")
+    stats = decode_image_stats(imgs, media_col="png", id_cols=("doc_id", "img_idx"))
+    return stats.select(
+        "doc_id",
+        "img_idx",
+        "format",
+        "width",
+        "height",
+        "n_channels",
+        "pixel_sum",
+        "pixel_min",
+        "pixel_max",
+        "status",
+    ).orderBy("doc_id", "img_idx")
+
+
 def q74_gif_decode_stats(spark, sf_dir):
     """REAL GIF decode — multi-frame, LZW-compressed, interlaced: the
     writer twin (sources/imagegen GIF forms) emits ``1 + doc_id % 3``
@@ -4188,11 +4265,11 @@ def q44_sql():
 # tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 rotation: with 82 registered and 32
+# in-window permanently. Round-8 rotation: with 83 registered and 33
 # outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
 # of those back through the window and slice q33–q39 + q43–q52 out
 # (every one of them driver-green in r6/r7); every query
-# driver-checked at least every other round; q61–q74 hold the head
+# driver-checked at least every other round; q61–q75 hold the head
 # until they earn a first driver row.
 QUERIES = {
     "sax_positions": sax_positions,
@@ -4203,6 +4280,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q75_html_media_decode": q75_html_media_decode,
     "q74_gif_decode_stats": q74_gif_decode_stats,
     "q73_wav_decode_stats": q73_wav_decode_stats,
     "q72_png_decode_stats": q72_png_decode_stats,
@@ -4354,6 +4432,7 @@ ORACLES = {
     "q72_png_decode_stats": q72_sql(),
     "q73_wav_decode_stats": q73_sql(),
     "q74_gif_decode_stats": q74_sql(),
+    "q75_html_media_decode": q72_sql(),  # same closed forms, different plan
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -175,3 +175,27 @@ def build_gif(doc_id: int, k: int) -> bytes:
     _w, _h, n = gif_geometry(doc_id, k)
     frames = [gif_frame_indices(doc_id, k, f) for f in range(n)]
     return encode_gif(frames, _PNG_PALETTE, interlace_odd_frames=True)
+
+
+# ---------------------------------------------------------------------------
+# HTML media-page twin (q75) — pages whose <img> tags carry the PNG
+# corpus as data: URIs, so the SAX tier (attribute events) chains into
+# the codec tier (base64 → decode) with a closed-form oracle. The
+# script src and the plain link are DECOYS the query must filter out.
+
+
+def build_media_page(doc_id: int, n_imgs: int) -> bytes:
+    """One HTML page with ``n_imgs`` data-URI PNG images (imagegen
+    closed forms) plus non-media src/href decoys."""
+    import base64  # noqa: PLC0415
+
+    parts = [
+        '<html><head><script src="app.js">var x = 1;</script>'
+        "<title>m</title></head><body><nav>"
+        '<a href="/about">about</a></nav>'
+    ]
+    for k in range(n_imgs):
+        b64 = base64.b64encode(build_png(doc_id, k)).decode("ascii")
+        parts.append(f'<img src="data:image/png;base64,{b64}" alt="i{k}"/>')
+    parts.append("<p>media page</p></body></html>")
+    return "".join(parts).encode("utf-8")

@@ -398,3 +398,21 @@ def test_q69_canonical_cluster_no_join(spark):
     hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert len(hash_ex) == 2 and "canonical" in hash_ex, plan[:3000]
     assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial agg
+
+
+def test_q75_html_media_chain_plan(spark):
+    """The HTML→media chain shuffles exactly twice (the explicit
+    repartition + the per-doc img_idx window), never joins, and keeps
+    base64 JVM-side: exactly one window-scoped hashpartitioning on
+    doc_id, unbase64 fused into the scan-side projection rather than a
+    separate Python stage."""
+    from sax_wasm_spark.plans.queries import q75_html_media_decode
+
+    plan = plan_of(q75_html_media_decode(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(doc_id", plan)
+    assert len(hash_ex) == 1, plan[:3000]
+    assert "unbase64" in plan, plan[:3000]  # JVM expression, not a UDF
+    # three Python stages exactly: page twin, tokenize kernel, decode
+    py_stages = re.findall(r"\(\d+\) MapIn(?:Pandas|Arrow)", plan)
+    assert len(py_stages) == 3, plan[:3000]
