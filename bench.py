@@ -86,6 +86,7 @@ HEADLINE = [
     "q45_sequence_pack",
     "q63_paragraph_dedup",
     "q64_extract_non_utf8",
+    "q75_html_media_decode",
     "sax_text_events",
     "sax_extract_roundtrip",
     "pdf_extract_roundtrip",
