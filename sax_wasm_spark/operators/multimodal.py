@@ -119,6 +119,13 @@ def _real_decode(kind: str, data: bytes):
             img = decode_jpeg_rgb(data)
         except JpegError as e:
             raise ValueError(f"jpeg: {e}") from e
+    if kind == "image" and data[:2] == b"BM":
+        from ..kernel.dibcodec import BmpError, decode_bmp  # noqa: PLC0415
+
+        try:
+            img = decode_bmp(data)
+        except BmpError as e:
+            raise ValueError(f"bmp: {e}") from e
     if img is not None:
         luma = img.planes.astype(np.float64).mean(axis=2)
         h2, w2 = max(img.height // 2, 1), max(img.width // 2, 1)
@@ -475,17 +482,18 @@ def decode_image_stats(
 ) -> DataFrame:
     """Format-sniffing REAL pixel decode over a binary image column —
     JPEG (SOI magic → kernel/jpegcodec), PNG (signature →
-    kernel/pngcodec), and GIF (GIF87a/89a → kernel/gifcodec,
-    multi-frame: stats span every frame, ``n_frames`` reports the
-    count) in one pass, the crawl shape where a media column mixes
-    formats: (id…, format, n_frames, width, height, n_channels,
-    pixel_sum, pixel_min, pixel_max, status). Unknown magics and malformed
-    payloads degrade to ``status='error:…'`` rows with NULL stats;
-    decode is per-row CPU inside Arrow batches, zero shuffle.
-    ``max_pixels`` bounds hostile dimension claims before any
+    kernel/pngcodec), GIF (GIF87a/89a → kernel/gifcodec, multi-frame:
+    stats span every frame, ``n_frames`` reports the count), and BMP
+    (BM magic → kernel/dibcodec) in one pass, the crawl shape where a
+    media column mixes formats: (id…, format, n_frames, width, height,
+    n_channels, pixel_sum, pixel_min, pixel_max, status). Unknown
+    magics and malformed payloads degrade to ``status='error:…'`` rows
+    with NULL stats; decode is per-row CPU inside Arrow batches, zero
+    shuffle. ``max_pixels`` bounds hostile dimension claims before any
     allocation (and bounds the PNG unfilter's Python walk)."""
     import numpy as np  # noqa: PLC0415
 
+    from ..kernel.dibcodec import BMP_MAGIC, decode_bmp  # noqa: PLC0415
     from ..kernel.gifcodec import GIF_MAGICS, decode_gif  # noqa: PLC0415
     from ..kernel.jpegcodec import decode_jpeg  # noqa: PLC0415
     from ..kernel.pngcodec import PNG_SIGNATURE, decode_png  # noqa: PLC0415
@@ -539,6 +547,12 @@ def decode_image_stats(
                             mn = fmn if mn is None else min(mn, fmn)
                             mx = fmx if mx is None else max(mx, fmx)
                         stats = (s, mn, mx)
+                    elif data[:2] == BMP_MAGIC:
+                        fmt = "bmp"
+                        img = decode_bmp(data, max_pixels=max_pixels)
+                        w, h, nc, nf = img.width, img.height, img.n_components, 1
+                        px = img.planes.astype(np.int64)
+                        stats = (int(px.sum()), int(px.min()), int(px.max()))
                     else:
                         raise ValueError("unknown image format")
                     out["format"].append(fmt)
@@ -629,6 +643,109 @@ def decode_audio_stats(
                         "duration_ms", "sample_sum", "sample_min", "sample_max",
                     ):
                         out[col].append(None)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def dhash_planes(planes) -> int:
+    """64-bit difference hash (dHash) of decoded pixels — the
+    perceptual fingerprint behind cross-format image dedup (q76).
+
+    Luma is the integer CHANNEL SUM (any per-pixel affine transform of
+    the samples — uniform brightness shift, channel color cast, a
+    gray palette's 3x expansion — preserves every comparison below, so
+    re-encodes of the same picture across PNG/JPEG/GIF/BMP collide by
+    construction). The 9x8 sample grid averages an equal-size ``s x s``
+    window anchored at ``(r*h//8, c*w//9)`` — equal areas keep the
+    affine invariance exact (a constant offset adds ``b*s*s`` to every
+    cell), integer sums keep it deterministic. Bit ``i = 8*r + c`` is
+    ``cell(r,c) > cell(r,c+1)`` packed MSB-first."""
+    import numpy as np  # noqa: PLC0415
+
+    luma = planes.astype(np.int64)
+    if luma.ndim == 3:
+        luma = luma.sum(axis=2)
+    h, w = luma.shape
+    s = max(min(h // 8, w // 9), 1)
+    cells = np.empty((8, 9), dtype=np.int64)
+    for r in range(8):
+        y0 = min(r * h // 8, h - s) if h >= s else 0
+        for c in range(9):
+            x0 = min(c * w // 9, w - s) if w >= s else 0
+            cells[r, c] = int(luma[y0 : y0 + s, x0 : x0 + s].sum())
+    bits = cells[:, :8] > cells[:, 1:]
+    out = 0
+    for d in bits.reshape(-1):
+        out = (out << 1) | int(d)
+    return out
+
+
+def perceptual_hash_images(
+    df: DataFrame,
+    media_col: str = "img",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+    max_pixels: int = 1 << 22,
+) -> DataFrame:
+    """Format-sniffing decode → 64-bit dHash over a binary image
+    column: (id…, format, phash, status). ``phash`` is the 16-hex-char
+    fingerprint (string — sidesteps signed-64 pitfalls in SQL mirrors
+    and sorts lexicographically = numerically); GIF hashes its FIRST
+    frame (the poster frame). Unknown magics / malformed payloads
+    degrade to ``status='error:…'`` with NULL hash. Per-row CPU inside
+    Arrow batches, zero shuffle — the grouping that turns fingerprints
+    into duplicate clusters is ONE hash aggregation downstream."""
+    from ..kernel.dibcodec import BMP_MAGIC, decode_bmp  # noqa: PLC0415
+    from ..kernel.gifcodec import GIF_MAGICS, decode_gif  # noqa: PLC0415
+    from ..kernel.jpegcodec import decode_jpeg  # noqa: PLC0415
+    from ..kernel.pngcodec import PNG_SIGNATURE, decode_png  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields)
+        + [
+            StructField("format", StringType(), True),
+            StructField("phash", StringType(), True),
+            StructField("status", StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[row])
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                fmt = None
+                try:
+                    if data.startswith(PNG_SIGNATURE):
+                        fmt = "png"
+                        planes = decode_png(data, max_pixels=max_pixels).planes
+                    elif data[:2] == b"\xff\xd8":
+                        fmt = "jpeg"
+                        planes = decode_jpeg(data, max_pixels=max_pixels).planes
+                    elif data[:6] in GIF_MAGICS:
+                        fmt = "gif"
+                        planes = decode_gif(data, max_pixels=max_pixels).frames[0].planes
+                    elif data[:2] == BMP_MAGIC:
+                        fmt = "bmp"
+                        planes = decode_bmp(data, max_pixels=max_pixels).planes
+                    else:
+                        raise ValueError("unknown image format")
+                    out["format"].append(fmt)
+                    out["phash"].append(f"{dhash_planes(planes):016x}")
+                    out["status"].append("ok")
+                except ValueError as e:  # all codec errors subclass it
+                    out["format"].append(fmt)
+                    out["phash"].append(None)
                     out["status"].append(f"error:{e}")
             yield pd.DataFrame(out)
 

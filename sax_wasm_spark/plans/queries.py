@@ -3550,6 +3550,90 @@ def q70_sql():
     """
 
 
+def q76_image_phash_dedup(spark, sf_dir):
+    """Cross-format perceptual image dedup — the crawl-scale near-dup
+    operator the exact content-hash can't be: every document's picture
+    ships as FOUR renditions that differ by container format and a
+    per-pixel affine transform (PNG grayscale; JPEG with a brightness
+    shift; GIF through a gray palette; BMP with a channel color cast —
+    sources/imagegen phash forms), the sniffing decoder recovers the
+    pixels, and the 64-bit dHash (operators/multimodal.dhash_planes —
+    equal-area 9x8 sample grid, channel-sum luma, neighbor
+    comparisons) collides across all of them BY CONSTRUCTION while a
+    genuinely different picture (every third doc's BMP carries the
+    flipped bit pattern) lands in its own cluster. The oracle computes
+    the exact hash in pure SQL from the writer's bit closed form, so
+    the whole decode→hash→cluster chain hash-fails on any drift.
+    Plan: per-row CPU decode inside Arrow batches, then ONE hash
+    aggregation on the fingerprint — the 100-TB image-dedup shape
+    (4 renditions/doc here; the same plan dedups billions of images
+    because the shuffle carries only 16-byte fingerprints)."""
+    from ..operators.multimodal import perceptual_hash_images  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.imagegen import build_phash_rendition  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "rend_idx": [], "img": []}
+            for did in pdf["doc_id"]:
+                for r in range(4):
+                    out["doc_id"].append(int(did))
+                    out["rend_idx"].append(r)
+                    out["img"].append(build_phash_rendition(int(did), r))
+            yield pd.DataFrame(out)
+
+    imgs = d.select("doc_id").mapInPandas(
+        render, schema="doc_id long, rend_idx int, img binary"
+    )
+    hashes = perceptual_hash_images(imgs, media_col="img", id_cols=("doc_id", "rend_idx"))
+    return (
+        hashes.where(F.col("status") == "ok")
+        .groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.array_join(F.array_sort(F.collect_set("format")), ",").alias("formats"),
+        )
+        .select("phash", "doc_id", "n_copies", "formats")
+        .orderBy("doc_id", "phash")
+    )
+
+
+def q76_sql():
+    # mirrors the imagegen phash closed forms: hash words from doc_id,
+    # main cluster = renditions {png,jpeg,gif} (+bmp unless doc%3==0),
+    # flipped-bit bmp singleton for every third doc.
+    return """
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 AS lo32,
+             (doc_id * 40503 + 2739110765) % 4294967296 AS hi32
+      FROM documents
+    ), clusters AS (
+      SELECT doc_id,
+             printf('%08x%08x', hi32, lo32) AS phash,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END AS BIGINT) AS n_copies,
+             CASE WHEN doc_id % 3 = 0 THEN 'gif,jpeg,png'
+                  ELSE 'bmp,gif,jpeg,png' END AS formats
+      FROM h
+      UNION ALL
+      SELECT doc_id,
+             printf('%08x%08x', xor(hi32, 4294967295), xor(lo32, 4294967295)) AS phash,
+             CAST(1 AS BIGINT) AS n_copies,
+             'bmp' AS formats
+      FROM h WHERE doc_id % 3 = 0
+    )
+    SELECT phash, doc_id, n_copies, formats
+    FROM clusters ORDER BY doc_id, phash
+    """
+
+
 def q75_html_media_decode(spark, sf_dir):
     """The SAX tier chained into the codec tier — the web-scale media
     extraction shape end to end: pages carry ``1 + doc_id % 4``
@@ -4265,11 +4349,11 @@ def q44_sql():
 # tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
 # late-round additions — all driver-green in r6 and mirror-checked at
 # both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 rotation: with 83 registered and 33
+# in-window permanently. Round-8 rotation: with 84 registered and 34
 # outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
 # of those back through the window and slice q33–q39 + q43–q52 out
 # (every one of them driver-green in r6/r7); every query
-# driver-checked at least every other round; q61–q75 hold the head
+# driver-checked at least every other round; q61–q76 hold the head
 # until they earn a first driver row.
 QUERIES = {
     "sax_positions": sax_positions,
@@ -4280,6 +4364,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q76_image_phash_dedup": q76_image_phash_dedup,
     "q75_html_media_decode": q75_html_media_decode,
     "q74_gif_decode_stats": q74_gif_decode_stats,
     "q73_wav_decode_stats": q73_wav_decode_stats,
@@ -4433,6 +4518,7 @@ ORACLES = {
     "q73_wav_decode_stats": q73_sql(),
     "q74_gif_decode_stats": q74_sql(),
     "q75_html_media_decode": q72_sql(),  # same closed forms, different plan
+    "q76_image_phash_dedup": q76_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -199,3 +199,102 @@ def build_media_page(doc_id: int, n_imgs: int) -> bytes:
         parts.append(f'<img src="data:image/png;base64,{b64}" alt="i{k}"/>')
     parts.append("<p>media page</p></body></html>")
     return "".join(parts).encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-dedup corpus twin (q76) — per document, FOUR renditions of
+# the SAME picture that differ only by container format and a per-pixel
+# AFFINE transform (the changes a crawl actually shows: re-encode,
+# brightness shift, color cast, palette expansion), so the dHash
+# (operators/multimodal.dhash_planes) collides across all of them BY
+# MATHEMATICAL CONSTRUCTION, and the oracle computes the exact 64-bit
+# hash in pure SQL:
+#
+#   lo32 = (doc_id * 2654435761)       % 2^32     (odd multiplier →
+#   hi32 = (doc_id * 40503 + 2739110765) % 2^32    injective, doc-unique)
+#   phash = '%08x%08x' % (hi32, lo32)
+#
+# The picture realizes those bits directly: the 8x9 dHash sample grid
+# is materialized as uniform cells (cell_w = 8*(1+(doc_id+r)%3),
+# cell_h = 8*(1+(2*doc_id+r)%2) — multiples of 8 so the JPEG rendition
+# is 8x8-block-constant and round-trips bit-exactly), and each row's
+# nine cell values walk from 128 by ±8 per desired comparison bit
+# (bit i = cell > next-cell), staying in [64, 192] so every affine
+# rendition fits in uint8 without clipping:
+#
+#   r=0  PNG  grayscale, v
+#   r=1  JPEG grayscale, v + (1 + doc_id % 15)        (brightness)
+#   r=2  GIF  gray palette i→(i,i,i), index v         (3x luma scale)
+#   r=3  BMP  truecolor (v+a, v+b, v+c), a,b,c = doc_id % 3/5/7 (cast)
+#
+# Docs with doc_id % 3 == 0 get a DIFFERENT picture as rendition 3
+# (all 64 bits flipped → phash = '%08x%08x' % (~hi32, ~lo32)), so the
+# cluster structure is: one 4-member (or 3-member) cross-format
+# cluster per doc, plus a singleton bmp cluster for every third doc.
+
+
+def phash_bits(doc_id: int, flip: bool = False) -> list[int]:
+    """The 64 dHash comparison bits (bit i = 8*r + c, MSB-first)."""
+    lo32 = (doc_id * 2654435761) % (1 << 32)
+    hi32 = (doc_id * 40503 + 2739110765) % (1 << 32)
+    if flip:
+        lo32 ^= 0xFFFFFFFF
+        hi32 ^= 0xFFFFFFFF
+    word = (hi32 << 32) | lo32
+    return [(word >> (63 - i)) & 1 for i in range(64)]
+
+
+def phash_hex(doc_id: int, flip: bool = False) -> str:
+    """The closed-form dHash hex string the oracle computes in SQL."""
+    bits = phash_bits(doc_id, flip)
+    word = 0
+    for d in bits:
+        word = (word << 1) | d
+    return f"{word:016x}"
+
+
+def phash_base_cells(doc_id: int, flip: bool = False) -> np.ndarray:
+    """(8, 9) uint8 cell values realizing the bit pattern: each row
+    walks from 128, -8 when the comparison bit is 1 else +8."""
+    bits = phash_bits(doc_id, flip)
+    cells = np.empty((8, 9), dtype=np.uint8)
+    for r in range(8):
+        v = 128
+        cells[r, 0] = v
+        for c in range(8):
+            v = v - 8 if bits[8 * r + c] else v + 8
+            cells[r, c + 1] = v
+    return cells
+
+
+def phash_geometry(doc_id: int, r: int) -> tuple[int, int]:
+    """(cell_w, cell_h) for rendition ``r`` — multiples of 8 so the
+    JPEG rendition stays block-constant (lossless contract)."""
+    return 8 * (1 + (doc_id + r) % 3), 8 * (1 + (2 * doc_id + r) % 2)
+
+
+_PHASH_GRAY_PALETTE = np.repeat(
+    np.arange(256, dtype=np.uint8).reshape(-1, 1), 3, axis=1
+)
+
+
+def build_phash_rendition(doc_id: int, r: int) -> bytes:
+    """Rendition ``r`` (0..3) of ``doc_id``'s picture — the writer twin."""
+    flip = r == 3 and doc_id % 3 == 0
+    cells = phash_base_cells(doc_id, flip)
+    cw, ch = phash_geometry(doc_id, r)
+    base = np.repeat(np.repeat(cells, ch, axis=0), cw, axis=1)
+    if r == 0:
+        return encode_png(base)
+    if r == 1:
+        delta = 1 + doc_id % 15
+        return encode_jpeg(base + np.uint8(delta), subsampling="444")
+    if r == 2:
+        return encode_gif([base], _PHASH_GRAY_PALETTE)
+    from ..kernel.dibcodec import encode_bmp  # noqa: PLC0415
+
+    a, b, c = doc_id % 3, doc_id % 5, doc_id % 7
+    rgb = np.stack(
+        [base + np.uint8(a), base + np.uint8(b), base + np.uint8(c)], axis=2
+    )
+    return encode_bmp(rgb)

@@ -400,6 +400,22 @@ def test_q69_canonical_cluster_no_join(spark):
     assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial agg
 
 
+def test_q76_phash_dedup_plan(spark):
+    """Perceptual image dedup never joins and shuffles only 16-byte
+    fingerprints: decode+hash are per-row Python stages upstream, then
+    exactly ONE hashpartitioning on phash with a map-side partial
+    aggregate — the shape that dedups billions of images because the
+    exchange never carries pixels."""
+    from sax_wasm_spark.plans.queries import q76_image_phash_dedup
+
+    plan = plan_of(q76_image_phash_dedup(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hash_ex.count("phash") == 1, plan[:3000]
+    assert all(k == "phash" for k in hash_ex), plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial agg
+
+
 def test_q75_html_media_chain_plan(spark):
     """The HTML→media chain shuffles exactly twice (the explicit
     repartition + the per-doc img_idx window), never joins, and keeps
