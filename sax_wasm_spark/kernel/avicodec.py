@@ -1,0 +1,215 @@
+"""AVI video codec — from-scratch encode + decode of uncompressed
+RIFF/AVI (the 'vids'/'DIB ' stream shape: BI_RGB 24-bit bottom-up
+frames in ``00db`` movi chunks), completing the multimodal tier's
+video leg for REAL: true frame count, dimensions, frame rate and
+duration, plus bit-exact pixels for every frame — so frame sampling
+(operators/multimodal.sample_frames's real sampler) and per-clip pixel
+statistics (q77) run on decoded video, not stubs.
+
+The frame payload layout (bottom-up BGR rows padded to 4 bytes) is the
+BMP pixel section — kernel/dibcodec.py's pack/unpack helpers are the
+single source of truth for both containers. External video libraries
+(ffmpeg/PyAV) are absent in this environment; compressed codecs
+(MJPG/H.264) raise typed errors naming the handler — the designed
+degradation, same policy as the image tier. The reference repo has no
+media surface at all (sax-wasm is an XML tokenizer,
+``/root/reference/src/sax/parser.rs:1``); this tier belongs to the
+assignment's multimodal/training-data scope.
+
+Design constraints, same policy as the other codecs:
+
+- **Per-row CPU work, zero shuffle** — operators run it inside
+  mapInPandas/mapInArrow batches; nothing here touches Spark.
+- **Hostile-input budget**: claimed dimensions and frame counts are
+  validated against ``max_pixels`` / ``max_frames`` and the actual
+  payload size BEFORE any allocation; every malformed structure raises
+  a typed ``AviError`` so poison payloads degrade to
+  ``status='error:*'`` rows.
+- **Exactness**: BI_RGB is uncompressed — decode is bit-exact, so
+  closed-form frame corpora (sources/videogen.py) oracle directly.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from .dibcodec import dib_row_stride, pack_dib_rows, unpack_dib_rows
+
+
+class AviError(ValueError):
+    """Typed failure for malformed/unsupported AVI payloads — callers
+    map it to an ``error:*`` status row, never a crash or straggler."""
+
+
+_AVIH = struct.Struct("<14I")  # MainAVIHeader (56 bytes)
+_STRH = struct.Struct("<4s4sIHHIIIIIIiI4H")  # AVIStreamHeader (56 bytes)
+_BMIH = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER (40 bytes)
+
+
+@dataclass
+class AviClip:
+    """Decoded frames plus the stream facts a pipeline routes on."""
+
+    frames: list  # [(h, w, 3) uint8 RGB]
+    width: int
+    height: int
+    n_frames: int
+    rate: int  # frames-per-second numerator (dwRate)
+    scale: int  # denominator (dwScale): fps = rate / scale
+
+    @property
+    def duration_ms(self) -> int:
+        return self.n_frames * 1000 * self.scale // self.rate
+
+
+def _chunks(data: bytes, start: int, end: int):
+    """Walk RIFF chunks in data[start:end] → (fourcc, body_start,
+    body_size); tolerates the odd-size pad byte."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise AviError(f"chunk {fourcc!r} overruns container")
+        yield fourcc, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi(
+    data: bytes, max_pixels: int = 1 << 22, max_frames: int = 1 << 10
+) -> AviClip:
+    """Decode an uncompressed ('DIB '/BI_RGB 24-bit) AVI → RGB frames.
+    Typed ``AviError`` for compressed video, missing headers, hostile
+    dimensions, or truncated frames."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise AviError("not an AVI (missing RIFF/AVI magic)")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(8 + riff_size, len(data))
+
+    width = height = None
+    rate = scale = None
+    bits = compression = None
+    total_frames = None
+    frames: list[np.ndarray] = []
+
+    def walk_list(start: int, stop: int):
+        nonlocal width, height, rate, scale, bits, compression, total_frames
+        for fourcc, body, size in _chunks(data, start, stop):
+            if fourcc == b"LIST":
+                walk_list(body + 4, body + size)  # skip the list type tag
+            elif fourcc == b"avih":
+                if size < _AVIH.size:
+                    raise AviError("avih truncated")
+                fields = _AVIH.unpack_from(data, body)
+                total_frames = fields[4]
+            elif fourcc == b"strh":
+                if size < 48:
+                    raise AviError("strh truncated")
+                fcc_type = data[body : body + 4]
+                if fcc_type == b"vids":
+                    d_scale, d_rate = struct.unpack_from("<II", data, body + 20)
+                    scale, rate = d_scale or 1, d_rate or 1
+            elif fourcc == b"strf" and bits is None:
+                if size < _BMIH.size:
+                    raise AviError("strf truncated")
+                (
+                    _hsz, w, h, _planes, bbits, comp,
+                    _isz, _xp, _yp, _ncol, _nimp,
+                ) = _BMIH.unpack_from(data, body)
+                width, height, bits, compression = w, abs(h), bbits, comp
+
+    # header pass: everything before/after movi except frame chunks
+    movi_spans: list[tuple[int, int]] = []
+    for fourcc, body, size in _chunks(data, 12, end):
+        if fourcc == b"LIST" and data[body : body + 4] == b"movi":
+            movi_spans.append((body + 4, body + size))
+        elif fourcc == b"LIST":
+            walk_list(body + 4, body + size)
+        elif fourcc in (b"avih", b"strh", b"strf"):
+            walk_list(body - 8, body + size)
+    if width is None or bits is None:
+        raise AviError("missing strf video format header")
+    if rate is None:
+        raise AviError("missing vids stream header")
+    if compression != 0:
+        tag = struct.pack("<I", compression)
+        raise AviError(f"unsupported compression {tag!r} (BI_RGB only)")
+    if bits != 24:
+        raise AviError(f"unsupported bit depth {bits} (24-bit only)")
+    if width <= 0 or height <= 0:
+        raise AviError(f"bad dimensions {width}x{height}")
+    if width * height > max_pixels:
+        raise AviError(f"{width}x{height} exceeds max_pixels={max_pixels}")
+    if not movi_spans:
+        raise AviError("missing movi list")
+
+    frame_bytes = dib_row_stride(width, 24) * height
+    for span_start, span_end in movi_spans:
+        for fourcc, body, size in _chunks(data, span_start, span_end):
+            if fourcc[2:4] in (b"db", b"dc"):
+                if len(frames) >= max_frames:
+                    raise AviError(f"more than max_frames={max_frames} frames")
+                if size < frame_bytes:
+                    raise AviError(
+                        f"frame {len(frames)} truncated: {size} < {frame_bytes}"
+                    )
+                frames.append(
+                    unpack_dib_rows(data[body : body + size], width, height)
+                )
+    if not frames:
+        raise AviError("no video frames in movi")
+    if total_frames is not None and total_frames != len(frames):
+        raise AviError(
+            f"avih declares {total_frames} frames, movi has {len(frames)}"
+        )
+    return AviClip(frames, width, height, len(frames), rate, scale)
+
+
+def encode_avi(
+    frames: list[np.ndarray], rate: int = 1000, scale: int = 40
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frames as a minimal uncompressed AVI
+    — the writer twin. ``fps = rate / scale``; every frame must share
+    one geometry."""
+    if not frames:
+        raise AviError("need at least one frame")
+    first = np.asarray(frames[0], dtype=np.uint8)
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise AviError("frames must be (h, w, 3) RGB")
+    h, w = first.shape[:2]
+    payloads = []
+    for f in frames:
+        f = np.asarray(f, dtype=np.uint8)
+        if f.shape != first.shape:
+            raise AviError("all frames must share one geometry")
+        payloads.append(pack_dib_rows(f))
+    frame_bytes = len(payloads[0])
+    usec_per_frame = 1_000_000 * scale // rate
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = _AVIH.pack(
+        usec_per_frame, frame_bytes * rate // scale, 0, 0,
+        len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = _STRH.pack(
+        b"vids", b"DIB ", 0, 0, 0, 0, scale, rate, 0,
+        len(frames), frame_bytes, -1, 0, 0, 0, w, h,
+    )
+    strf = _BMIH.pack(_BMIH.size, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

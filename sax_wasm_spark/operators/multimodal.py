@@ -142,10 +142,33 @@ def _real_decode(kind: str, data: bytes):
             else 0.0,
         ]
         return img.width, img.height, None, feature
+    if kind == "video" and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..kernel.avicodec import AviError, decode_avi  # noqa: PLC0415
+
+        try:
+            clip = decode_avi(data)
+        except AviError as e:
+            raise ValueError(f"avi: {e}") from e
+        luma = clip.frames[0].astype(np.float64).mean(axis=2)
+        h2, w2 = max(clip.height // 2, 1), max(clip.width // 2, 1)
+        feature = [
+            float(luma.mean() / 255.0 - 0.5),
+            float(luma.std() / 255.0 - 0.5),
+            float(luma.min() / 255.0 - 0.5),
+            float(luma.max() / 255.0 - 0.5),
+            float(luma[:h2, :w2].mean() / 255.0 - 0.5),
+            float(luma[:h2, w2:].mean() / 255.0 - 0.5) if clip.width > 1 else 0.0,
+            float(luma[h2:, :w2].mean() / 255.0 - 0.5) if clip.height > 1 else 0.0,
+            float(luma[h2:, w2:].mean() / 255.0 - 0.5)
+            if clip.width > 1 and clip.height > 1
+            else 0.0,
+        ]
+        return clip.width, clip.height, clip.duration_ms, feature
     # codec integration point for everything else (Pillow / ffmpeg /
     # torchaudio are not available in this environment)
     raise NotImplementedError(
-        f"decoding {kind} media beyond JPEG/PNG/PCM-WAV requires external codecs"
+        f"decoding {kind} media beyond JPEG/PNG/GIF/BMP, PCM-WAV, and "
+        "uncompressed AVI requires external codecs"
     )
 
 
@@ -647,6 +670,111 @@ def decode_audio_stats(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def render_avi_column(
+    df: DataFrame, id_col: str = "doc_id", n_col: str = "n_clips"
+) -> DataFrame:
+    """AVI writer twin: (id, n) → (id, img_idx, avi:binary)."""
+    return _render_media_column(df, id_col, n_col, "avi", "videogen:build_avi")
+
+
+VIDEO_STATS_SCHEMA_TAIL = [
+    StructField("n_frames", IntegerType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("pixel_sum", LongType(), True),
+    StructField("pixel_min", IntegerType(), True),
+    StructField("pixel_max", IntegerType(), True),
+    StructField("status", StringType(), False),
+]
+
+
+def decode_video_stats(
+    df: DataFrame,
+    media_col: str = "avi",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+    max_pixels: int = 1 << 22,
+    max_frames: int = 1 << 10,
+) -> DataFrame:
+    """REAL video decode over a binary AVI column → per-clip facts and
+    pixel statistics spanning EVERY frame: (id…, n_frames, width,
+    height, duration_ms, pixel_sum, pixel_min, pixel_max, status).
+    Uncompressed BI_RGB is lossless so deterministic corpora oracle
+    bit-exactly (q77); compressed/malformed payloads degrade to
+    ``status='error:…'`` rows with NULL stats — the straggler/poison
+    budget, same policy as the image tier. Per-row CPU inside Arrow
+    batches, zero shuffle; ``max_pixels``/``max_frames`` bound hostile
+    claims before allocation."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..kernel.avicodec import AviError, decode_avi  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(list(id_fields) + VIDEO_STATS_SCHEMA_TAIL)
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[row])
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    clip = decode_avi(
+                        data, max_pixels=max_pixels, max_frames=max_frames
+                    )
+                    s = mn = mx = None
+                    for fr in clip.frames:  # stats span ALL frames
+                        px = fr.astype(np.int64)
+                        s = (s or 0) + int(px.sum())
+                        fmn, fmx = int(px.min()), int(px.max())
+                        mn = fmn if mn is None else min(mn, fmn)
+                        mx = fmx if mx is None else max(mx, fmx)
+                    out["n_frames"].append(clip.n_frames)
+                    out["width"].append(clip.width)
+                    out["height"].append(clip.height)
+                    out["duration_ms"].append(clip.duration_ms)
+                    out["pixel_sum"].append(s)
+                    out["pixel_min"].append(mn)
+                    out["pixel_max"].append(mx)
+                    out["status"].append("ok")
+                except AviError as e:
+                    for col in (
+                        "n_frames", "width", "height", "duration_ms",
+                        "pixel_sum", "pixel_min", "pixel_max",
+                    ):
+                        out[col].append(None)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def avi_frame_sampler(data: bytes, n: int):
+    """REAL frame sampler for ``sample_frames`` — decodes the AVI and
+    returns ``n`` evenly-spaced frames re-encoded as lossless PNGs
+    with their true timestamps (module-level so Spark can pickle it).
+    The env-blocked ffmpeg integration point is no longer the only
+    video path: uncompressed AVI samples for real."""
+    from ..kernel.avicodec import decode_avi  # noqa: PLC0415
+    from ..kernel.pngcodec import encode_png  # noqa: PLC0415
+
+    clip = decode_avi(data)
+    frame_ms = 1000 * clip.scale // clip.rate
+    picks = (
+        [i * (clip.n_frames - 1) // (n - 1) for i in range(n)]
+        if n > 1
+        else [0]
+    )
+    return [(p * frame_ms, encode_png(clip.frames[p])) for p in picks]
 
 
 def dhash_planes(planes) -> int:

@@ -3550,6 +3550,86 @@ def q70_sql():
     """
 
 
+def q77_video_decode_stats(spark, sf_dir):
+    """REAL video decode — the multimodal tier's video leg made real:
+    ``1 + doc_id % 3`` uncompressed AVI clips per document are ENCODED
+    by the writer twin (sources/videogen closed forms: per-frame
+    8x8-block RGB grids, rate 1000 / scale 40+8*((doc_id+k)%5) so
+    frame duration is exactly ``scale`` ms) and decoded back by the
+    from-scratch RIFF/AVI codec (kernel/avicodec.py — header walk,
+    BI_RGB '00db' frame chunks through the shared DIB row layout).
+    BI_RGB is lossless, so the oracle computes frame count, geometry,
+    duration and every-frame pixel statistics in pure SQL. Zero
+    shuffle, per-row CPU inside Arrow batches — the 100-TB video
+    feature-extraction shape (real frame SAMPLING over the same codec
+    is sample_frames' avi_frame_sampler, pinned in tests)."""
+    from ..operators.multimodal import (  # noqa: PLC0415
+        decode_video_stats,
+        render_avi_column,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", (1 + F.col("doc_id") % 3).cast("int").alias("n_clips")
+    )
+    clips = render_avi_column(src, id_col="doc_id", n_col="n_clips")
+    stats = decode_video_stats(clips, media_col="avi", id_cols=("doc_id", "img_idx"))
+    return stats.select(
+        "doc_id",
+        F.col("img_idx").cast("int").alias("clip_idx"),
+        "n_frames",
+        "width",
+        "height",
+        "duration_ms",
+        "pixel_sum",
+        "pixel_min",
+        "pixel_max",
+        "status",
+    ).orderBy("doc_id", "clip_idx")
+
+
+def q77_sql():
+    # mirrors the videogen closed forms: per-frame 8x8-block RGB grids,
+    # duration_ms = n_frames * scale exactly (rate is 1000).
+    return """
+    WITH clips AS (
+      SELECT d.doc_id, k.range AS k
+      FROM documents d, range(3) k
+      WHERE k.range < 1 + d.doc_id % 3
+    ), geom AS (
+      SELECT doc_id, k,
+             8 * (2 + (doc_id + 7*k) % 5) AS width,
+             8 * (1 + (2*doc_id + 11*k) % 5) AS height,
+             1 + (doc_id + k) % 3 AS n_frames,
+             40 + 8 * ((doc_id + k) % 5) AS scale
+      FROM clips
+    ), cells AS (
+      SELECT g.doc_id, g.k, g.width, g.height, g.n_frames, g.scale,
+             (g.doc_id + 31*g.k + 41*f.range + 7*bx.range + 13*by.range
+              + 97*c.range) % 256 AS v
+      FROM geom g, range(3) f, range(6) bx, range(6) by, range(3) c
+      WHERE f.range < g.n_frames
+        AND bx.range < g.width // 8
+        AND by.range < g.height // 8
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS clip_idx,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(n_frames * scale AS INTEGER) AS duration_ms,
+           CAST(SUM(v * 64) AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INTEGER) AS pixel_min,
+           CAST(MAX(v) AS INTEGER) AS pixel_max,
+           'ok' AS status
+    FROM cells
+    GROUP BY doc_id, k, width, height, n_frames, scale
+    ORDER BY doc_id, clip_idx
+    """
+
+
 def q76_image_phash_dedup(spark, sf_dir):
     """Cross-format perceptual image dedup — the crawl-scale near-dup
     operator the exact content-hash can't be: every document's picture
@@ -4364,6 +4444,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q77_video_decode_stats": q77_video_decode_stats,
     "q76_image_phash_dedup": q76_image_phash_dedup,
     "q75_html_media_decode": q75_html_media_decode,
     "q74_gif_decode_stats": q74_gif_decode_stats,
@@ -4519,6 +4600,7 @@ ORACLES = {
     "q74_gif_decode_stats": q74_sql(),
     "q75_html_media_decode": q72_sql(),  # same closed forms, different plan
     "q76_image_phash_dedup": q76_sql(),
+    "q77_video_decode_stats": q77_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),
