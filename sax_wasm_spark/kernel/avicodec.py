@@ -1,17 +1,22 @@
-"""AVI video codec — from-scratch encode + decode of uncompressed
-RIFF/AVI (the 'vids'/'DIB ' stream shape: BI_RGB 24-bit bottom-up
-frames in ``00db`` movi chunks), completing the multimodal tier's
-video leg for REAL: true frame count, dimensions, frame rate and
-duration, plus bit-exact pixels for every frame — so frame sampling
-(operators/multimodal.sample_frames's real sampler) and per-clip pixel
-statistics (q77) run on decoded video, not stubs.
+"""AVI video codec — from-scratch encode + decode of RIFF/AVI in two
+'vids' stream shapes: uncompressed 'DIB ' (BI_RGB 24-bit bottom-up
+frames in ``00db`` movi chunks) and Motion-JPEG 'MJPG' (each ``00dc``
+chunk a standalone baseline JPEG through kernel/jpegcodec.py),
+completing the multimodal tier's video leg for REAL: true frame count,
+dimensions, frame rate and duration, plus decoded pixels for every
+frame — so frame sampling (operators/multimodal.sample_frames's real
+sampler) and per-clip pixel statistics (q77) run on decoded video, not
+stubs.
 
-The frame payload layout (bottom-up BGR rows padded to 4 bytes) is the
-BMP pixel section — kernel/dibcodec.py's pack/unpack helpers are the
-single source of truth for both containers. External video libraries
-(ffmpeg/PyAV) are absent in this environment; compressed codecs
-(MJPG/H.264) raise typed errors naming the handler — the designed
-degradation, same policy as the image tier. The reference repo has no
+The uncompressed frame payload layout (bottom-up BGR rows padded to 4
+bytes) is the BMP pixel section — kernel/dibcodec.py's pack/unpack
+helpers are the single source of truth for both containers; the MJPG
+leg reuses the from-scratch T.81 codec, so the flat-8x8-block corpus
+closed forms hold bit-exactly across BOTH codecs (all-ones quant,
+RGB-passthrough APP14). External video libraries (ffmpeg/PyAV) are
+absent in this environment; inter-frame codecs (H.264 etc.) raise
+typed errors naming the handler — the designed degradation, same
+policy as the image tier. The reference repo has no
 media surface at all (sax-wasm is an XML tokenizer,
 ``/root/reference/src/sax/parser.rs:1``); this tier belongs to the
 assignment's multimodal/training-data scope.
@@ -37,6 +42,9 @@ from dataclasses import dataclass
 import numpy as np
 
 from .dibcodec import dib_row_stride, pack_dib_rows, unpack_dib_rows
+from .jpegcodec import JpegError, decode_jpeg_rgb, encode_jpeg
+
+_MJPG = 0x47504A4D  # biCompression fourcc 'MJPG' little-endian
 
 
 class AviError(ValueError):
@@ -135,10 +143,10 @@ def decode_avi(
         raise AviError("missing strf video format header")
     if rate is None:
         raise AviError("missing vids stream header")
-    if compression != 0:
+    if compression not in (0, _MJPG):
         tag = struct.pack("<I", compression)
-        raise AviError(f"unsupported compression {tag!r} (BI_RGB only)")
-    if bits != 24:
+        raise AviError(f"unsupported compression {tag!r} (BI_RGB/MJPG only)")
+    if compression == 0 and bits != 24:
         raise AviError(f"unsupported bit depth {bits} (24-bit only)")
     if width <= 0 or height <= 0:
         raise AviError(f"bad dimensions {width}x{height}")
@@ -153,6 +161,29 @@ def decode_avi(
             if fourcc[2:4] in (b"db", b"dc"):
                 if len(frames) >= max_frames:
                     raise AviError(f"more than max_frames={max_frames} frames")
+                if compression == _MJPG:
+                    # Motion-JPEG: each chunk body is a standalone
+                    # baseline JPEG (no inter-frame state by design —
+                    # the seekable/parallel-decode property MJPG is
+                    # chosen for); strf still declares the geometry,
+                    # so a frame that decodes to different dimensions
+                    # is a typed structural error, not silent skew.
+                    try:
+                        img = decode_jpeg_rgb(
+                            data[body : body + size], max_pixels=max_pixels
+                        )
+                    except JpegError as e:
+                        raise AviError(f"frame {len(frames)}: {e}") from e
+                    if (img.width, img.height) != (width, height):
+                        raise AviError(
+                            f"frame {len(frames)} is {img.width}x{img.height},"
+                            f" strf declares {width}x{height}"
+                        )
+                    planes = img.planes
+                    if planes.shape[2] == 1:  # gray MJPG → RGB contract
+                        planes = np.repeat(planes, 3, axis=2)
+                    frames.append(planes)
+                    continue
                 if size < frame_bytes:
                     raise AviError(
                         f"frame {len(frames)} truncated: {size} < {frame_bytes}"
@@ -170,11 +201,19 @@ def decode_avi(
 
 
 def encode_avi(
-    frames: list[np.ndarray], rate: int = 1000, scale: int = 40
+    frames: list[np.ndarray],
+    rate: int = 1000,
+    scale: int = 40,
+    codec: str = "DIB",
 ) -> bytes:
-    """Encode (h, w, 3) uint8 RGB frames as a minimal uncompressed AVI
-    — the writer twin. ``fps = rate / scale``; every frame must share
-    one geometry."""
+    """Encode (h, w, 3) uint8 RGB frames as a minimal AVI — the writer
+    twin. ``fps = rate / scale``; every frame must share one geometry.
+    ``codec``: ``"DIB"`` (uncompressed BI_RGB) or ``"MJPG"`` (each
+    frame a standalone baseline JPEG, RGB-passthrough Adobe APP14 with
+    all-ones quantization, so flat-8x8-block corpora stay bit-exact —
+    the videogen closed forms hold across BOTH codecs)."""
+    if codec not in ("DIB", "MJPG"):
+        raise AviError(f"unsupported encode codec {codec!r}")
     if not frames:
         raise AviError("need at least one frame")
     first = np.asarray(frames[0], dtype=np.uint8)
@@ -186,8 +225,11 @@ def encode_avi(
         f = np.asarray(f, dtype=np.uint8)
         if f.shape != first.shape:
             raise AviError("all frames must share one geometry")
-        payloads.append(pack_dib_rows(f))
-    frame_bytes = len(payloads[0])
+        if codec == "MJPG":
+            payloads.append(encode_jpeg(f, adobe_transform=0))
+        else:
+            payloads.append(pack_dib_rows(f))
+    frame_bytes = max(len(p) for p in payloads)
     usec_per_frame = 1_000_000 * scale // rate
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -201,15 +243,21 @@ def encode_avi(
         usec_per_frame, frame_bytes * rate // scale, 0, 0,
         len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
     )
+    handler = b"MJPG" if codec == "MJPG" else b"DIB "
     strh = _STRH.pack(
-        b"vids", b"DIB ", 0, 0, 0, 0, scale, rate, 0,
+        b"vids", handler, 0, 0, 0, 0, scale, rate, 0,
         len(frames), frame_bytes, -1, 0, 0, 0, w, h,
     )
-    strf = _BMIH.pack(_BMIH.size, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    strf = _BMIH.pack(
+        _BMIH.size, w, h, 1, 24,
+        _MJPG if codec == "MJPG" else 0,
+        frame_bytes, 2835, 2835, 0, 0,
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+    frame_cc = b"00dc" if codec == "MJPG" else b"00db"
+    movi = lst(b"movi", b"".join(chunk(frame_cc, p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -3557,9 +3557,12 @@ def q77_video_decode_stats(spark, sf_dir):
     8x8-block RGB grids, rate 1000 / scale 40+8*((doc_id+k)%5) so
     frame duration is exactly ``scale`` ms) and decoded back by the
     from-scratch RIFF/AVI codec (kernel/avicodec.py — header walk,
-    BI_RGB '00db' frame chunks through the shared DIB row layout).
-    BI_RGB is lossless, so the oracle computes frame count, geometry,
-    duration and every-frame pixel statistics in pure SQL. Zero
+    BI_RGB '00db' frame chunks through the shared DIB row layout, and
+    Motion-JPEG '00dc' frames through the T.81 codec: clips alternate
+    wire codecs by ``(doc_id+k) % 2``). BI_RGB is lossless and the
+    flat-block frames survive MJPG's all-ones-quant DCT bit-exactly,
+    so ONE oracle computes frame count, geometry, duration and
+    every-frame pixel statistics in pure SQL for both codecs. Zero
     shuffle, per-row CPU inside Arrow batches — the 100-TB video
     feature-extraction shape (real frame SAMPLING over the same codec
     is sample_frames' avi_frame_sampler, pinned in tests)."""

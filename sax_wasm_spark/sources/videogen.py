@@ -3,7 +3,10 @@
 Same pattern as the image/audio twins: every byte is a closed form of
 ``(doc_id, k)`` so a DuckDB oracle reproduces the decoded frame
 statistics without touching a single AVI byte. Uncompressed BI_RGB is
-lossless, so the closed forms ARE the decoded pixels.
+lossless, and the flat-8x8-block frames survive the T.81 DCT with
+all-ones quantization bit-exactly, so the closed forms ARE the decoded
+pixels for BOTH wire codecs — clips alternate uncompressed/'MJPG' by
+``(doc_id + k) % 2``.
 
 Closed forms (all arithmetic in integers; % is non-negative):
 
@@ -45,7 +48,13 @@ def avi_frame_pixels(doc_id: int, k: int, f: int) -> np.ndarray:
 
 
 def build_avi(doc_id: int, k: int) -> bytes:
-    """Encode clip ``k`` of ``doc_id`` — the writer twin."""
+    """Encode clip ``k`` of ``doc_id`` — the writer twin. Odd
+    ``doc_id + k`` clips ship as Motion-JPEG, even as uncompressed
+    BI_RGB: the flat-8x8-block frames round-trip bit-exactly through
+    the T.81 codec (all-ones quant, RGB passthrough), so ONE set of
+    closed forms oracles both wire codecs — q77 exercises the MJPG
+    decode path on half the corpus without a second oracle."""
     _w, _h, n, scale = avi_geometry(doc_id, k)
     frames = [avi_frame_pixels(doc_id, k, f) for f in range(n)]
-    return encode_avi(frames, rate=1000, scale=scale)
+    codec = "MJPG" if (doc_id + k) % 2 else "DIB"
+    return encode_avi(frames, rate=1000, scale=scale, codec=codec)

@@ -71,6 +71,75 @@ class TestRoundtrip:
         assert decode_avi(bytes(data)).n_frames == 1
 
 
+class TestMjpg:
+    def test_flat_block_roundtrip_bit_exact(self):
+        """8x8-flat frames survive the T.81 path exactly — the property
+        the videogen closed forms rely on."""
+        frames = [avi_frame_pixels(3, 1, f) for f in range(3)]
+        data = encode_avi(frames, rate=1000, scale=48, codec="MJPG")
+        assert b"MJPG" in data[:120]  # strh handler fourcc on the wire
+        clip = decode_avi(data)
+        assert clip.n_frames == 3
+        for got, want in zip(clip.frames, frames):
+            assert np.array_equal(got, want)
+
+    def test_photographic_lossy_but_decodes(self):
+        frames = _frames(2, 16, 24)
+        clip = decode_avi(encode_avi(frames, codec="MJPG"))
+        assert (clip.width, clip.height, clip.n_frames) == (24, 16, 2)
+        assert clip.frames[0].shape == (16, 24, 3)
+
+    def test_frame_geometry_mismatch_typed(self):
+        """An MJPG frame whose SOF dims disagree with strf is a typed
+        structural error, not silent skew."""
+        from sax_wasm_spark.kernel.jpegcodec import encode_jpeg
+
+        data = bytearray(encode_avi(_frames(1, 8, 8), codec="MJPG"))
+        wrong = encode_jpeg(np.zeros((8, 16, 3), np.uint8), adobe_transform=0)
+        at = data.index(b"00dc")
+        (old_size,) = struct.unpack_from("<I", data, at + 4)
+        rebuilt = (
+            bytes(data[:at])
+            + b"00dc"
+            + struct.pack("<I", len(wrong))
+            + wrong
+            + (b"\x00" if len(wrong) & 1 else b"")
+            + bytes(data[at + 8 + old_size + (old_size & 1) :])
+        )
+        out = bytearray(rebuilt)
+        out[4:8] = struct.pack("<I", len(out) - 8)
+        # fix the enclosing movi LIST size too
+        movi_at = out.index(b"LIST", out.index(b"movi") - 8)
+        struct.pack_into(
+            "<I", out, movi_at + 4, len(out) - movi_at - 8
+        )
+        with pytest.raises(AviError, match="strf declares"):
+            decode_avi(bytes(out))
+
+    def test_poison_jpeg_payload_typed(self):
+        data = bytearray(encode_avi(_frames(1, 8, 8), codec="MJPG"))
+        at = data.index(b"00dc") + 8
+        data[at : at + 2] = b"\x00\x00"  # destroy SOI
+        with pytest.raises(AviError, match="frame 0"):
+            decode_avi(bytes(data))
+
+    def test_bad_codec_name(self):
+        with pytest.raises(AviError, match="encode codec"):
+            encode_avi(_frames(1, 2, 2), codec="H264")
+
+    def test_twin_codec_parity_gate(self):
+        """Odd doc_id+k ships MJPG, even ships DIB — and both decode to
+        the same closed forms."""
+        even, odd = build_avi(2, 0), build_avi(2, 1)
+        assert b"MJPG" not in even and b"MJPG" in odd
+        for doc_id, k in ((2, 0), (2, 1)):
+            clip = decode_avi(build_avi(doc_id, k))
+            for f in range(clip.n_frames):
+                assert np.array_equal(
+                    clip.frames[f], avi_frame_pixels(doc_id, k, f)
+                )
+
+
 class TestNegatives:
     def test_not_avi(self):
         with pytest.raises(AviError, match="RIFF"):
@@ -87,8 +156,8 @@ class TestNegatives:
         data = bytearray(encode_avi(_frames(1, 2, 2)))
         # BITMAPINFOHEADER biCompression sits 16 bytes into strf body
         at = data.index(b"strf") + 8 + 16
-        data[at : at + 4] = b"MJPG"
-        with pytest.raises(AviError, match="MJPG"):
+        data[at : at + 4] = b"H264"
+        with pytest.raises(AviError, match="H264"):
             decode_avi(bytes(data))
 
     def test_bit_depth_rejected(self):

@@ -1341,7 +1341,8 @@ def test_decode_image_stats_mixed_formats(spark):
             rows.append((d, 0, build_jpeg(d, 1)))
         else:
             rows.append((d, 0, build_png(d, 2)))
-    rows.append((100, 0, b"BM bitmap not supported"))
+    rows.append((100, 0, b"BM truncated bitmap"))  # BMP magic, poison body
+    rows.append((101, 0, b"no known magic at all"))
     df = spark.createDataFrame(rows, "doc_id long, img_idx int, img binary")
     got = {r.doc_id: r for r in decode_image_stats(df).collect()}
     for d in range(6):
@@ -1353,7 +1354,9 @@ def test_decode_image_stats_mixed_formats(spark):
             px = png_pixels(d, 2).astype(np.int64)
             assert r.format == "png"
         assert r.status == "ok" and r.pixel_sum == int(px.sum())
-    assert got[100].format is None and got[100].status.startswith("error:")
+    # BM magic sniffs as bmp (the fourth format) but the body poisons
+    assert got[100].format == "bmp" and got[100].status.startswith("error:")
+    assert got[101].format is None and got[101].status.startswith("error:")
 
 
 def test_real_decoder_png_features(spark):
