@@ -67,6 +67,7 @@ class AviClip:
     n_frames: int
     rate: int  # frames-per-second numerator (dwRate)
     scale: int  # denominator (dwScale): fps = rate / scale
+    codec: str = "dib"  # wire codec: 'dib' (BI_RGB) or 'mjpg'
 
     @property
     def duration_ms(self) -> int:
@@ -197,7 +198,10 @@ def decode_avi(
         raise AviError(
             f"avih declares {total_frames} frames, movi has {len(frames)}"
         )
-    return AviClip(frames, width, height, len(frames), rate, scale)
+    return AviClip(
+        frames, width, height, len(frames), rate, scale,
+        "mjpg" if compression == _MJPG else "dib",
+    )
 
 
 def encode_avi(

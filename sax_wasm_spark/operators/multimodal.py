@@ -758,6 +758,68 @@ def decode_video_stats(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def perceptual_hash_videos(
+    df: DataFrame,
+    media_col: str = "avi",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+    max_pixels: int = 1 << 22,
+    max_frames: int = 1 << 10,
+) -> DataFrame:
+    """Decode a binary AVI column → temporal perceptual signature:
+    (id…, codec, n_frames, vhash, status). ``vhash`` is the frame-order
+    concatenation of each decoded frame's 64-bit dHash as 16 hex chars
+    (dhash_planes — invariant to per-pixel affine transforms AND to
+    the wire codec, since MJPG here is bit-exact on block-constant
+    content), so re-encodes of the same clip collide across
+    DIB/MJPG/brightness/color-cast/scale renditions while any frame-
+    content or frame-count change splits. Per-row CPU inside Arrow
+    batches, zero shuffle; malformed payloads degrade to error rows."""
+    from ..kernel.avicodec import AviError, decode_avi  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields)
+        + [
+            StructField("codec", StringType(), True),
+            StructField("n_frames", IntegerType(), True),
+            StructField("vhash", StringType(), True),
+            StructField("status", StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[row])
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    clip = decode_avi(
+                        data, max_pixels=max_pixels, max_frames=max_frames
+                    )
+                    out["codec"].append(clip.codec)
+                    out["n_frames"].append(clip.n_frames)
+                    out["vhash"].append(
+                        "".join(f"{dhash_planes(fr):016x}" for fr in clip.frames)
+                    )
+                    out["status"].append("ok")
+                except AviError as e:
+                    out["codec"].append(None)
+                    out["n_frames"].append(None)
+                    out["vhash"].append(None)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def avi_frame_sampler(data: bytes, n: int):
     """REAL frame sampler for ``sample_frames`` — decodes the AVI and
     returns ``n`` evenly-spaced frames re-encoded as lossless PNGs

@@ -3550,6 +3550,99 @@ def q70_sql():
     """
 
 
+def q78_video_phash_dedup(spark, sf_dir):
+    """Cross-codec perceptual VIDEO dedup — the temporal extension of
+    q76's image dHash: every document's clip ships as FOUR renditions
+    differing by wire codec (uncompressed DIB vs Motion-JPEG), spatial
+    scale, and a per-pixel affine transform (brightness shift / channel
+    color cast — sources/videogen vhash forms); the AVI decoder
+    recovers every frame and the signature — each frame's 64-bit dHash
+    concatenated in frame order — collides across all renditions BY
+    CONSTRUCTION, while every third doc's rendition 3 carries flipped
+    frames (a genuinely different video) and lands in its own cluster.
+    The oracle computes the exact signature in pure SQL from the
+    writer's bit closed forms, so the decode→per-frame-hash→cluster
+    chain hash-fails on any drift. Plan: per-row CPU decode inside
+    Arrow batches, then ONE hash aggregation on the signature — the
+    crawl-scale video-dedup shape (the shuffle carries only short
+    signature strings, never pixels)."""
+    from ..operators.multimodal import perceptual_hash_videos  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.videogen import build_vhash_rendition  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "rend_idx": [], "avi": []}
+            for did in pdf["doc_id"]:
+                for r in range(4):
+                    out["doc_id"].append(int(did))
+                    out["rend_idx"].append(r)
+                    out["avi"].append(build_vhash_rendition(int(did), r))
+            yield pd.DataFrame(out)
+
+    clips = d.select("doc_id").mapInPandas(
+        render, schema="doc_id long, rend_idx int, avi binary"
+    )
+    sigs = perceptual_hash_videos(clips, media_col="avi", id_cols=("doc_id", "rend_idx"))
+    return (
+        sigs.where(F.col("status") == "ok")
+        .groupBy("vhash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_frames").alias("n_frames"),
+            F.count("*").alias("n_copies"),
+            F.array_join(F.array_sort(F.collect_set("codec")), ",").alias("codecs"),
+        )
+        .select("vhash", "doc_id", "n_frames", "n_copies", "codecs")
+        .orderBy("doc_id", "vhash")
+    )
+
+
+def q78_sql():
+    # mirrors the videogen vhash closed forms: per-frame hash words
+    # from (doc_id, f), signature = frame-ordered hex concat; main
+    # cluster = renditions {dib,mjpg} x4 (x3 when doc%3==0, whose
+    # flipped rendition 3 is an mjpg singleton).
+    return """
+    WITH f AS (
+      SELECT d.doc_id, k.range AS f
+      FROM documents d, range(5) k
+      WHERE k.range < 2 + d.doc_id % 3
+    ), words AS (
+      SELECT doc_id, f,
+             (doc_id * 2654435761 + f * 2246822519) % 4294967296 AS lo32,
+             (doc_id * 40503 + f * 668265263 + 2739110765) % 4294967296 AS hi32
+      FROM f
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INTEGER) AS n_frames,
+             string_agg(printf('%08x%08x', hi32, lo32), '' ORDER BY f) AS vhash,
+             string_agg(
+               printf('%08x%08x', xor(hi32, 4294967295), xor(lo32, 4294967295)),
+               '' ORDER BY f) AS vhash_flip
+      FROM words GROUP BY doc_id
+    ), clusters AS (
+      SELECT vhash, doc_id, n_frames,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END AS BIGINT)
+               AS n_copies,
+             'dib,mjpg' AS codecs
+      FROM sigs
+      UNION ALL
+      SELECT vhash_flip AS vhash, doc_id, n_frames,
+             CAST(1 AS BIGINT) AS n_copies, 'mjpg' AS codecs
+      FROM sigs WHERE doc_id % 3 = 0
+    )
+    SELECT vhash, doc_id, n_frames, n_copies, codecs
+    FROM clusters ORDER BY doc_id, vhash
+    """
+
+
 def q77_video_decode_stats(spark, sf_dir):
     """REAL video decode — the multimodal tier's video leg made real:
     ``1 + doc_id % 3`` uncompressed AVI clips per document are ENCODED
@@ -4447,6 +4540,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q78_video_phash_dedup": q78_video_phash_dedup,
     "q77_video_decode_stats": q77_video_decode_stats,
     "q76_image_phash_dedup": q76_image_phash_dedup,
     "q75_html_media_decode": q75_html_media_decode,
@@ -4604,6 +4698,7 @@ ORACLES = {
     "q75_html_media_decode": q72_sql(),  # same closed forms, different plan
     "q76_image_phash_dedup": q76_sql(),
     "q77_video_decode_stats": q77_sql(),
+    "q78_video_phash_dedup": q78_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

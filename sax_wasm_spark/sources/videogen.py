@@ -58,3 +58,98 @@ def build_avi(doc_id: int, k: int) -> bytes:
     frames = [avi_frame_pixels(doc_id, k, f) for f in range(n)]
     codec = "MJPG" if (doc_id + k) % 2 else "DIB"
     return encode_avi(frames, rate=1000, scale=scale, codec=codec)
+
+
+# ---------------------------------------------------------------------------
+# video perceptual-dedup corpus (q78) — the temporal analogue of the
+# imagegen phash forms: every document's CLIP ships as four renditions
+# that differ by wire codec (DIB vs MJPG), spatial scale, and a
+# per-pixel affine transform (brightness shift / channel color cast),
+# so the per-frame 64-bit dHash sequence — the video signature —
+# collides across all of them BY CONSTRUCTION, while every third doc's
+# rendition 3 carries the all-bits-flipped frames (a genuinely
+# different video) and lands in its own cluster.
+#
+#   n_frames = 2 + doc_id % 3            (>=2: see the collision note)
+#   per-frame hash words (frame f):
+#     lo32 = (doc_id * 2654435761 + f * 2246822519) % 2^32
+#     hi32 = (doc_id * 40503 + f * 668265263 + 2739110765) % 2^32
+#     flip → xor both with 0xFFFFFFFF
+#   signature = concat over f of '%08x%08x' % (hi32, lo32)
+#   renditions: 0 DIB gray, 1 MJPG +brightness, 2 DIB color cast,
+#               3 MJPG (+2+doc%11 shift; FLIPPED when doc_id % 3 == 0)
+#
+# With >=2 frames a flipped signature can never equal any unflipped
+# one: frame f would need (d2+d)*A ≡ 0xFFFFFFFF - 2*f*B (mod 2^32)
+# for every f, and distinct f demand distinct sums. Unflipped ones are
+# doc-injective via frame 0 (odd multiplier = bijection mod 2^32).
+
+
+def n_vframes(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def vhash_words(doc_id: int, f: int, flip: bool = False) -> tuple[int, int]:
+    """(hi32, lo32) of frame ``f``'s closed-form dHash."""
+    lo = (doc_id * 2654435761 + f * 2246822519) % (1 << 32)
+    hi = (doc_id * 40503 + f * 668265263 + 2739110765) % (1 << 32)
+    if flip:
+        lo ^= 0xFFFFFFFF
+        hi ^= 0xFFFFFFFF
+    return hi, lo
+
+
+def vhash_hex(doc_id: int, flip: bool = False) -> str:
+    """The closed-form signature string the oracle computes in SQL."""
+    return "".join(
+        "%08x%08x" % vhash_words(doc_id, f, flip) for f in range(n_vframes(doc_id))
+    )
+
+
+def vhash_frame_cells(doc_id: int, f: int, flip: bool = False) -> np.ndarray:
+    """(8, 9) uint8 cell values realizing frame ``f``'s bit pattern:
+    each row walks from 128, -8 when the comparison bit is 1 else +8
+    (same construction as imagegen.phash_base_cells)."""
+    hi, lo = vhash_words(doc_id, f, flip)
+    word = (hi << 32) | lo
+    cells = np.empty((8, 9), dtype=np.uint8)
+    for r in range(8):
+        v = 128
+        cells[r, 0] = v
+        for c in range(8):
+            bit = (word >> (63 - (8 * r + c))) & 1
+            v = v - 8 if bit else v + 8
+            cells[r, c + 1] = v
+    return cells
+
+
+def vhash_geometry(doc_id: int, r: int) -> tuple[int, int]:
+    """(cell_w, cell_h) for rendition ``r`` — multiples of 8 so the
+    MJPG renditions stay block-constant (T.81 exactness contract) and
+    the dHash sample windows align to whole cells."""
+    return 8 * (1 + (doc_id + r) % 3), 8 * (1 + (2 * doc_id + r) % 2)
+
+
+def build_vhash_rendition(doc_id: int, r: int) -> bytes:
+    """Rendition ``r`` (0..3) of ``doc_id``'s clip — the writer twin."""
+    flip = r == 3 and doc_id % 3 == 0
+    cw, ch = vhash_geometry(doc_id, r)
+    a = b = c = 0
+    if r == 1:
+        a = b = c = 1 + doc_id % 15
+    elif r == 2:
+        a, b, c = doc_id % 3, doc_id % 5, doc_id % 7
+    elif r == 3 and not flip:
+        a = b = c = 2 + doc_id % 11
+    frames = []
+    for f in range(n_vframes(doc_id)):
+        base = vhash_frame_cells(doc_id, f, flip)
+        base = np.repeat(np.repeat(base, ch, axis=0), cw, axis=1)
+        frames.append(
+            np.stack(
+                [base + np.uint8(a), base + np.uint8(b), base + np.uint8(c)],
+                axis=2,
+            )
+        )
+    codec = "MJPG" if r in (1, 3) else "DIB"
+    return encode_avi(frames, rate=1000, scale=40, codec=codec)

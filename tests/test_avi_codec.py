@@ -265,3 +265,45 @@ class TestFrameSampler:
 
         picks = avi_frame_sampler(build_avi(0, 0), 1)
         assert len(picks) == 1 and picks[0][0] == 0
+
+
+class TestVhashTwin:
+    """q78's video perceptual-dedup closed forms: the per-frame dHash
+    of every rendition must realize the (doc_id, f) bit words exactly,
+    across wire codec, scale, and affine renditions."""
+
+    @pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 30, 1234])
+    def test_renditions_collide_flip_splits(self, doc_id):
+        from sax_wasm_spark.operators.multimodal import dhash_planes
+        from sax_wasm_spark.sources.videogen import (
+            build_vhash_rendition,
+            n_vframes,
+            vhash_hex,
+        )
+
+        want = vhash_hex(doc_id)
+        for r in range(4):
+            clip = decode_avi(build_vhash_rendition(doc_id, r))
+            sig = "".join(f"{dhash_planes(fr):016x}" for fr in clip.frames)
+            assert clip.codec == ("mjpg" if r in (1, 3) else "dib")
+            assert clip.n_frames == n_vframes(doc_id)
+            if r == 3 and doc_id % 3 == 0:
+                assert sig == vhash_hex(doc_id, flip=True) != want
+            else:
+                assert sig == want
+
+    def test_signatures_doc_injective(self):
+        from sax_wasm_spark.sources.videogen import vhash_hex
+
+        sigs = [vhash_hex(d) for d in range(200)]
+        sigs += [vhash_hex(d, flip=True) for d in range(0, 200, 3)]
+        assert len(set(sigs)) == len(sigs)
+
+    def test_operator_error_rows(self, spark):
+        from sax_wasm_spark.operators.multimodal import perceptual_hash_videos
+
+        rows = [(0, 0, build_avi(0, 0)), (1, 0, b"RIFF\x04\x00\x00\x00AVI ")]
+        df = spark.createDataFrame(rows, "doc_id long, img_idx int, avi binary")
+        got = {r.doc_id: r for r in perceptual_hash_videos(df).collect()}
+        assert got[0].status == "ok" and len(got[0].vhash) == 16 * got[0].n_frames
+        assert got[1].status.startswith("error:") and got[1].vhash is None

@@ -432,3 +432,19 @@ def test_q75_html_media_chain_plan(spark):
     # three Python stages exactly: page twin, tokenize kernel, decode
     py_stages = re.findall(r"\(\d+\) MapIn(?:Pandas|Arrow)", plan)
     assert len(py_stages) == 3, plan[:3000]
+
+
+def test_q78_video_phash_dedup_plan(spark):
+    """Video perceptual dedup mirrors q76's shape one tier up: render,
+    decode, and per-frame hashing are per-row Python stages upstream,
+    then exactly ONE hashpartitioning on the signature string with a
+    map-side partial aggregate — the exchange carries short hex
+    signatures, never frames."""
+    from sax_wasm_spark.plans.queries import q78_video_phash_dedup
+
+    plan = plan_of(q78_video_phash_dedup(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    hash_ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hash_ex.count("vhash") == 1, plan[:3000]
+    assert all(k == "vhash" for k in hash_ex), plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial agg
