@@ -55,6 +55,7 @@ class AviError(ValueError):
 _AVIH = struct.Struct("<14I")  # MainAVIHeader (56 bytes)
 _STRH = struct.Struct("<4s4sIHHIIIIIIiI4H")  # AVIStreamHeader (56 bytes)
 _BMIH = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER (40 bytes)
+_WFX = struct.Struct("<HHIIHH")  # WAVEFORMATEX core (16 bytes)
 
 
 @dataclass
@@ -68,6 +69,9 @@ class AviClip:
     rate: int  # frames-per-second numerator (dwRate)
     scale: int  # denominator (dwScale): fps = rate / scale
     codec: str = "dib"  # wire codec: 'dib' (BI_RGB) or 'mjpg'
+    audio_samples: "np.ndarray | None" = None  # int16 (n, ch), demuxed
+    audio_rate: int = 0  # samples/sec; 0 = no audio stream
+    audio_channels: int = 0
 
     @property
     def duration_ms(self) -> int:
@@ -89,7 +93,10 @@ def _chunks(data: bytes, start: int, end: int):
 
 
 def decode_avi(
-    data: bytes, max_pixels: int = 1 << 22, max_frames: int = 1 << 10
+    data: bytes,
+    max_pixels: int = 1 << 22,
+    max_frames: int = 1 << 10,
+    max_samples: int = 1 << 24,
 ) -> AviClip:
     """Decode an uncompressed ('DIB '/BI_RGB 24-bit) AVI → RGB frames.
     Typed ``AviError`` for compressed video, missing headers, hostile
@@ -103,10 +110,13 @@ def decode_avi(
     rate = scale = None
     bits = compression = None
     total_frames = None
+    a_fmt = a_channels = a_rate = a_bits = None
+    cur_stream = None  # fccType of the most recent strh: strf pairs to it
     frames: list[np.ndarray] = []
 
     def walk_list(start: int, stop: int):
         nonlocal width, height, rate, scale, bits, compression, total_frames
+        nonlocal a_fmt, a_channels, a_rate, a_bits, cur_stream
         for fourcc, body, size in _chunks(data, start, stop):
             if fourcc == b"LIST":
                 walk_list(body + 4, body + size)  # skip the list type tag
@@ -118,11 +128,11 @@ def decode_avi(
             elif fourcc == b"strh":
                 if size < 48:
                     raise AviError("strh truncated")
-                fcc_type = data[body : body + 4]
-                if fcc_type == b"vids":
+                cur_stream = data[body : body + 4]
+                if cur_stream == b"vids":
                     d_scale, d_rate = struct.unpack_from("<II", data, body + 20)
                     scale, rate = d_scale or 1, d_rate or 1
-            elif fourcc == b"strf" and bits is None:
+            elif fourcc == b"strf" and cur_stream == b"vids" and bits is None:
                 if size < _BMIH.size:
                     raise AviError("strf truncated")
                 (
@@ -130,6 +140,12 @@ def decode_avi(
                     _isz, _xp, _yp, _ncol, _nimp,
                 ) = _BMIH.unpack_from(data, body)
                 width, height, bits, compression = w, abs(h), bbits, comp
+            elif fourcc == b"strf" and cur_stream == b"auds" and a_fmt is None:
+                if size < _WFX.size:
+                    raise AviError("audio strf truncated")
+                a_fmt, a_channels, a_rate, _abps, _balign, a_bits = (
+                    _WFX.unpack_from(data, body)
+                )
 
     # header pass: everything before/after movi except frame chunks
     movi_spans: list[tuple[int, int]] = []
@@ -153,12 +169,31 @@ def decode_avi(
         raise AviError(f"bad dimensions {width}x{height}")
     if width * height > max_pixels:
         raise AviError(f"{width}x{height} exceeds max_pixels={max_pixels}")
+    if a_fmt is not None:
+        if a_fmt != 1:
+            raise AviError(f"unsupported audio format tag {a_fmt} (PCM only)")
+        if a_bits != 16:
+            raise AviError(f"unsupported audio bit depth {a_bits} (16 only)")
+        if not (1 <= a_channels <= 8) or a_rate <= 0:
+            raise AviError(f"bad audio shape {a_channels}ch @ {a_rate} Hz")
     if not movi_spans:
         raise AviError("missing movi list")
 
     frame_bytes = dib_row_stride(width, 24) * height
+    audio_parts: list[bytes] = []
+    audio_bytes = 0
     for span_start, span_end in movi_spans:
         for fourcc, body, size in _chunks(data, span_start, span_end):
+            if fourcc[2:4] == b"wb":
+                if a_fmt is None:
+                    raise AviError("audio chunk without an auds stream header")
+                audio_bytes += size
+                if audio_bytes > 2 * max_samples * a_channels:
+                    raise AviError(
+                        f"audio exceeds max_samples={max_samples} budget"
+                    )
+                audio_parts.append(data[body : body + size])
+                continue
             if fourcc[2:4] in (b"db", b"dc"):
                 if len(frames) >= max_frames:
                     raise AviError(f"more than max_frames={max_frames} frames")
@@ -198,9 +233,24 @@ def decode_avi(
         raise AviError(
             f"avih declares {total_frames} frames, movi has {len(frames)}"
         )
+    audio = None
+    if a_fmt is not None:
+        blob = b"".join(audio_parts)
+        block = 2 * a_channels  # 16-bit PCM sample frame
+        if len(blob) % block:
+            raise AviError(
+                f"audio stream length {len(blob)} not a multiple of the"
+                f" {block}-byte sample frame"
+            )
+        audio = (
+            np.frombuffer(blob, dtype="<i2")
+            .reshape(-1, a_channels)
+            .astype(np.int16)
+        )
     return AviClip(
         frames, width, height, len(frames), rate, scale,
         "mjpg" if compression == _MJPG else "dib",
+        audio, a_rate or 0, a_channels or 0,
     )
 
 
@@ -209,13 +259,17 @@ def encode_avi(
     rate: int = 1000,
     scale: int = 40,
     codec: str = "DIB",
+    audio: "tuple[np.ndarray, int] | None" = None,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB frames as a minimal AVI — the writer
     twin. ``fps = rate / scale``; every frame must share one geometry.
     ``codec``: ``"DIB"`` (uncompressed BI_RGB) or ``"MJPG"`` (each
     frame a standalone baseline JPEG, RGB-passthrough Adobe APP14 with
     all-ones quantization, so flat-8x8-block corpora stay bit-exact —
-    the videogen closed forms hold across BOTH codecs)."""
+    the videogen closed forms hold across BOTH codecs). ``audio``:
+    optional ``(samples, sample_rate)`` — int16 ``(n,)`` or ``(n, ch)``
+    PCM written as a second 'auds' stream, its '01wb' chunks
+    interleaved one per video frame (the real multiplexed layout)."""
     if codec not in ("DIB", "MJPG"):
         raise AviError(f"unsupported encode codec {codec!r}")
     if not frames:
@@ -243,9 +297,38 @@ def encode_avi(
     def lst(list_type: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", list_type + body)
 
+    n_streams = 1
+    audio_strl = b""
+    audio_chunks: list[bytes] = []
+    if audio is not None:
+        samples, a_rate = audio
+        samples = np.asarray(samples, dtype=np.int16)
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        if samples.ndim != 2 or not (1 <= samples.shape[1] <= 8):
+            raise AviError("audio samples must be (n,) or (n, ch<=8) int16")
+        if a_rate <= 0:
+            raise AviError("audio sample_rate must be positive")
+        n_streams = 2
+        a_ch = samples.shape[1]
+        block = 2 * a_ch
+        a_strh = _STRH.pack(
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, a_rate, 0,
+            len(samples), block * a_rate, -1, block, 0, 0, 0, 0,
+        )
+        a_strf = _WFX.pack(1, a_ch, a_rate, block * a_rate, block, 16)
+        audio_strl = lst(b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf))
+        # interleave: split the sample frames evenly across video frames
+        n = len(frames)
+        raw = samples.astype("<i2").tobytes()
+        for i in range(n):
+            lo = len(samples) * i // n * block
+            hi = len(samples) * (i + 1) // n * block
+            audio_chunks.append(raw[lo:hi])
+
     avih = _AVIH.pack(
         usec_per_frame, frame_bytes * rate // scale, 0, 0,
-        len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+        len(frames), 0, n_streams, frame_bytes, w, h, 0, 0, 0, 0,
     )
     handler = b"MJPG" if codec == "MJPG" else b"DIB "
     strh = _STRH.pack(
@@ -259,9 +342,16 @@ def encode_avi(
     )
     hdrl = lst(
         b"hdrl",
-        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+        + audio_strl,
     )
     frame_cc = b"00dc" if codec == "MJPG" else b"00db"
-    movi = lst(b"movi", b"".join(chunk(frame_cc, p) for p in payloads))
+    movi_body = b"".join(
+        chunk(frame_cc, p)
+        + (chunk(b"01wb", audio_chunks[i]) if audio_chunks else b"")
+        for i, p in enumerate(payloads)
+    )
+    movi = lst(b"movi", movi_body)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -758,6 +758,81 @@ def decode_video_stats(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def demux_audio_stats(
+    df: DataFrame,
+    media_col: str = "avi",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+    max_pixels: int = 1 << 22,
+    max_samples: int = 1 << 24,
+) -> DataFrame:
+    """Demux the PCM audio track out of a binary AVI column → per-clip
+    audio facts: (id…, audio_rate, n_channels, n_samples, sample_sum,
+    sample_min, sample_max, status). PCM is lossless so deterministic
+    corpora oracle bit-exactly (q79); clips with NO audio stream yield
+    ``status='no_audio'`` with NULL stats, malformed payloads degrade
+    to ``error:*`` rows. Per-row CPU inside Arrow batches, zero
+    shuffle — the A/V-separation stage of a crawl media pipeline."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..kernel.avicodec import AviError, decode_avi  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields)
+        + [
+            StructField("audio_rate", IntegerType(), True),
+            StructField("n_channels", IntegerType(), True),
+            StructField("n_samples", IntegerType(), True),
+            StructField("sample_sum", LongType(), True),
+            StructField("sample_min", IntegerType(), True),
+            StructField("sample_max", IntegerType(), True),
+            StructField("status", StringType(), False),
+        ]
+    )
+    stat_cols = (
+        "audio_rate", "n_channels", "n_samples",
+        "sample_sum", "sample_min", "sample_max",
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[row])
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    clip = decode_avi(
+                        data, max_pixels=max_pixels, max_samples=max_samples
+                    )
+                    if clip.audio_samples is None:
+                        for col in stat_cols:
+                            out[col].append(None)
+                        out["status"].append("no_audio")
+                        continue
+                    px = clip.audio_samples.astype(np.int64)
+                    out["audio_rate"].append(clip.audio_rate)
+                    out["n_channels"].append(clip.audio_channels)
+                    out["n_samples"].append(len(clip.audio_samples))
+                    out["sample_sum"].append(int(px.sum()))
+                    out["sample_min"].append(int(px.min()))
+                    out["sample_max"].append(int(px.max()))
+                    out["status"].append("ok")
+                except AviError as e:
+                    for col in stat_cols:
+                        out[col].append(None)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def perceptual_hash_videos(
     df: DataFrame,
     media_col: str = "avi",

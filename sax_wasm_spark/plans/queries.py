@@ -3550,6 +3550,79 @@ def q70_sql():
     """
 
 
+def q79_av_demux_stats(spark, sf_dir):
+    """A/V container demux — the audio side of q77's corpus: every
+    videogen clip muxes a closed-form PCM 'auds' stream whose '01wb'
+    chunks interleave with the video frames (the real multiplexed AVI
+    layout); the decoder reassembles the sample stream across chunk
+    boundaries and q79 verifies rate, channel count, sample count and
+    exact sample statistics against pure SQL (PCM is lossless —
+    sources/videogen.avi_audio_samples closed forms). Same plan shape
+    as q77: per-row CPU inside Arrow batches, zero shuffle — the
+    audio-extraction stage of a crawl media pipeline."""
+    from ..operators.multimodal import (  # noqa: PLC0415
+        demux_audio_stats,
+        render_avi_column,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    src = d.select(
+        "doc_id", (1 + F.col("doc_id") % 3).cast("int").alias("n_clips")
+    )
+    clips = render_avi_column(src, id_col="doc_id", n_col="n_clips")
+    stats = demux_audio_stats(clips, media_col="avi", id_cols=("doc_id", "img_idx"))
+    return stats.select(
+        "doc_id",
+        F.col("img_idx").cast("int").alias("clip_idx"),
+        "audio_rate",
+        "n_channels",
+        "n_samples",
+        "sample_sum",
+        "sample_min",
+        "sample_max",
+        "status",
+    ).orderBy("doc_id", "clip_idx")
+
+
+def q79_sql():
+    # mirrors videogen.avi_audio_shape / avi_audio_samples:
+    #   rate = 8000 + 1000*((doc_id+k)%4), ch = 1 + (doc_id+k)%2,
+    #   n = 100 + (doc_id+3k)%50, sample = (7d+11k+13s+29c)%4096 - 2048
+    return """
+    WITH clips AS (
+      SELECT d.doc_id, k.range AS k
+      FROM documents d, range(3) k
+      WHERE k.range < 1 + d.doc_id % 3
+    ), shape AS (
+      SELECT doc_id, k,
+             8000 + 1000 * ((doc_id + k) % 4) AS audio_rate,
+             1 + (doc_id + k) % 2 AS n_channels,
+             100 + (doc_id + 3*k) % 50 AS n_samples
+      FROM clips
+    ), vals AS (
+      SELECT sh.doc_id, sh.k, sh.audio_rate, sh.n_channels, sh.n_samples,
+             (sh.doc_id * 7 + 11*sh.k + 13*s.range + 29*c.range) % 4096
+               - 2048 AS v
+      FROM shape sh, range(150) s, range(2) c
+      WHERE s.range < sh.n_samples AND c.range < sh.n_channels
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS clip_idx,
+           CAST(audio_rate AS INTEGER) AS audio_rate,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(MIN(v) AS INTEGER) AS sample_min,
+           CAST(MAX(v) AS INTEGER) AS sample_max,
+           'ok' AS status
+    FROM vals
+    GROUP BY doc_id, k, audio_rate, n_channels, n_samples
+    ORDER BY doc_id, clip_idx
+    """
+
+
 def q78_video_phash_dedup(spark, sf_dir):
     """Cross-codec perceptual VIDEO dedup — the temporal extension of
     q76's image dHash: every document's clip ships as FOUR renditions
@@ -4540,6 +4613,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q79_av_demux_stats": q79_av_demux_stats,
     "q78_video_phash_dedup": q78_video_phash_dedup,
     "q77_video_decode_stats": q77_video_decode_stats,
     "q76_image_phash_dedup": q76_image_phash_dedup,
@@ -4699,6 +4773,7 @@ ORACLES = {
     "q76_image_phash_dedup": q76_sql(),
     "q77_video_decode_stats": q77_sql(),
     "q78_video_phash_dedup": q78_sql(),
+    "q79_av_demux_stats": q79_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -47,17 +47,45 @@ def avi_frame_pixels(doc_id: int, k: int, f: int) -> np.ndarray:
     return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
 
 
+def avi_audio_shape(doc_id: int, k: int) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_sample_frames) of clip ``k``'s PCM
+    audio track (closed forms for the q79 demux oracle)."""
+    return (
+        8000 + 1000 * ((doc_id + k) % 4),
+        1 + (doc_id + k) % 2,
+        100 + (doc_id + 3 * k) % 50,
+    )
+
+
+def avi_audio_samples(doc_id: int, k: int) -> np.ndarray:
+    """The closed-form int16 PCM samples ((n, ch)):
+    sample(s, ch) = ((doc_id*7 + 11*k + 13*s + 29*ch) % 4096) - 2048."""
+    _rate, ch, n = avi_audio_shape(doc_id, k)
+    s = np.arange(n).reshape(-1, 1)
+    c = np.arange(ch).reshape(1, -1)
+    return (
+        (doc_id * 7 + 11 * k + 13 * s + 29 * c) % 4096 - 2048
+    ).astype(np.int16)
+
+
 def build_avi(doc_id: int, k: int) -> bytes:
     """Encode clip ``k`` of ``doc_id`` — the writer twin. Odd
     ``doc_id + k`` clips ship as Motion-JPEG, even as uncompressed
     BI_RGB: the flat-8x8-block frames round-trip bit-exactly through
     the T.81 codec (all-ones quant, RGB passthrough), so ONE set of
     closed forms oracles both wire codecs — q77 exercises the MJPG
-    decode path on half the corpus without a second oracle."""
+    decode path on half the corpus without a second oracle. Every clip
+    also muxes a closed-form PCM 'auds' stream ('01wb' chunks
+    interleaved per frame) — the q79 demux oracle's side of the same
+    corpus; PCM is lossless so those closed forms ARE the samples."""
     _w, _h, n, scale = avi_geometry(doc_id, k)
     frames = [avi_frame_pixels(doc_id, k, f) for f in range(n)]
     codec = "MJPG" if (doc_id + k) % 2 else "DIB"
-    return encode_avi(frames, rate=1000, scale=scale, codec=codec)
+    rate_a, _ch, _n = avi_audio_shape(doc_id, k)
+    return encode_avi(
+        frames, rate=1000, scale=scale, codec=codec,
+        audio=(avi_audio_samples(doc_id, k), rate_a),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -307,3 +307,98 @@ class TestVhashTwin:
         got = {r.doc_id: r for r in perceptual_hash_videos(df).collect()}
         assert got[0].status == "ok" and len(got[0].vhash) == 16 * got[0].n_frames
         assert got[1].status.startswith("error:") and got[1].vhash is None
+
+
+class TestAudioDemux:
+    """The 'auds' PCM stream: mux/demux roundtrips, interleave
+    reassembly across chunk boundaries, typed rejections, and the
+    videogen audio closed forms behind q79."""
+
+    @pytest.mark.parametrize("n_ch", [1, 2])
+    def test_pcm_roundtrip(self, n_ch):
+        s = _rng().randint(-2048, 2048, size=(487, n_ch)).astype(np.int16)
+        clip = decode_avi(encode_avi(_frames(3, 4, 4), audio=(s, 8000)))
+        assert (clip.audio_rate, clip.audio_channels) == (8000, n_ch)
+        assert np.array_equal(clip.audio_samples, s)
+
+    def test_mono_1d_input(self):
+        s = np.arange(-50, 50, dtype=np.int16)
+        clip = decode_avi(encode_avi(_frames(2, 2, 2), audio=(s, 11025)))
+        assert np.array_equal(clip.audio_samples[:, 0], s)
+
+    def test_interleave_reassembles_across_chunks(self):
+        """7 video frames split the stream into 7 '01wb' chunks at
+        sample-frame boundaries that don't align to chunk counts."""
+        s = _rng().randint(-99, 99, size=(101, 2)).astype(np.int16)
+        data = encode_avi(_frames(7, 2, 2), audio=(s, 16000))
+        assert data.count(b"01wb") == 7
+        clip = decode_avi(data)
+        assert np.array_equal(clip.audio_samples, s)
+
+    def test_no_audio_is_none(self):
+        clip = decode_avi(encode_avi(_frames(1, 2, 2)))
+        assert clip.audio_samples is None
+        assert (clip.audio_rate, clip.audio_channels) == (0, 0)
+
+    def test_mjpg_with_audio(self):
+        s = np.zeros(64, np.int16)
+        clip = decode_avi(encode_avi(_frames(2, 8, 8), codec="MJPG", audio=(s, 8000)))
+        assert clip.codec == "mjpg" and len(clip.audio_samples) == 64
+
+    def test_non_pcm_rejected_typed(self):
+        data = bytearray(
+            encode_avi(_frames(1, 2, 2), audio=(np.zeros(8, np.int16), 8000))
+        )
+        # audio strf follows the 'auds' strh; wFormatTag is its first u16
+        at = data.index(b"auds") - 8  # strh chunk header
+        at = data.index(b"strf", at) + 8
+        struct.pack_into("<H", data, at, 2)  # ADPCM
+        with pytest.raises(AviError, match="format tag 2"):
+            decode_avi(bytes(data))
+
+    def test_orphan_audio_chunk_typed(self):
+        """A '01wb' chunk without any auds stream header is a typed
+        structural error."""
+        base = bytearray(encode_avi(_frames(1, 2, 2)))
+        at = base.index(b"00db")
+        extra = b"01wb" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+        out = bytearray(base[:at] + extra + base[at:])
+        out[4:8] = struct.pack("<I", len(out) - 8)
+        movi_at = out.index(b"LIST", out.index(b"movi") - 8)
+        struct.pack_into("<I", out, movi_at + 4, len(out) - movi_at - 8)
+        with pytest.raises(AviError, match="without an auds"):
+            decode_avi(bytes(out))
+
+    def test_max_samples_budget(self):
+        s = np.zeros(4096, np.int16)
+        data = encode_avi(_frames(1, 2, 2), audio=(s, 8000))
+        with pytest.raises(AviError, match="max_samples"):
+            decode_avi(data, max_samples=1024)
+
+    def test_ragged_audio_length_typed(self):
+        data = bytearray(
+            encode_avi(_frames(1, 2, 2), audio=(np.zeros(8, np.int16), 8000))
+        )
+        at = data.index(b"01wb") + 4
+        (sz,) = struct.unpack_from("<I", data, at)
+        # shrink the chunk by one byte: 15 bytes is not a sample multiple
+        struct.pack_into("<I", data, at, sz - 1)
+        cut = bytearray(data[: at + 4 + sz - 1] + data[at + 4 + sz :])
+        cut[4:8] = struct.pack("<I", len(cut) - 8)
+        movi_at = cut.index(b"LIST", cut.index(b"movi") - 8)
+        struct.pack_into("<I", cut, movi_at + 4, len(cut) - movi_at - 8)
+        with pytest.raises(AviError, match="sample frame"):
+            decode_avi(bytes(cut))
+
+    @pytest.mark.parametrize("doc_id,k", [(0, 0), (1, 0), (7, 2), (123, 1)])
+    def test_videogen_audio_closed_forms(self, doc_id, k):
+        from sax_wasm_spark.sources.videogen import (
+            avi_audio_samples,
+            avi_audio_shape,
+        )
+
+        rate, ch, n = avi_audio_shape(doc_id, k)
+        clip = decode_avi(build_avi(doc_id, k))
+        assert (clip.audio_rate, clip.audio_channels) == (rate, ch)
+        assert len(clip.audio_samples) == n
+        assert np.array_equal(clip.audio_samples, avi_audio_samples(doc_id, k))
