@@ -895,6 +895,64 @@ def perceptual_hash_videos(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def dhash_video_frames(
+    df: DataFrame,
+    media_col: str = "avi",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    max_pixels: int = 1 << 22,
+    max_frames: int = 1 << 10,
+) -> DataFrame:
+    """Decode a binary AVI column → one row PER FRAME with its 64-bit
+    dHash: (id…, frame_idx, fhash, status). The frame-level fingerprint
+    table behind cross-modal near-dup joins (q80: "which standalone
+    crawl images are frames of known videos?") — downstream joins carry
+    only 16-hex-char keys, never pixels. A malformed clip degrades to a
+    single error row with NULL frame_idx/fhash."""
+    from ..kernel.avicodec import AviError, decode_avi  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields)
+        + [
+            StructField("frame_idx", IntegerType(), True),
+            StructField("fhash", StringType(), True),
+            StructField("status", StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                ids = [pdf[c].iloc[row] for c in id_cols]
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    clip = decode_avi(
+                        data, max_pixels=max_pixels, max_frames=max_frames
+                    )
+                    for f_idx, fr in enumerate(clip.frames):
+                        for c, v in zip(id_cols, ids):
+                            out[c].append(v)
+                        out["frame_idx"].append(f_idx)
+                        out["fhash"].append(f"{dhash_planes(fr):016x}")
+                        out["status"].append("ok")
+                except AviError as e:
+                    for c, v in zip(id_cols, ids):
+                        out[c].append(v)
+                    out["frame_idx"].append(None)
+                    out["fhash"].append(None)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def avi_frame_sampler(data: bytes, n: int):
     """REAL frame sampler for ``sample_frames`` — decodes the AVI and
     returns ``n`` evenly-spaced frames re-encoded as lossless PNGs

@@ -3550,6 +3550,117 @@ def q70_sql():
     """
 
 
+def q80_frame_image_match(spark, sf_dir):
+    """Cross-modal near-dup JOIN — "which standalone crawl images are
+    frames of known videos?": each doc's video (one DIB clip whose
+    frames realize the vhash closed forms) is frame-fingerprinted
+    (dhash_video_frames — one row per frame), each doc's still-image
+    set (a brightness-shifted grayscale JPEG per frame at its own
+    scale, plus one DECOY whose hash provably collides with no frame —
+    sources/videogen no-collision proof) is hashed by the sniffing
+    image decoder, and an equi-join on the 64-bit fingerprint links
+    them. The match set is EXACTLY the designed (doc, frame) pairs —
+    decoys drop out — so the oracle is closed-form. Plan: two per-row
+    decode stages, then ONE hash equi-join carrying 16-hex-char keys,
+    never pixels — the billions-of-images vs millions-of-videos
+    cross-modal dedup shape (both sides shuffle on the fingerprint;
+    neither is broadcastable at scale)."""
+    from ..operators.multimodal import (  # noqa: PLC0415
+        dhash_video_frames,
+        perceptual_hash_images,
+    )
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render_videos(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.videogen import build_vhash_rendition  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "avi": []}
+            for did in pdf["doc_id"]:
+                out["doc_id"].append(int(did))
+                out["avi"].append(build_vhash_rendition(int(did), 0))
+            yield pd.DataFrame(out)
+
+    def render_images(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.videogen import (  # noqa: PLC0415
+            build_vframe_decoy,
+            build_vframe_image,
+            n_vframes,
+        )
+
+        for pdf in batches:
+            out = {"img_doc_id": [], "img_idx": [], "img": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                for f in range(n_vframes(did)):
+                    out["img_doc_id"].append(did)
+                    out["img_idx"].append(f)
+                    out["img"].append(build_vframe_image(did, f))
+                out["img_doc_id"].append(did)
+                out["img_idx"].append(9)  # the decoy slot
+                out["img"].append(build_vframe_decoy(did))
+            yield pd.DataFrame(out)
+
+    videos = d.select("doc_id").mapInPandas(
+        render_videos, schema="doc_id long, avi binary"
+    )
+    frames = dhash_video_frames(videos, media_col="avi", id_cols=("doc_id",))
+    images = d.select("doc_id").mapInPandas(
+        render_images, schema="img_doc_id long, img_idx int, img binary"
+    )
+    hashes = perceptual_hash_images(
+        images, media_col="img", id_cols=("img_doc_id", "img_idx")
+    )
+    return (
+        frames.where(F.col("status") == "ok")
+        .select("doc_id", "frame_idx", "fhash")
+        .join(
+            # both sides are crawl-scale: pin the shuffle-hash strategy
+            # (a broadcast would be the small-SF accident, not the plan)
+            hashes.where(F.col("status") == "ok")
+            .select("img_doc_id", "img_idx", "phash")
+            .hint("shuffle_hash"),
+            F.col("fhash") == F.col("phash"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            "img_doc_id",
+            F.col("img_idx").cast("int").alias("img_idx"),
+            "fhash",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def q80_sql():
+    # the no-collision proof (sources/videogen) makes the join result
+    # exactly the designed pairs: frame f of doc d ↔ image f of doc d.
+    return """
+    WITH f AS (
+      SELECT d.doc_id, k.range AS f
+      FROM documents d, range(5) k
+      WHERE k.range < 2 + d.doc_id % 3
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           doc_id AS img_doc_id,
+           CAST(f AS INTEGER) AS img_idx,
+           printf('%08x%08x',
+                  (doc_id * 40503 + f * 668265263 + 2739110765) % 4294967296,
+                  (doc_id * 2654435761 + f * 2246822519) % 4294967296) AS fhash
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """
+
+
 def q79_av_demux_stats(spark, sf_dir):
     """A/V container demux — the audio side of q77's corpus: every
     videogen clip muxes a closed-form PCM 'auds' stream whose '01wb'
@@ -4613,6 +4724,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q80_frame_image_match": q80_frame_image_match,
     "q79_av_demux_stats": q79_av_demux_stats,
     "q78_video_phash_dedup": q78_video_phash_dedup,
     "q77_video_decode_stats": q77_video_decode_stats,
@@ -4774,6 +4886,7 @@ ORACLES = {
     "q77_video_decode_stats": q77_sql(),
     "q78_video_phash_dedup": q78_sql(),
     "q79_av_demux_stats": q79_sql(),
+    "q80_frame_image_match": q80_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

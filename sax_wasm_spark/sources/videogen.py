@@ -134,12 +134,10 @@ def vhash_hex(doc_id: int, flip: bool = False) -> str:
     )
 
 
-def vhash_frame_cells(doc_id: int, f: int, flip: bool = False) -> np.ndarray:
-    """(8, 9) uint8 cell values realizing frame ``f``'s bit pattern:
-    each row walks from 128, -8 when the comparison bit is 1 else +8
-    (same construction as imagegen.phash_base_cells)."""
-    hi, lo = vhash_words(doc_id, f, flip)
-    word = (hi << 32) | lo
+def cells_from_word(word: int) -> np.ndarray:
+    """(8, 9) uint8 cell values realizing a 64-bit dHash word: each row
+    walks from 128, -8 when the comparison bit is 1 else +8 (same
+    construction as imagegen.phash_base_cells)."""
     cells = np.empty((8, 9), dtype=np.uint8)
     for r in range(8):
         v = 128
@@ -149,6 +147,12 @@ def vhash_frame_cells(doc_id: int, f: int, flip: bool = False) -> np.ndarray:
             v = v - 8 if bit else v + 8
             cells[r, c + 1] = v
     return cells
+
+
+def vhash_frame_cells(doc_id: int, f: int, flip: bool = False) -> np.ndarray:
+    """(8, 9) cell values realizing frame ``f``'s bit pattern."""
+    hi, lo = vhash_words(doc_id, f, flip)
+    return cells_from_word((hi << 32) | lo)
 
 
 def vhash_geometry(doc_id: int, r: int) -> tuple[int, int]:
@@ -181,3 +185,51 @@ def build_vhash_rendition(doc_id: int, r: int) -> bytes:
         )
     codec = "MJPG" if r in (1, 3) else "DIB"
     return encode_avi(frames, rate=1000, scale=40, codec=codec)
+
+
+# ---------------------------------------------------------------------------
+# cross-modal frame↔image corpus (q80): for every doc, each video frame
+# has a standalone STILL-IMAGE rendition on the crawl (a brightness-
+# shifted grayscale JPEG at its own spatial scale), plus one DECOY
+# image whose hash word can provably never collide with any frame:
+#
+#   decoy words: lo32 = (doc_id * 2654435761 + 3735928559) % 2^32
+#                hi32 = (doc_id * 40503 + 2739110765 + 889275714) % 2^32
+#
+# No-collision proof (checked numerically over the full 2^32 doc
+# range): equating any two of {frame word, flipped frame word, decoy
+# word} across docs forces a doc delta/sum from the lo32 equation
+# whose hi32 equation is then inconsistent for every frame index
+# combination — so the q80 join's match set is EXACTLY the designed
+# (doc, frame) pairs, with decoys matching nothing.
+
+
+def vdecoy_words(doc_id: int) -> tuple[int, int]:
+    lo = (doc_id * 2654435761 + 3735928559) % (1 << 32)
+    hi = (doc_id * 40503 + 2739110765 + 889275714) % (1 << 32)
+    return hi, lo
+
+
+def build_vframe_image(doc_id: int, f: int) -> bytes:
+    """The standalone still-image rendition of video frame ``f`` — a
+    grayscale JPEG of the same dHash cells at its own scale with a
+    brightness shift (channel-SUM luma makes the hash invariant to
+    both, so it collides with the 3-channel video frame exactly)."""
+    from ..kernel.jpegcodec import encode_jpeg  # noqa: PLC0415
+
+    cw = 8 * (1 + (doc_id + f) % 2)
+    ch = 8 * (1 + (2 * doc_id + f) % 3)
+    base = vhash_frame_cells(doc_id, f)
+    img = np.repeat(np.repeat(base, ch, axis=0), cw, axis=1)
+    return encode_jpeg(img + np.uint8(1 + doc_id % 15))
+
+
+def build_vframe_decoy(doc_id: int) -> bytes:
+    """A grayscale JPEG realizing the decoy word — sniffs/decodes fine
+    but joins to no video frame."""
+    from ..kernel.jpegcodec import encode_jpeg  # noqa: PLC0415
+
+    hi, lo = vdecoy_words(doc_id)
+    base = cells_from_word((hi << 32) | lo)
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+    return encode_jpeg(img)

@@ -402,3 +402,52 @@ class TestAudioDemux:
         assert (clip.audio_rate, clip.audio_channels) == (rate, ch)
         assert len(clip.audio_samples) == n
         assert np.array_equal(clip.audio_samples, avi_audio_samples(doc_id, k))
+
+
+class TestFrameImageTwin:
+    """q80's cross-modal corpus: still-image renditions collide with
+    their video frame's hash exactly; decoys never do."""
+
+    @pytest.mark.parametrize("doc_id", [0, 3, 7, 42, 1001])
+    def test_image_hash_matches_frame_word(self, doc_id):
+        from sax_wasm_spark.kernel.jpegcodec import decode_jpeg
+        from sax_wasm_spark.operators.multimodal import dhash_planes
+        from sax_wasm_spark.sources.videogen import (
+            build_vframe_decoy,
+            build_vframe_image,
+            n_vframes,
+            vdecoy_words,
+            vhash_words,
+        )
+
+        frame_words = set()
+        for f in range(n_vframes(doc_id)):
+            hi, lo = vhash_words(doc_id, f)
+            want = (hi << 32) | lo
+            frame_words.add(want)
+            got = dhash_planes(decode_jpeg(build_vframe_image(doc_id, f)).planes)
+            assert got == want
+        hi, lo = vdecoy_words(doc_id)
+        decoy = dhash_planes(decode_jpeg(build_vframe_decoy(doc_id)).planes)
+        assert decoy == (hi << 32) | lo and decoy not in frame_words
+
+    def test_no_collision_proof_holds(self):
+        """Re-run the number-theoretic check the corpus docstring
+        cites: equating any two word families forces a doc delta/sum
+        whose hi32 equation is inconsistent — for EVERY frame combo."""
+        A, B, Ah, Bh = 2654435761, 2246822519, 40503, 668265263
+        Ch, Cd, Cdh = 2739110765, 3735928559, 889275714
+        M = 1 << 32
+        inv_a = pow(A, -1, M)
+        for df in range(-4, 5):  # frame-vs-frame, cross-doc
+            if df:
+                dd = (-df * B * inv_a) % M
+                assert (dd * Ah + df * Bh) % M != 0
+        for fs in range(9):  # flipped-vs-unflipped
+            s = ((M - 1 - fs * B) * inv_a) % M
+            assert (s * Ah) % M != (M - 1 - 2 * Ch - fs * Bh) % M
+        for f in range(5):  # decoy-vs-frame and decoy-vs-flipped
+            dd = ((Cd - f * B) * inv_a) % M
+            assert (dd * Ah + f * Bh - Cdh) % M != 0
+            s = ((M - 1 - f * B - Cd) * inv_a) % M
+            assert (s * Ah) % M != (M - 1 - 2 * Ch - f * Bh - Cdh) % M

@@ -448,3 +448,18 @@ def test_q78_video_phash_dedup_plan(spark):
     assert hash_ex.count("vhash") == 1, plan[:3000]
     assert all(k == "vhash" for k in hash_ex), plan[:3000]
     assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial agg
+
+
+def test_q80_frame_image_match_plan(spark):
+    """The cross-modal join shuffles BOTH sides on the 64-bit
+    fingerprint (pinned shuffle-hash — a broadcast would be the
+    small-SF accident: at crawl scale neither the image corpus nor the
+    video-frame table fits an executor) and the exchanges carry only
+    hex keys + ids, never decoded pixels."""
+    from sax_wasm_spark.plans.queries import q80_frame_image_match
+
+    plan = plan_of(q80_frame_image_match(spark, SF))
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan and "NestedLoop" not in plan, plan[:3000]
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert "fhash" in keys and "phash" in keys, (keys, plan[:2000])
