@@ -953,6 +953,74 @@ def dhash_video_frames(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def parse_caption_cues(
+    df: DataFrame,
+    media_col: str = "vtt",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+) -> DataFrame:
+    """Parse a binary WebVTT column → one row per cue: (id…, cue_idx,
+    cue_id, start_ms, end_ms, settings, text, status). The caption leg
+    of the multimodal tier (kernel/vttparse.py): timed text is a
+    first-class training signal — caption↔video alignment, ASR ground
+    truth, multilingual pairs. Files that are not WebVTT at all
+    degrade to one ``error:*`` row; malformed individual cues are
+    skipped inside the parser (browser policy). Per-row CPU inside
+    Arrow batches, zero shuffle."""
+    from ..kernel.vttparse import VttError, parse_vtt  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(id_fields)
+        + [
+            StructField("cue_idx", IntegerType(), True),
+            StructField("cue_id", StringType(), True),
+            StructField("start_ms", IntegerType(), True),
+            StructField("end_ms", IntegerType(), True),
+            StructField("settings", StringType(), True),
+            StructField("text", StringType(), True),
+            StructField("status", StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                ids = [pdf[c].iloc[row] for c in id_cols]
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    cues = parse_vtt(data)
+                except VttError as e:
+                    for c, v in zip(id_cols, ids):
+                        out[c].append(v)
+                    for col in (
+                        "cue_idx", "cue_id", "start_ms",
+                        "end_ms", "settings", "text",
+                    ):
+                        out[col].append(None)
+                    out["status"].append(f"error:{e}")
+                    continue
+                for idx, cue in enumerate(cues):
+                    for c, v in zip(id_cols, ids):
+                        out[c].append(v)
+                    out["cue_idx"].append(idx)
+                    out["cue_id"].append(cue.cue_id)
+                    out["start_ms"].append(cue.start_ms)
+                    out["end_ms"].append(cue.end_ms)
+                    out["settings"].append(cue.settings)
+                    out["text"].append(cue.text)
+                    out["status"].append("ok")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def avi_frame_sampler(data: bytes, n: int):
     """REAL frame sampler for ``sample_frames`` — decodes the AVI and
     returns ``n`` evenly-spaced frames re-encoded as lossless PNGs

@@ -3550,6 +3550,90 @@ def q70_sql():
     """
 
 
+def q81_caption_cues(spark, sf_dir):
+    """Timed-text extraction — every document carries ``1 + doc_id%2``
+    WebVTT caption files (sources/vttgen closed forms: NOTE + STYLE
+    blocks to skip, cue identifiers on even cues, hour-less timing
+    lines on odd files, voice/class spans, inline timestamp tags,
+    ``&amp;`` references, multi-line payloads); the from-scratch W3C
+    parser (kernel/vttparse.py) recovers cue ids, millisecond timings,
+    settings, and the CLEANED text, and the oracle reproduces all of
+    it — including the span-stripping and reference decoding — in pure
+    SQL. Zero shuffle, per-row CPU inside Arrow batches — captions are
+    a first-class crawl training signal (caption↔video alignment, ASR
+    ground truth)."""
+    from ..operators.multimodal import parse_caption_cues  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.vttgen import build_vtt  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "cap_idx": [], "vtt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                for k in range(1 + did % 2):
+                    out["doc_id"].append(did)
+                    out["cap_idx"].append(k)
+                    out["vtt"].append(build_vtt(did, k))
+            yield pd.DataFrame(out)
+
+    caps = d.select("doc_id").mapInPandas(
+        render, schema="doc_id long, cap_idx int, vtt binary"
+    )
+    cues = parse_caption_cues(caps, media_col="vtt", id_cols=("doc_id", "cap_idx"))
+    return cues.select(
+        "doc_id",
+        F.col("cap_idx").cast("int").alias("cap_idx"),
+        "cue_idx",
+        "cue_id",
+        "start_ms",
+        "end_ms",
+        "settings",
+        "text",
+        "status",
+    ).orderBy("doc_id", "cap_idx", "cue_idx")
+
+
+def q81_sql():
+    # mirrors the vttgen closed forms INCLUDING the parser's cleanup:
+    # spans stripped, &amp; decoded, odd cues join a second line.
+    return """
+    WITH caps AS (
+      SELECT d.doc_id, k.range AS k
+      FROM documents d, range(2) k
+      WHERE k.range < 1 + d.doc_id % 2
+    ), cues AS (
+      SELECT doc_id, k, i.range AS i,
+             1000*i.range + 100*((doc_id + 3*k + i.range) % 7) AS start_ms,
+             (doc_id + k + i.range) % 5 AS s,
+             (3*doc_id + i.range) % 9 AS t
+      FROM caps, range(4) i
+      WHERE i.range < 1 + (doc_id + k) % 4
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS cap_idx,
+           CAST(i AS INTEGER) AS cue_idx,
+           CASE WHEN i % 2 = 0
+                THEN 'cue-' || doc_id || '-' || k || '-' || i END AS cue_id,
+           CAST(start_ms AS INTEGER) AS start_ms,
+           CAST(start_ms + 500 + 100*((doc_id + k + 2*i) % 5) AS INTEGER)
+             AS end_ms,
+           CASE WHEN i % 3 = 0 THEN 'align:start' END AS settings,
+           'Line ' || i || ' by S' || s || ' tok&' || t ||
+             CASE WHEN i % 2 = 1 THEN chr(10) || 'cont ' || i ELSE '' END
+             AS text,
+           'ok' AS status
+    FROM cues
+    ORDER BY doc_id, cap_idx, cue_idx
+    """
+
+
 def q80_frame_image_match(spark, sf_dir):
     """Cross-modal near-dup JOIN — "which standalone crawl images are
     frames of known videos?": each doc's video (one DIB clip whose
@@ -4722,6 +4806,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q81_caption_cues": q81_caption_cues,
     "q80_frame_image_match": q80_frame_image_match,
     "q79_av_demux_stats": q79_av_demux_stats,
     "q78_video_phash_dedup": q78_video_phash_dedup,
@@ -4753,7 +4838,6 @@ QUERIES = {
     "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
     "q45_sequence_pack": q45_sequence_pack,
     "q44_host_politeness": q44_host_politeness,
-    "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_latest_order_per_customer": q03_latest_order_per_customer,
@@ -4764,6 +4848,7 @@ QUERIES = {
     "q08_scalar_functions": q08_scalar_functions,
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_ann_int_lsh": q34_ann_int_lsh,
+    "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
     "q51_incremental_dedup": q51_incremental_dedup,
     "q50_snapshot_diff": q50_snapshot_diff,
     "q49_crawl_schedule": q49_crawl_schedule,
@@ -4885,6 +4970,7 @@ ORACLES = {
     "q78_video_phash_dedup": q78_sql(),
     "q79_av_demux_stats": q79_sql(),
     "q80_frame_image_match": q80_sql(),
+    "q81_caption_cues": q81_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),
