@@ -2783,6 +2783,43 @@ def pdf_image_stats(
     return out
 
 
+def _ccitt_image(doc, d: dict, parms, payload: bytes, parms_is_list: bool,
+                 max_pixels: int):
+    """Decode a /CCITTFaxDecode image stream → (planes (h,w,1) uint8 of
+    the FILTER OUTPUT BITS, width, height, 1). Wire semantics per ISO
+    32000-1 §7.4.6: /K < 0 = pure G4 (the only mode scanned-PDF
+    producers emit and the only one supported — G3 raises), /Columns
+    (default 1728), /Rows (falls back to /Height), /BlackIs1 (default
+    false: 0 bits are BLACK, so the codec's ink bits invert),
+    /EncodedByteAlign. The bits are reported as decoded (0/1), before
+    /Decode arrays or colorspace mapping — codec facts, not dict
+    claims."""
+    import numpy as np  # noqa: PLC0415
+
+    from .ccittcodec import decode_g4  # noqa: PLC0415
+
+    p = parms[-1] if parms_is_list and isinstance(parms, list) else parms
+    p = doc.resolve(p) if p is not None else {}
+    if not isinstance(p, dict):
+        p = {}
+    k = doc.resolve(p.get("/K", 0)) or 0
+    if k >= 0:
+        raise PdfError("CCITT /K >= 0 (G3) unsupported; G4 only")
+    columns = int(doc.resolve(p.get("/Columns", 1728)) or 1728)
+    rows = doc.resolve(p.get("/Rows"))
+    if rows is None:
+        rows = doc.resolve(d.get("/Height"))
+    rows = int(rows) if rows else None
+    black_is_1 = doc.resolve(p.get("/BlackIs1", False)) is True
+    align = doc.resolve(p.get("/EncodedByteAlign", False)) is True
+    ink = decode_g4(
+        payload, columns, rows=rows,
+        encoded_byte_align=align, max_pixels=max_pixels,
+    )
+    bits = ink if black_is_1 else (1 - ink).astype(np.uint8)
+    return bits[:, :, None], columns, ink.shape[0], 1
+
+
 def pdf_decode_image_stats(data: bytes, max_pixels: int = 1 << 24) -> list[tuple]:
     """REAL pixel decode of every image XObject whose filter chain ends
     in /DCTDecode (prefix filters applied first, same machinery as
@@ -2825,7 +2862,9 @@ def pdf_decode_image_stats(data: bytes, max_pixels: int = 1 << 24) -> list[tuple
                     else:
                         filt = name_of(filt)
                     chain = filt.split("+") if filt else []
-                    if not chain or chain[-1] != "DCTDecode":
+                    if not chain or chain[-1] not in (
+                        "DCTDecode", "CCITTFaxDecode"
+                    ):
                         out.append(
                             (page_idx, name, None, None, None, None, None,
                              None, "skip:%s" % filt)
@@ -2833,8 +2872,8 @@ def pdf_decode_image_stats(data: bytes, max_pixels: int = 1 << 24) -> list[tuple
                         continue
                     payload = raw or b""
                     try:
+                        parms = doc.resolve(d.get("/DecodeParms"))
                         if len(chain) > 1:
-                            parms = doc.resolve(d.get("/DecodeParms"))
                             prefix = ["/" + f for f in chain[:-1]]
                             pm = (
                                 parms if isinstance(parms, list)
@@ -2843,17 +2882,27 @@ def pdf_decode_image_stats(data: bytes, max_pixels: int = 1 << 24) -> list[tuple
                             payload = _apply_filters(
                                 payload, prefix, pm[: len(prefix)]
                             )
-                        img = decode_jpeg(payload, max_pixels=max_pixels)
-                    except Exception as e:  # JpegError / filter failures
+                        if chain[-1] == "CCITTFaxDecode":
+                            planes, wpx, hpx, ncomp = _ccitt_image(
+                                doc, d, parms, payload,
+                                isinstance(parms, list), max_pixels,
+                            )
+                        else:
+                            img = decode_jpeg(payload, max_pixels=max_pixels)
+                            planes, wpx, hpx, ncomp = (
+                                img.planes, img.width, img.height,
+                                img.n_components,
+                            )
+                    except Exception as e:  # codec / filter failures
                         out.append(
                             (page_idx, name, None, None, None, None, None,
                              None, "error:%s" % e)
                         )
                         continue
-                    px = img.planes.astype(np.int64)
+                    px = planes.astype(np.int64)
                     out.append(
-                        (page_idx, name, img.width, img.height,
-                         img.n_components, int(px.sum()), int(px.min()),
+                        (page_idx, name, wpx, hpx,
+                         ncomp, int(px.sum()), int(px.min()),
                          int(px.max()), "ok")
                     )
                 elif xo[0] == "form" and xo[4]:

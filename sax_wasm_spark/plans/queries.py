@@ -3550,6 +3550,88 @@ def q70_sql():
     """
 
 
+def q82_ccitt_scan_decode(spark, sf_dir):
+    """Scanned-document decode — the crawl's OTHER dominant PDF image
+    wire format: every document carries ``1 + doc_id % 3`` CCITT
+    Group 4 (T.6/MMR) bilevel scans as /CCITTFaxDecode image XObjects
+    (sources/pdfgen.build_pdf_ccitt closed forms: 4x4 ink blocks,
+    /BlackIs1 alternating by (doc_id+j)%2, /EncodedByteAlign on odd
+    scans); the from-scratch G4 codec (kernel/ccittcodec.py — T.6
+    vertical/horizontal/pass modes over reference-line changing
+    elements, full T.4 run tables incl. extended makeup, EOFB) decodes
+    the filter output bits and the oracle reproduces the post-BlackIs1
+    wire semantics in pure SQL — MMR is lossless, so any drift in the
+    mode coder, the run tables, or the BlackIs1/alignment handling
+    hash-fails. Zero shuffle, per-row CPU inside Arrow batches."""
+    from ..operators.pdf import pdf_decode_images  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.pdfgen import build_pdf_ccitt  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "pdf": []}
+            for did in pdf["doc_id"]:
+                out["doc_id"].append(int(did))
+                out["pdf"].append(build_pdf_ccitt(int(did)))
+            yield pd.DataFrame(out)
+
+    pdfs = d.select("doc_id").mapInPandas(render, schema="doc_id long, pdf binary")
+    stats = pdf_decode_images(pdfs, pdf_col="pdf", id_cols=("doc_id",))
+    return stats.select(
+        "doc_id",
+        "img_name",
+        "width",
+        "height",
+        "n_channels",
+        "pixel_sum",
+        "pixel_min",
+        "pixel_max",
+        "status",
+    ).orderBy("doc_id", "img_name")
+
+
+def q82_sql():
+    # mirrors the pdfgen CCITT closed forms INCLUDING the /BlackIs1
+    # wire inversion: bit = ink when (doc_id+j)%2=1 else 1-ink.
+    return """
+    WITH scans AS (
+      SELECT d.doc_id, j.range AS j
+      FROM documents d, range(3) j
+      WHERE j.range < 1 + d.doc_id % 3
+    ), geom AS (
+      SELECT doc_id, j,
+             4 * (2 + (doc_id + j) % 5) AS width,
+             4 * (1 + (2*doc_id + j) % 4) AS height,
+             (doc_id + j) % 2 AS black_is_1
+      FROM scans
+    ), bits AS (
+      SELECT g.doc_id, g.j, g.width, g.height,
+             CASE WHEN (g.doc_id + 3*g.j + 7*bx.range + 13*by.range) % 5 < 2
+                  THEN g.black_is_1 ELSE 1 - g.black_is_1 END AS v
+      FROM geom g, range(7) bx, range(4) by
+      WHERE bx.range < g.width // 4 AND by.range < g.height // 4
+    )
+    SELECT doc_id,
+           'Scan' || CAST(j AS VARCHAR) AS img_name,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(16 * SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INTEGER) AS pixel_min,
+           CAST(MAX(v) AS INTEGER) AS pixel_max,
+           'ok' AS status
+    FROM bits
+    GROUP BY doc_id, j, width, height
+    ORDER BY doc_id, img_name
+    """
+
+
 def q81_caption_cues(spark, sf_dir):
     """Timed-text extraction — every document carries ``1 + doc_id%2``
     WebVTT caption files (sources/vttgen closed forms: NOTE + STYLE
@@ -4806,6 +4888,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q82_ccitt_scan_decode": q82_ccitt_scan_decode,
     "q81_caption_cues": q81_caption_cues,
     "q80_frame_image_match": q80_frame_image_match,
     "q79_av_demux_stats": q79_av_demux_stats,
@@ -4836,7 +4919,6 @@ QUERIES = {
     "q54_warc_metadata": q54_warc_metadata,
     "q53_wet_roundtrip": q53_wet_roundtrip,
     "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
-    "q45_sequence_pack": q45_sequence_pack,
     "q44_host_politeness": q44_host_politeness,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4849,6 +4931,7 @@ QUERIES = {
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_ann_int_lsh": q34_ann_int_lsh,
     "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
+    "q45_sequence_pack": q45_sequence_pack,
     "q51_incremental_dedup": q51_incremental_dedup,
     "q50_snapshot_diff": q50_snapshot_diff,
     "q49_crawl_schedule": q49_crawl_schedule,
@@ -4971,6 +5054,7 @@ ORACLES = {
     "q79_av_demux_stats": q79_sql(),
     "q80_frame_image_match": q80_sql(),
     "q81_caption_cues": q81_sql(),
+    "q82_ccitt_scan_decode": q82_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

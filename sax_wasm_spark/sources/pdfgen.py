@@ -1464,3 +1464,108 @@ def build_pdf(
             % (info_num + 1, xref_pos, upd_off)
         )
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 scan corpus (q82): standalone single-page PDFs whose
+# image XObjects carry T.6/MMR-compressed bilevel "scans" — the
+# dominant wire format of scanned documents on the crawl. Closed forms
+# of (doc_id, j) so a DuckDB oracle reproduces the decoded FILTER
+# OUTPUT BITS (post-/BlackIs1 wire semantics) without touching a byte:
+#
+#   n_scans   = 1 + doc_id % 3
+#   width     = 4 * (2 + (doc_id + j) % 5)      in 4x4 blocks bx
+#   height    = 4 * (1 + (2*doc_id + j) % 4)    in 4x4 blocks by
+#   ink(bx, by) = 1 when (doc_id + 3*j + 7*bx + 13*by) % 5 < 2
+#   /BlackIs1 = (doc_id + j) % 2 == 1
+#     → output bit = ink when BlackIs1 else 1 - ink
+#   /EncodedByteAlign = (j % 2 == 1)
+#
+# Separate from build_pdf's 14-variant cycle on purpose: the q58/q71
+# metadata and DCT-pixel closed forms stay untouched.
+
+
+def ccitt_scan_shape(doc_id: int, j: int) -> tuple[int, int, bool, bool]:
+    """(width, height, black_is_1, encoded_byte_align) of scan ``j``."""
+    w = 4 * (2 + (doc_id + j) % 5)
+    h = 4 * (1 + (2 * doc_id + j) % 4)
+    return w, h, (doc_id + j) % 2 == 1, j % 2 == 1
+
+
+def ccitt_scan_ink(doc_id: int, j: int):
+    """The closed-form ink bitmap ((h, w) uint8, 1 = black)."""
+    import numpy as np  # noqa: PLC0415
+
+    w, h, _b1, _al = ccitt_scan_shape(doc_id, j)
+    bx = np.arange(w // 4).reshape(1, -1)
+    by = np.arange(h // 4).reshape(-1, 1)
+    ink = ((doc_id + 3 * j + 7 * bx + 13 * by) % 5 < 2).astype(np.uint8)
+    return np.repeat(np.repeat(ink, 4, axis=0), 4, axis=1)
+
+
+def build_pdf_ccitt(doc_id: int) -> bytes:
+    """A single-page PDF with ``1 + doc_id % 3`` CCITTFaxDecode (/K -1,
+    pure G4) image XObjects — the q82 writer twin."""
+    from ..kernel.ccittcodec import encode_g4  # noqa: PLC0415
+
+    n = 1 + doc_id % 3
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+    }
+    streams: dict[int, tuple[bytes, bytes]] = {}
+    xo_refs = []
+    next_num = 4
+    for j in range(n):
+        w, h, black_is_1, align = ccitt_scan_shape(doc_id, j)
+        ink = ccitt_scan_ink(doc_id, j)
+        payload = encode_g4(ink, encoded_byte_align=align)
+        parms = b"<< /K -1 /Columns %d /Rows %d /BlackIs1 %s%s >>" % (
+            w, h,
+            b"true" if black_is_1 else b"false",
+            b" /EncodedByteAlign true" if align else b"",
+        )
+        sd = (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /BitsPerComponent 1 /ColorSpace /DeviceGray"
+            b" /Filter /CCITTFaxDecode /DecodeParms " % (w, h)
+            + parms
+            + b" /Length %d >>" % len(payload)
+        )
+        streams[next_num] = (sd, payload)
+        xo_refs.append((b"/Scan%d" % j, next_num))
+        next_num += 1
+    content = b"\n".join(
+        b"q 100 0 0 60 %d 600 cm %s Do Q" % (60 + 110 * i, name)
+        for i, (name, _num) in enumerate(xo_refs)
+    )
+    streams[next_num] = (b"<< /Length %d >>" % len(content), content)
+    xobj_dict = b" ".join(b"%s %d 0 R" % (nm, num) for nm, num in xo_refs)
+    objs[2] = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    objs[3] = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /XObject << " + xobj_dict + b" >> >>"
+        b" /Contents %d 0 R >>" % next_num
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(set(objs) | set(streams)):
+        offsets[num] = len(out)
+        if num in streams:
+            sd, raw = streams[num]
+            out += (
+                b"%d 0 obj\n" % num + sd
+                + b"\nstream\n" + raw + b"\nendstream\nendobj\n"
+            )
+        else:
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    max_num = max(offsets)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (max_num + 1)
+    for num in range(1, max_num + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_num + 1, xref_pos)
+    )
+    return bytes(out)
