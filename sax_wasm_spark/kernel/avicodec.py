@@ -97,10 +97,18 @@ def decode_avi(
     max_pixels: int = 1 << 22,
     max_frames: int = 1 << 10,
     max_samples: int = 1 << 24,
+    max_total_pixels: int = 1 << 26,
+    skip_frames: bool = False,
 ) -> AviClip:
-    """Decode an uncompressed ('DIB '/BI_RGB 24-bit) AVI → RGB frames.
-    Typed ``AviError`` for compressed video, missing headers, hostile
-    dimensions, or truncated frames."""
+    """Decode a BI_RGB ('DIB ') or Motion-JPEG AVI → RGB frames (+ the
+    demuxed PCM audio track when present). Typed ``AviError`` for
+    inter-frame codecs, missing headers, hostile dimensions, or
+    truncated frames. ``max_total_pixels`` bounds the SUM of decoded
+    frame pixels (per-frame ``max_pixels`` alone would let a small
+    MJPG wire payload expand to gigabytes across ``max_frames``
+    frames). ``skip_frames=True`` demuxes headers + audio only —
+    ``frames`` comes back empty (the audio-extraction fast path:
+    no JPEG/DIB work)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise AviError("not an AVI (missing RIFF/AVI magic)")
     (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -110,13 +118,14 @@ def decode_avi(
     rate = scale = None
     bits = compression = None
     total_frames = None
+    top_down = False
     a_fmt = a_channels = a_rate = a_bits = None
     cur_stream = None  # fccType of the most recent strh: strf pairs to it
     frames: list[np.ndarray] = []
 
     def walk_list(start: int, stop: int):
         nonlocal width, height, rate, scale, bits, compression, total_frames
-        nonlocal a_fmt, a_channels, a_rate, a_bits, cur_stream
+        nonlocal a_fmt, a_channels, a_rate, a_bits, cur_stream, top_down
         for fourcc, body, size in _chunks(data, start, stop):
             if fourcc == b"LIST":
                 walk_list(body + 4, body + size)  # skip the list type tag
@@ -129,7 +138,9 @@ def decode_avi(
                 if size < 48:
                     raise AviError("strh truncated")
                 cur_stream = data[body : body + 4]
-                if cur_stream == b"vids":
+                # first video stream wins — a second vids strh must not
+                # overwrite the timing the first stream's strf pairs to
+                if cur_stream == b"vids" and rate is None:
                     d_scale, d_rate = struct.unpack_from("<II", data, body + 20)
                     scale, rate = d_scale or 1, d_rate or 1
             elif fourcc == b"strf" and cur_stream == b"vids" and bits is None:
@@ -140,6 +151,7 @@ def decode_avi(
                     _isz, _xp, _yp, _ncol, _nimp,
                 ) = _BMIH.unpack_from(data, body)
                 width, height, bits, compression = w, abs(h), bbits, comp
+                top_down = h < 0  # negative biHeight = rows stored top-first
             elif fourcc == b"strf" and cur_stream == b"auds" and a_fmt is None:
                 if size < _WFX.size:
                     raise AviError("audio strf truncated")
@@ -195,8 +207,15 @@ def decode_avi(
                 audio_parts.append(data[body : body + size])
                 continue
             if fourcc[2:4] in (b"db", b"dc"):
+                if skip_frames:
+                    continue
                 if len(frames) >= max_frames:
                     raise AviError(f"more than max_frames={max_frames} frames")
+                if (len(frames) + 1) * width * height > max_total_pixels:
+                    raise AviError(
+                        f"decoded frames exceed max_total_pixels="
+                        f"{max_total_pixels}"
+                    )
                 if compression == _MJPG:
                     # Motion-JPEG: each chunk body is a standalone
                     # baseline JPEG (no inter-frame state by design —
@@ -224,12 +243,17 @@ def decode_avi(
                     raise AviError(
                         f"frame {len(frames)} truncated: {size} < {frame_bytes}"
                     )
-                frames.append(
-                    unpack_dib_rows(data[body : body + size], width, height)
-                )
-    if not frames:
+                fr = unpack_dib_rows(data[body : body + size], width, height)
+                # negative biHeight = top-down row order: unpack_dib_rows
+                # assumes the (default) bottom-up layout, so flip back
+                frames.append(fr[::-1] if top_down else fr)
+    if not frames and not skip_frames:
         raise AviError("no video frames in movi")
-    if total_frames is not None and total_frames != len(frames):
+    if (
+        not skip_frames
+        and total_frames is not None
+        and total_frames != len(frames)
+    ):
         raise AviError(
             f"avih declares {total_frames} frames, movi has {len(frames)}"
         )

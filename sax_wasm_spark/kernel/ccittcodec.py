@@ -130,14 +130,15 @@ _EOL = "000000000001"
 class _BitWriter:
     def __init__(self) -> None:
         self.bits: list[str] = []
+        self._n = 0  # running bit count: align() stays O(1) per row
 
     def write(self, pattern: str) -> None:
         self.bits.append(pattern)
+        self._n += len(pattern)
 
     def align(self) -> None:
-        n = sum(len(b) for b in self.bits)
-        if n % 8:
-            self.bits.append("0" * (8 - n % 8))
+        if self._n % 8:
+            self.write("0" * (8 - self._n % 8))
 
     def tobytes(self) -> bytes:
         s = "".join(self.bits)

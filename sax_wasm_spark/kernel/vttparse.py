@@ -112,7 +112,14 @@ def parse_vtt(data: bytes | str) -> list[VttCue]:
         if not lines:
             continue
         head = lines[0]
-        if head.startswith(("NOTE", "STYLE", "REGION", "WEBVTT")):
+        # comment/metadata blocks: the keyword alone or followed by
+        # whitespace — 'NOTES for scene 1' is a cue IDENTIFIER, not a
+        # NOTE block (spec: NOTE then space/tab/EOL)
+        kw = head.split(None, 1)[0] if head.strip() else ""
+        if kw in ("NOTE", "STYLE", "REGION", "WEBVTT") and (
+            head.startswith((kw + " ", kw + "\t")) or head.rstrip() == kw
+            or kw == "WEBVTT"
+        ):
             continue
         cue_id: str | None = None
         if "-->" not in head:

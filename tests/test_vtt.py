@@ -129,3 +129,32 @@ class TestTwin:
                 assert c.text == cue_text(doc_id, k, i)
                 assert (c.cue_id == f"cue-{doc_id}-{k}-{i}") == (i % 2 == 0)
                 assert (c.settings == "align:start") == (i % 3 == 0)
+
+
+class TestReviewFixes:
+    """Round-7 review findings on the caption tier, pinned."""
+
+    def test_note_prefix_is_a_cue_id(self):
+        """'NOTES for scene 1' is a cue IDENTIFIER (spec: NOTE must be
+        followed by whitespace/EOL to open a comment block)."""
+        cues = parse_vtt(_vtt("NOTES for scene 1\n00:01.000 --> 00:02.000\nx"))
+        assert len(cues) == 1 and cues[0].cue_id == "NOTES for scene 1"
+        cues = parse_vtt(_vtt("REGIONAL-2\n00:01.000 --> 00:02.000\ny"))
+        assert len(cues) == 1 and cues[0].cue_id == "REGIONAL-2"
+        # the bare keyword still opens a comment block
+        assert parse_vtt(_vtt("NOTE\nreal note\n\nNOTE with text")) == []
+
+    def test_empty_file_yields_status_row(self, spark):
+        """A valid cue-less WEBVTT file must surface as status='empty',
+        never vanish from the operator output."""
+        from sax_wasm_spark.operators.multimodal import parse_caption_cues
+
+        rows = [(0, 0, b"WEBVTT\n"), (1, 0, b"not vtt"), (2, 0, build_vtt(2, 0))]
+        df = spark.createDataFrame(rows, "doc_id long, cap_idx int, vtt binary")
+        got = parse_caption_cues(df, id_cols=("doc_id", "cap_idx")).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert by_doc[0][0].status == "empty" and by_doc[0][0].text is None
+        assert by_doc[1][0].status.startswith("error:")
+        assert all(r.status == "ok" for r in by_doc[2])
