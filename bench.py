@@ -87,6 +87,8 @@ HEADLINE = [
     "q63_paragraph_dedup",
     "q64_extract_non_utf8",
     "q75_html_media_decode",
+    "q77_video_decode_stats",
+    "q82_ccitt_scan_decode",
     "sax_text_events",
     "sax_extract_roundtrip",
     "pdf_extract_roundtrip",

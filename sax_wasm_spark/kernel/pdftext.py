@@ -1094,6 +1094,22 @@ class PdfDocument:
             raw, self.resolve(d.get("/Filter")), self.resolve(d.get("/DecodeParms"))
         )
 
+    def xmp_metadata(self) -> "bytes | None":
+        """The document-level XMP packet (ISO 32000-1 §14.3.2): the
+        catalog's /Metadata stream with filters applied — RDF/XML the
+        SAX kernel tokenizes like any other XML (q83). None when the
+        catalog has no /Metadata or the stream is unreadable."""
+        cat = self.catalog()
+        if not isinstance(cat, dict):
+            return None
+        ref = cat.get("/Metadata")
+        if ref is None:
+            return None
+        try:
+            return self.stream_bytes(ref)
+        except PdfError:
+            return None
+
     # -- page tree
 
     def catalog(self):

@@ -328,3 +328,112 @@ def parse_sitemap_entries(
     return texts.groupBy(*ids, "url_ord").agg(
         *[field_value(f) for f in fields]
     )
+
+
+XMP_SIMPLE_FIELDS = ("xmp:CreateDate", "xmp:CreatorTool", "pdf:Producer")
+XMP_ALT_FIELDS = ("dc:title",)  # value lives in a nested rdf:Alt/rdf:li
+
+
+def parse_xmp_fields(
+    packets: DataFrame,
+    xmp_col: str = "xmp",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """packets(id…, xmp:binary) → one row per packet with the XMP
+    document-metadata fields a crawl keeps alongside PDFs (ISO 32000-1
+    §14.3.2 / Adobe XMP): (id…, title, create_date, creator_tool,
+    producer). The RDF/XML is tokenized by the SAX kernel itself — the
+    reference engine's native XML ground chained INTO the PDF tier.
+
+    Pairing rules, both purely structural over the event stream:
+    simple properties (<xmp:CreateDate>v</…>) pair text with the
+    IMMEDIATELY preceding OpenTag (the q65 sitemap rule); language-
+    alternative properties (<dc:title><rdf:Alt><rdf:li>v) pair an
+    rdf:li's text with the most recent FIELD OpenTag still governing it
+    (a running last() over the same window). NULL rows survive for
+    packets carrying none of the fields. Scale shape: ONE
+    id-partitioned window; the groupBy keys on the window's partition
+    key so the exchange is reused — a single shuffle end-to-end."""
+    ids = list(id_cols)
+    ev = tokenize_events(
+        packets.select(*ids, xmp_col),
+        html_col=xmp_col,
+        id_cols=tuple(ids),
+        events=(1 << _EV_TEXT) | (1 << _EV_OPEN) | (1 << _EV_CLOSE),
+        positions=False,
+    )
+    w = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_tag = F.last(
+        F.when(
+            F.col("event").isin(_EV_OPEN, _EV_CLOSE),
+            F.struct(F.col("event").alias("e"), F.col("name").alias("n")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    # the governing field element: opens on a FIELD OpenTag, closes on
+    # its CloseTag (so stray rdf:li outside any field pairs with NULL)
+    gov = F.last(
+        F.when(
+            (F.col("event") == _EV_OPEN)
+            & F.col("name").isin(*XMP_ALT_FIELDS),
+            F.col("name"),
+        ).when(
+            (F.col("event") == _EV_CLOSE)
+            & F.col("name").isin(*XMP_ALT_FIELDS),
+            F.lit(""),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    is_field_text = (
+        (F.col("event") == _EV_TEXT)
+        & (F.col("lt")["e"] == _EV_OPEN)
+        & (
+            F.col("lt")["n"].isin(*XMP_SIMPLE_FIELDS)
+            | (
+                (F.col("lt")["n"] == "rdf:li")
+                & F.col("gov").isin(*XMP_ALT_FIELDS)
+            )
+        )
+    )
+    # field is NULL on every non-field row — those rows still keep the
+    # packet's group alive, so a fieldless packet yields an all-NULL row
+    staged = ev.select(
+        *ids,
+        "event",
+        "event_idx",
+        F.col("value").cast("string").alias("text"),
+        last_tag.alias("lt"),
+        gov.alias("gov"),
+    )
+    texts = staged.select(
+        *ids,
+        "event_idx",
+        F.when(
+            is_field_text,
+            F.when(F.col("lt")["n"] == "rdf:li", F.col("gov")).otherwise(
+                F.col("lt")["n"]
+            ),
+        ).alias("field"),
+        "text",
+    )
+
+    def field_value(name: str, alias: str):
+        joined = F.array_join(
+            F.transform(
+                _ordered_fragments(F.col("field") == name, F.col("text")),
+                lambda x: x["v"],
+            ),
+            "\n",
+        )
+        return F.nullif(F.trim(joined), F.lit("")).alias(alias)
+
+    return texts.groupBy(*ids).agg(
+        field_value("dc:title", "title"),
+        field_value("xmp:CreateDate", "create_date"),
+        field_value("xmp:CreatorTool", "creator_tool"),
+        field_value("pdf:Producer", "producer"),
+    )

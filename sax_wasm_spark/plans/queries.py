@@ -3550,6 +3550,64 @@ def q70_sql():
     """
 
 
+def q83_pdf_xmp_metadata(spark, sf_dir):
+    """PDF XMP document metadata — the flagship synergy row: the SAX
+    kernel (the engine's reason to exist) tokenizes the RDF/XML packet
+    that lives INSIDE the PDF tier (catalog /Metadata stream, ISO
+    32000-1 §14.3.2; Flate-compressed on odd docs so the stream-filter
+    path is exercised). Structural pairing over the event stream:
+    simple properties (xmp:CreateDate, xmp:CreatorTool, pdf:Producer)
+    take the text immediately after their OpenTag (the q65 rule);
+    dc:title's value lives two levels down (rdf:Alt/rdf:li) and pairs
+    via a running last-governing-field window. ONE id-partitioned
+    window + a groupBy on its own key — a single shuffle end-to-end
+    (plan-gated). Oracle: the closed-form field strings in pure SQL."""
+    from ..operators.metadata import parse_xmp_fields  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..kernel.pdftext import PdfDocument  # noqa: PLC0415
+        from ..sources.pdfgen import build_pdf_xmp  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "xmp": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                out["doc_id"].append(did)
+                out["xmp"].append(
+                    PdfDocument(build_pdf_xmp(did)).xmp_metadata()
+                )
+            yield pd.DataFrame(out)
+
+    packets = d.select("doc_id").mapInPandas(
+        render, schema="doc_id long, xmp binary"
+    )
+    fields = parse_xmp_fields(packets, xmp_col="xmp", id_cols=("doc_id",))
+    return fields.select(
+        "doc_id", "title", "create_date", "creator_tool", "producer"
+    ).orderBy("doc_id")
+
+
+def q83_sql():
+    # mirrors pdfgen.xmp_fields: the PARSED field strings in pure SQL.
+    return """
+    SELECT doc_id,
+           'Doc Title ' || (doc_id % 97) AS title,
+           printf('2024-%02d-%02dT0%d:00:00Z',
+                  1 + doc_id % 12, 1 + doc_id % 28, doc_id % 10)
+             AS create_date,
+           'gen-' || (doc_id % 5) AS creator_tool,
+           printf('sax-spark %d.%d', doc_id % 7, doc_id % 3) AS producer
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
 def q82_ccitt_scan_decode(spark, sf_dir):
     """Scanned-document decode — the crawl's OTHER dominant PDF image
     wire format: every document carries ``1 + doc_id % 3`` CCITT
@@ -4888,6 +4946,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q83_pdf_xmp_metadata": q83_pdf_xmp_metadata,
     "q82_ccitt_scan_decode": q82_ccitt_scan_decode,
     "q81_caption_cues": q81_caption_cues,
     "q80_frame_image_match": q80_frame_image_match,
@@ -4919,7 +4978,6 @@ QUERIES = {
     "q54_warc_metadata": q54_warc_metadata,
     "q53_wet_roundtrip": q53_wet_roundtrip,
     "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
-    "q44_host_politeness": q44_host_politeness,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_latest_order_per_customer": q03_latest_order_per_customer,
@@ -4930,6 +4988,7 @@ QUERIES = {
     "q08_scalar_functions": q08_scalar_functions,
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_ann_int_lsh": q34_ann_int_lsh,
+    "q44_host_politeness": q44_host_politeness,
     "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
     "q45_sequence_pack": q45_sequence_pack,
     "q51_incremental_dedup": q51_incremental_dedup,
@@ -5055,6 +5114,7 @@ ORACLES = {
     "q80_frame_image_match": q80_sql(),
     "q81_caption_cues": q81_sql(),
     "q82_ccitt_scan_decode": q82_sql(),
+    "q83_pdf_xmp_metadata": q83_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

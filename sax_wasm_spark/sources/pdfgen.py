@@ -1569,3 +1569,107 @@ def build_pdf_ccitt(doc_id: int) -> bytes:
         % (max_num + 1, xref_pos)
     )
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# XMP metadata corpus (q83): standalone PDFs whose catalog carries an
+# ISO 32000-1 §14.3.2 /Metadata stream — an XMP (RDF/XML) packet the
+# SAX kernel itself tokenizes, pairing the reference engine's native
+# XML ground with the PDF tier. Closed forms of doc_id:
+#
+#   title        = 'Doc Title <doc_id % 97>'   (dc:title rdf:Alt/rdf:li)
+#   create_date  = '2024-MM-DDT0H:00:00Z', MM = 1+d%12, DD = 1+d%28,
+#                  H = d%10                    (xmp:CreateDate, simple)
+#   creator_tool = 'gen-<d % 5>'               (xmp:CreatorTool, simple)
+#   producer     = 'sax-spark <d%7>.<d%3>'     (pdf:Producer, simple)
+#
+# Odd doc_ids Flate-compress the metadata stream (XMP spec says don't;
+# real crawls do it anyway — the reader must apply stream filters).
+
+
+def xmp_fields(doc_id: int) -> tuple[str, str, str, str]:
+    """(title, create_date, creator_tool, producer) closed forms."""
+    return (
+        "Doc Title %d" % (doc_id % 97),
+        "2024-%02d-%02dT0%d:00:00Z"
+        % (1 + doc_id % 12, 1 + doc_id % 28, doc_id % 10),
+        "gen-%d" % (doc_id % 5),
+        "sax-spark %d.%d" % (doc_id % 7, doc_id % 3),
+    )
+
+
+def build_pdf_xmp(doc_id: int) -> bytes:
+    """A one-page PDF whose catalog /Metadata carries the closed-form
+    XMP packet — the q83 writer twin."""
+    import zlib  # noqa: PLC0415
+
+    title, date, tool, producer = xmp_fields(doc_id)
+    xmp = (
+        '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+        ' <rdf:RDF xmlns:rdf='
+        '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        '  <rdf:Description rdf:about=""'
+        ' xmlns:dc="http://purl.org/dc/elements/1.1/"'
+        ' xmlns:xmp="http://ns.adobe.com/xap/1.0/"'
+        ' xmlns:pdf="http://ns.adobe.com/pdf/1.3/">\n'
+        "   <dc:title><rdf:Alt>"
+        '<rdf:li xml:lang="x-default">%s</rdf:li>'
+        "</rdf:Alt></dc:title>\n"
+        "   <xmp:CreateDate>%s</xmp:CreateDate>\n"
+        "   <xmp:CreatorTool>%s</xmp:CreatorTool>\n"
+        "   <pdf:Producer>%s</pdf:Producer>\n"
+        "  </rdf:Description>\n"
+        " </rdf:RDF>\n"
+        "</x:xmpmeta>\n"
+        '<?xpacket end="w"?>'
+    ) % (title, date, tool, producer)
+    raw = xmp.encode("utf-8")
+    if doc_id % 2:
+        payload = zlib.compress(raw, 6)
+        meta_dict = (
+            b"<< /Type /Metadata /Subtype /XML /Filter /FlateDecode"
+            b" /Length %d >>" % len(payload)
+        )
+    else:
+        payload = raw
+        meta_dict = (
+            b"<< /Type /Metadata /Subtype /XML /Length %d >>" % len(payload)
+        )
+
+    content = b"BT /F1 12 Tf 72 720 Td (metadata corpus) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Metadata 6 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"
+        ),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    streams = {
+        5: (b"<< /Length %d >>" % len(content), content),
+        6: (meta_dict, payload),
+    }
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(set(objs) | set(streams)):
+        offsets[num] = len(out)
+        if num in streams:
+            sd, body = streams[num]
+            out += (
+                b"%d 0 obj\n" % num + sd
+                + b"\nstream\n" + body + b"\nendstream\nendobj\n"
+            )
+        else:
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    max_num = max(offsets)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (max_num + 1)
+    for num in range(1, max_num + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_num + 1, xref_pos)
+    )
+    return bytes(out)

@@ -2181,3 +2181,31 @@ def test_pdf_decode_image_stats_aesv3_and_skip_rows():
     assert statuses["Im1"].startswith("skip:")  # FlateDecode
     assert statuses["Im0"].startswith("error:")  # synth DCT header, no scan
     assert all(v.startswith(("skip:", "error:")) for v in statuses.values())
+
+
+class TestXmpMetadata:
+    """§14.3.2 catalog /Metadata: the XMP packet the SAX kernel
+    tokenizes for q83."""
+
+    def test_roundtrip_plain_and_flate(self):
+        from sax_wasm_spark.kernel.pdftext import PdfDocument
+        from sax_wasm_spark.sources.pdfgen import build_pdf_xmp, xmp_fields
+
+        for d in (0, 1, 96, 97):  # even = plain, odd = FlateDecode
+            xmp = PdfDocument(build_pdf_xmp(d)).xmp_metadata().decode()
+            for field in xmp_fields(d):
+                assert field in xmp, (d, field)
+            assert xmp.startswith("<?xpacket begin=")
+
+    def test_absent_metadata_is_none(self):
+        from sax_wasm_spark.kernel.pdftext import PdfDocument
+        from sax_wasm_spark.sources.pdfgen import build_pdf
+
+        assert PdfDocument(build_pdf("no xmp here")).xmp_metadata() is None
+
+    def test_broken_metadata_ref_is_none(self):
+        from sax_wasm_spark.kernel.pdftext import PdfDocument
+        from sax_wasm_spark.sources.pdfgen import build_pdf_xmp
+
+        data = build_pdf_xmp(2).replace(b"/Metadata 6 0 R", b"/Metadata 9 0 R")
+        assert PdfDocument(data).xmp_metadata() is None

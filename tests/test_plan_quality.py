@@ -463,3 +463,15 @@ def test_q80_frame_image_match_plan(spark):
     assert "BroadcastHashJoin" not in plan and "NestedLoop" not in plan, plan[:3000]
     keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert "fhash" in keys and "phash" in keys, (keys, plan[:2000])
+
+
+def test_q83_xmp_metadata_plan(spark):
+    """The XMP field extraction runs the per-doc window and the
+    per-doc groupBy over ONE hash exchange (the groupBy keys on the
+    window's own partition key), join-free."""
+    from sax_wasm_spark.plans.queries import q83_pdf_xmp_metadata
+
+    plan = plan_of(q83_pdf_xmp_metadata(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert keys.count("doc_id") == 1, (keys, plan[:3000])
