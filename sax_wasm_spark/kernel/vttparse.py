@@ -135,3 +135,78 @@ def parse_vtt(data: bytes | str) -> list[VttCue]:
         payload = "\n".join(lines[1:])
         cues.append(VttCue(cue_id, start, end, settings, clean_cue_text(payload)))
     return cues
+
+
+# ---------------------------------------------------------------------------
+# SubRip (.srt) — the crawl's OTHER subtitle wire format. No formal
+# spec; the de-facto grammar (universally produced/consumed): blocks
+# separated by blank lines, each block = counter line, timing line
+# ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` (comma millisecond separator, hours
+# mandatory), then payload lines. Inline markup is the HTML-ish subset
+# (<i> <b> <u> <font …>) — stripped to text; SRT has no character
+# references, so '&' is literal.
+
+_SRT_TIMING = re.compile(
+    r"^\s*(\d{1,3}):(\d{1,2}):(\d{1,2}),(\d{3})"
+    r"\s*-->\s*"
+    r"(\d{1,3}):(\d{1,2}):(\d{1,2}),(\d{3})\s*(.*)$"
+)
+_SRT_TAG = re.compile(r"</?(?:i|b|u|font)(?:\s[^>]*)?>", re.IGNORECASE)
+
+
+def parse_srt(data: bytes | str) -> list[VttCue]:
+    """Parse a SubRip file → the same ``VttCue`` shape the WebVTT
+    parser emits (``cue_id`` = the counter line, ``settings`` = any
+    trailing text on the timing line, markup stripped). ``VttError``
+    when no block parses at all; individual malformed blocks are
+    skipped (player behavior)."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        text = bytes(data).decode("utf-8", errors="replace")
+    else:
+        text = data
+    if text.startswith("﻿"):
+        text = text[1:]
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    cues: list[VttCue] = []
+    for block in re.split(r"\n(?:[ \t]*\n)+", text):
+        lines = list(block.split("\n"))
+        while lines and not lines[0].strip():
+            lines.pop(0)
+        while lines and not lines[-1].strip():
+            lines.pop()
+        if not lines:
+            continue
+        cue_id: str | None = None
+        if _SRT_TIMING.match(lines[0]) is None:
+            cue_id = lines[0].strip()
+            lines = lines[1:]
+            if not lines:
+                continue
+        m = _SRT_TIMING.match(lines[0])
+        if m is None:
+            continue  # malformed block → skip, keep walking
+        g = [int(x) for x in m.groups()[:8]]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        settings = m.group(9).strip() or None
+        payload = _SRT_TAG.sub("", "\n".join(lines[1:]))
+        cues.append(VttCue(cue_id, start, end, settings, payload))
+    if not cues:
+        raise VttError("no SubRip cues parsed")
+    return cues
+
+
+def sniff_captions(data: bytes | str) -> str:
+    """'vtt' | 'srt' — the crawl arrives with both formats in one
+    column. WEBVTT signature wins; otherwise a comma-millisecond
+    timing line anywhere in the first KiB marks SubRip."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        head = bytes(data)[:1024].decode("utf-8", errors="replace")
+    else:
+        head = data[:1024]
+    if head.lstrip("﻿").startswith("WEBVTT"):
+        return "vtt"
+    for ln in head.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+        if _SRT_TIMING.match(ln):
+            return "srt"
+    return "vtt"  # default: the stricter signature check will reject

@@ -961,20 +961,29 @@ def parse_caption_cues(
     media_col: str = "vtt",
     id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
 ) -> DataFrame:
-    """Parse a binary WebVTT column → one row per cue: (id…, cue_idx,
-    cue_id, start_ms, end_ms, settings, text, status). The caption leg
-    of the multimodal tier (kernel/vttparse.py): timed text is a
-    first-class training signal — caption↔video alignment, ASR ground
-    truth, multilingual pairs. Files that are not WebVTT at all
-    degrade to one ``error:*`` row; malformed individual cues are
-    skipped inside the parser (browser policy). Per-row CPU inside
-    Arrow batches, zero shuffle."""
-    from ..kernel.vttparse import VttError, parse_vtt  # noqa: PLC0415
+    """Parse a binary caption column — format-SNIFFED WebVTT or SubRip
+    over one column, the mixed-crawl shape — into one row per cue:
+    (id…, format, cue_idx, cue_id, start_ms, end_ms, settings, text,
+    status). The caption leg of the multimodal tier
+    (kernel/vttparse.py): timed text is a first-class training signal
+    — caption↔video alignment, ASR ground truth, multilingual pairs.
+    Files in neither format degrade to one ``error:*`` row, cue-less
+    valid files to one ``empty`` row (the key never vanishes);
+    malformed individual cues are skipped inside the parsers
+    (player behavior). Per-row CPU inside Arrow batches, zero
+    shuffle."""
+    from ..kernel.vttparse import (  # noqa: PLC0415
+        VttError,
+        parse_srt,
+        parse_vtt,
+        sniff_captions,
+    )
 
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = StructType(
         list(id_fields)
         + [
+            StructField("format", StringType(), True),
             StructField("cue_idx", IntegerType(), True),
             StructField("cue_id", StringType(), True),
             StructField("start_ms", IntegerType(), True),
@@ -998,15 +1007,17 @@ def parse_caption_cues(
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
                 err = None
+                fmt = sniff_captions(data)
                 try:
-                    cues = parse_vtt(data)
+                    cues = (parse_srt if fmt == "srt" else parse_vtt)(data)
                 except VttError as e:
                     cues, err = None, f"error:{e}"
-                if not cues:  # not VTT at all, or valid but cue-less:
+                if not cues:  # wrong format, or valid but cue-less:
                     # emit ONE row either way so the (id…) key never
                     # silently vanishes from the output
                     for c, v in zip(id_cols, ids):
                         out[c].append(v)
+                    out["format"].append(None if err else fmt)
                     for col in (
                         "cue_idx", "cue_id", "start_ms",
                         "end_ms", "settings", "text",
@@ -1017,6 +1028,7 @@ def parse_caption_cues(
                 for idx, cue in enumerate(cues):
                     for c, v in zip(id_cols, ids):
                         out[c].append(v)
+                    out["format"].append(fmt)
                     out["cue_idx"].append(idx)
                     out["cue_id"].append(cue.cue_id)
                     out["start_ms"].append(cue.start_ms)

@@ -3550,6 +3550,96 @@ def q70_sql():
     """
 
 
+def q84_mixed_captions(spark, sf_dir):
+    """Mixed-format caption extraction — ONE binary column carrying
+    BOTH subtitle wire formats (the crawl truth): every document ships
+    a WebVTT file (cap 0) and a SubRip file (cap 1); the operator
+    SNIFFS the format (WEBVTT signature vs comma-millisecond timing
+    lines) and dispatches to the matching parser — W3C cleanup rules
+    for VTT (spans + character references), SRT's HTML-ish tag strip
+    with literal '&'. The oracle reproduces both parsers' CLEANED
+    output per format in pure SQL, so a sniff mix-up or cleanup drift
+    on either path hash-fails. Zero shuffle."""
+    from ..operators.multimodal import parse_caption_cues  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.vttgen import build_srt, build_vtt  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "cap_idx": [], "cap": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                for k, build in ((0, build_vtt), (1, build_srt)):
+                    out["doc_id"].append(did)
+                    out["cap_idx"].append(k)
+                    out["cap"].append(build(did, k))
+            yield pd.DataFrame(out)
+
+    caps = d.select("doc_id").mapInPandas(
+        render, schema="doc_id long, cap_idx int, cap binary"
+    )
+    cues = parse_caption_cues(caps, media_col="cap", id_cols=("doc_id", "cap_idx"))
+    return cues.select(
+        "doc_id",
+        F.col("cap_idx").cast("int").alias("cap_idx"),
+        "format",
+        "cue_idx",
+        "cue_id",
+        "start_ms",
+        "end_ms",
+        "settings",
+        "text",
+        "status",
+    ).orderBy("doc_id", "cap_idx", "cue_idx")
+
+
+def q84_sql():
+    # cap 0 = the q81 VTT forms at k=0; cap 1 = the SRT forms at k=1.
+    return """
+    WITH cues AS (
+      SELECT d.doc_id, k.range AS k, i.range AS i,
+             1000*i.range + 100*((d.doc_id + 3*k.range + i.range) % 7)
+               AS start_ms,
+             (d.doc_id + k.range + i.range) % 5 AS s,
+             (3*d.doc_id + i.range) % 9 AS t
+      FROM documents d, range(2) k, range(4) i
+      WHERE i.range < 1 + (d.doc_id + k.range) % 4
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS cap_idx,
+           CASE WHEN k = 0 THEN 'vtt' ELSE 'srt' END AS format,
+           CAST(i AS INTEGER) AS cue_idx,
+           CASE WHEN k = 0 THEN
+             CASE WHEN i % 2 = 0
+                  THEN 'cue-' || doc_id || '-0-' || i END
+           ELSE CAST(i + 1 AS VARCHAR) END AS cue_id,
+           CAST(start_ms AS INTEGER) AS start_ms,
+           CAST(start_ms + 500 + 100*((doc_id + k + 2*i) % 5) AS INTEGER)
+             AS end_ms,
+           CASE WHEN k = 0 THEN
+             CASE WHEN i % 3 = 0 THEN 'align:start' END
+           ELSE CASE WHEN i % 3 = 0 THEN 'X1:10' END END AS settings,
+           CASE WHEN k = 0 THEN
+             'Line ' || i || ' by S' || s || ' tok&' || t ||
+               CASE WHEN i % 2 = 1 THEN chr(10) || 'cont ' || i
+                    ELSE '' END
+           ELSE
+             'Sub ' || i || ' & S' || s ||
+               CASE WHEN i % 2 = 1 THEN chr(10) || 'more ' || i
+                    ELSE '' END
+           END AS text,
+           'ok' AS status
+    FROM cues
+    ORDER BY doc_id, cap_idx, cue_idx
+    """
+
+
 def q83_pdf_xmp_metadata(spark, sf_dir):
     """PDF XMP document metadata — the flagship synergy row: the SAX
     kernel (the engine's reason to exist) tokenizes the RDF/XML packet
@@ -4946,6 +5036,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q84_mixed_captions": q84_mixed_captions,
     "q83_pdf_xmp_metadata": q83_pdf_xmp_metadata,
     "q82_ccitt_scan_decode": q82_ccitt_scan_decode,
     "q81_caption_cues": q81_caption_cues,
@@ -4977,7 +5068,6 @@ QUERIES = {
     "q55_link_graph": q55_link_graph,
     "q54_warc_metadata": q54_warc_metadata,
     "q53_wet_roundtrip": q53_wet_roundtrip,
-    "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_latest_order_per_customer": q03_latest_order_per_customer,
@@ -4988,6 +5078,7 @@ QUERIES = {
     "q08_scalar_functions": q08_scalar_functions,
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_ann_int_lsh": q34_ann_int_lsh,
+    "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
     "q44_host_politeness": q44_host_politeness,
     "q43_ann_int_lsh_tuned": q43_ann_int_lsh_tuned,
     "q45_sequence_pack": q45_sequence_pack,
@@ -5115,6 +5206,7 @@ ORACLES = {
     "q81_caption_cues": q81_sql(),
     "q82_ccitt_scan_decode": q82_sql(),
     "q83_pdf_xmp_metadata": q83_sql(),
+    "q84_mixed_captions": q84_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

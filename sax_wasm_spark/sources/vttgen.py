@@ -79,3 +79,47 @@ def build_vtt(doc_id: int, k: int) -> bytes:
             lines.append(f"cont {i}")
         lines.append("")
     return "\n".join(lines).encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# SubRip twin (q84's mixed-format corpus): same cue-count/timing closed
+# forms as the VTT twin, SRT-specific text forms — italic tags stripped,
+# literal '&' (SRT has no character references), comma-millisecond
+# timing lines, counter-line cue ids, X1-coordinate settings on every
+# third cue:
+#
+#   cue_id  = str(i + 1)
+#   settings = 'X1:10' when i % 3 == 0
+#   parsed text = 'Sub <i> & S<s>' (+ '\n' + 'more <i>' when i odd),
+#                 s = (doc_id + k + i) % 5
+
+
+def srt_cue_text(doc_id: int, k: int, i: int) -> str:
+    s = (doc_id + k + i) % 5
+    text = f"Sub {i} & S{s}"
+    if i % 2:
+        text += f"\nmore {i}"
+    return text
+
+
+def _fmt_srt_ts(ms: int) -> str:
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d},{frac:03d}"
+
+
+def build_srt(doc_id: int, k: int) -> bytes:
+    """SubRip caption file ``k`` of ``doc_id`` — the writer twin."""
+    lines: list[str] = []
+    for i in range(vtt_shape(doc_id, k)):
+        start, end = cue_times(doc_id, k, i)
+        lines.append(str(i + 1))
+        settings = " X1:10" if i % 3 == 0 else ""
+        lines.append(f"{_fmt_srt_ts(start)} --> {_fmt_srt_ts(end)}{settings}")
+        s = (doc_id + k + i) % 5
+        lines.append(f"<i>Sub</i> {i} & <font color=\"red\">S{s}</font>")
+        if i % 2:
+            lines.append(f"more {i}")
+        lines.append("")
+    return "\n".join(lines).encode("utf-8")

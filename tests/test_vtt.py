@@ -158,3 +158,63 @@ class TestReviewFixes:
         assert by_doc[0][0].status == "empty" and by_doc[0][0].text is None
         assert by_doc[1][0].status.startswith("error:")
         assert all(r.status == "ok" for r in by_doc[2])
+
+
+class TestSrt:
+    """SubRip parser + sniff (q84's second wire format)."""
+
+    def test_basic(self):
+        from sax_wasm_spark.kernel.vttparse import parse_srt
+
+        cues = parse_srt(
+            b"1\n00:00:01,500 --> 00:00:03,000\nhello <i>world</i>\n\n"
+            b"2\n00:00:04,000 --> 00:00:05,250 X1:10\nsecond\nline"
+        )
+        assert len(cues) == 2
+        assert (cues[0].cue_id, cues[0].start_ms, cues[0].end_ms) == ("1", 1500, 3000)
+        assert cues[0].text == "hello world"
+        assert cues[1].settings == "X1:10" and cues[1].text == "second\nline"
+
+    def test_literal_ampersand_kept(self):
+        from sax_wasm_spark.kernel.vttparse import parse_srt
+
+        cues = parse_srt(b"1\n00:00:00,000 --> 00:00:01,000\nA &amp; B & C")
+        assert cues[0].text == "A &amp; B & C"  # SRT has no references
+
+    def test_malformed_block_skipped(self):
+        from sax_wasm_spark.kernel.vttparse import parse_srt
+
+        cues = parse_srt(
+            b"1\nnot a timing line\nx\n\n2\n00:00:01,000 --> 00:00:02,000\nok"
+        )
+        assert len(cues) == 1 and cues[0].text == "ok"
+
+    def test_not_srt_typed(self):
+        from sax_wasm_spark.kernel.vttparse import VttError, parse_srt
+
+        with pytest.raises(VttError, match="SubRip"):
+            parse_srt(b"just some prose, no cues anywhere")
+
+    def test_sniff(self):
+        from sax_wasm_spark.kernel.vttparse import sniff_captions
+
+        assert sniff_captions(b"WEBVTT\n\n...") == "vtt"
+        assert sniff_captions("﻿WEBVTT - x".encode()) == "vtt"
+        assert sniff_captions(b"1\n00:00:01,000 --> 00:00:02,000\nx") == "srt"
+        assert sniff_captions(b"garbage") == "vtt"  # strict parse rejects
+
+    @pytest.mark.parametrize("doc_id", [0, 3, 17, 205])
+    def test_twin_closed_forms(self, doc_id):
+        from sax_wasm_spark.kernel.vttparse import parse_srt
+        from sax_wasm_spark.sources.vttgen import (
+            build_srt,
+            srt_cue_text,
+        )
+
+        for k in (0, 1):
+            cues = parse_srt(build_srt(doc_id, k))
+            assert len(cues) == vtt_shape(doc_id, k)
+            for i, c in enumerate(cues):
+                assert c.cue_id == str(i + 1)
+                assert (c.start_ms, c.end_ms) == cue_times(doc_id, k, i)
+                assert c.text == srt_cue_text(doc_id, k, i)
