@@ -506,9 +506,10 @@ def decode_image_stats(
     """Format-sniffing REAL pixel decode over a binary image column —
     JPEG (SOI magic → kernel/jpegcodec), PNG (signature →
     kernel/pngcodec), GIF (GIF87a/89a → kernel/gifcodec, multi-frame:
-    stats span every frame, ``n_frames`` reports the count), and BMP
-    (BM magic → kernel/dibcodec) in one pass, the crawl shape where a
-    media column mixes formats: (id…, format, n_frames, width, height,
+    stats span every frame, ``n_frames`` reports the count), BMP
+    (BM magic → kernel/dibcodec), and TIFF (II*/MM* magic →
+    kernel/tiffcodec: gray/RGB/bilevel, none/G4/PackBits strips) in
+    one pass, the crawl shape where a media column mixes formats: (id…, format, n_frames, width, height,
     n_channels, pixel_sum, pixel_min, pixel_max, status). Unknown
     magics and malformed payloads degrade to ``status='error:…'`` rows
     with NULL stats; decode is per-row CPU inside Arrow batches, zero
@@ -573,6 +574,14 @@ def decode_image_stats(
                     elif data[:2] == BMP_MAGIC:
                         fmt = "bmp"
                         img = decode_bmp(data, max_pixels=max_pixels)
+                        w, h, nc, nf = img.width, img.height, img.n_components, 1
+                        px = img.planes.astype(np.int64)
+                        stats = (int(px.sum()), int(px.min()), int(px.max()))
+                    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+                        from ..kernel.tiffcodec import decode_tiff  # noqa: PLC0415
+
+                        fmt = "tiff"
+                        img = decode_tiff(data, max_pixels=max_pixels)
                         w, h, nc, nf = img.width, img.height, img.n_components, 1
                         px = img.planes.astype(np.int64)
                         stats = (int(px.sum()), int(px.min()), int(px.max()))
@@ -951,6 +960,81 @@ def dhash_video_frames(
                     out["frame_idx"].append(None)
                     out["fhash"].append(None)
                     out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+EXIF_SCHEMA_TAIL = [
+    StructField("make", StringType(), True),
+    StructField("model", StringType(), True),
+    StructField("orientation", IntegerType(), True),
+    StructField("taken_at", StringType(), True),
+    StructField("exposure", StringType(), True),
+    StructField("iso", IntegerType(), True),
+    StructField("pixel_x", IntegerType(), True),
+    StructField("pixel_y", IntegerType(), True),
+    StructField("status", StringType(), False),
+]
+
+
+def extract_exif(
+    df: DataFrame,
+    media_col: str = "jpeg",
+    id_cols: tuple[str, ...] = ("doc_id", "img_idx"),
+) -> DataFrame:
+    """Camera metadata off a binary JPEG column — the APP1 'Exif'
+    segment's TIFF IFDs walked by kernel/tiffcodec.py (IFD0: make,
+    model, orientation, DateTime; 0x8769 sub-IFD: ExposureTime as the
+    exact 'num/den' wire rational, ISO, PixelX/YDimension):
+    (id…, make, model, orientation, taken_at, exposure, iso, pixel_x,
+    pixel_y, status). JPEGs WITHOUT an EXIF segment yield
+    ``status='no_exif'`` rows (the key never vanishes); non-JPEG or
+    malformed payloads degrade to ``error:*``. Per-row CPU inside
+    Arrow batches, zero shuffle — the image-metadata stage of a crawl
+    pipeline (orientation fixing, timestamp dedup, camera stats)."""
+    from ..kernel.tiffcodec import TiffError, exif_from_jpeg  # noqa: PLC0415
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(list(id_fields) + EXIF_SCHEMA_TAIL)
+    field_cols = (
+        "make", "model", "orientation", "taken_at",
+        "exposure", "iso", "pixel_x", "pixel_y",
+    )
+    key_of = {
+        "make": "make", "model": "model", "orientation": "orientation",
+        "taken_at": "datetime", "exposure": "exposure", "iso": "iso",
+        "pixel_x": "pixel_x", "pixel_y": "pixel_y",
+    }
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                for c in id_cols:
+                    out[c].append(pdf[c].iloc[row])
+                data = pdf[media_col].iloc[row]
+                if data is None:
+                    data = b""
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    exif = exif_from_jpeg(data)
+                except TiffError as e:
+                    for col in field_cols:
+                        out[col].append(None)
+                    out["status"].append(f"error:{e}")
+                    continue
+                if exif is None:
+                    for col in field_cols:
+                        out[col].append(None)
+                    out["status"].append("no_exif")
+                    continue
+                for col in field_cols:
+                    out[col].append(exif.get(key_of[col]))
+                out["status"].append("ok")
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=out_schema)

@@ -308,3 +308,160 @@ def build_phash_rendition(doc_id: int, r: int) -> bytes:
         [base + np.uint8(a), base + np.uint8(b), base + np.uint8(c)], axis=2
     )
     return encode_bmp(rgb)
+
+
+# ---------------------------------------------------------------------------
+# EXIF corpus (q86): JPEGs carrying an APP1 'Exif' segment — IFD0
+# camera fields + the 0x8769 EXIF sub-IFD — the camera metadata real
+# pipelines keep alongside images. Closed forms of (doc_id, k):
+#
+#   make        = 'Cam<doc_id % 7>'
+#   model       = 'M-<(doc_id + k) % 13>'
+#   orientation = 1 + (doc_id + k) % 8
+#   datetime    = '2024:MM:DD HH:00:00', MM=1+d%12, DD=1+(d+k)%28, HH=d%24
+#   exposure    = '1/<8 * (1 + (d + k) % 6)>'   (RATIONAL num/den)
+#   iso         = 100 * (1 + (d + 2*k) % 8)
+#   pixel_x / pixel_y = the carrying JPEG's true dims
+#   byte order  = 'MM' big-endian when (doc_id + k) odd, else 'II'
+
+
+def exif_closed_fields(doc_id: int, k: int) -> dict:
+    mode, w, h, _nc = jpeg_geometry(doc_id, k)
+    return {
+        "make": "Cam%d" % (doc_id % 7),
+        "model": "M-%d" % ((doc_id + k) % 13),
+        "orientation": 1 + (doc_id + k) % 8,
+        "datetime": "2024:%02d:%02d %02d:00:00"
+        % (1 + doc_id % 12, 1 + (doc_id + k) % 28, doc_id % 24),
+        "exposure": "1/%d" % (8 * (1 + (doc_id + k) % 6)),
+        "iso": 100 * (1 + (doc_id + 2 * k) % 8),
+        "pixel_x": w,
+        "pixel_y": h,
+    }
+
+
+def _exif_tiff_blob(fields: dict, big_endian: bool) -> bytes:
+    """Hand-rolled two-IFD TIFF blob (IFD0 + 0x8769 EXIF sub-IFD)."""
+    import struct  # noqa: PLC0415
+
+    bo = ">" if big_endian else "<"
+
+    def ifd(entries, ifd_off):
+        """entries: [(tag, type, values)] tag-sorted → (bytes, fixups)
+        where out-of-line values land right after the IFD."""
+        n = len(entries)
+        table = bytearray(struct.pack(bo + "H", n))
+        tail = bytearray()
+        tail_base = ifd_off + 2 + 12 * n + 4
+        for tag, ftype, values in entries:
+            if ftype == 2:
+                raw = values[0].encode("ascii") + b"\x00"
+                count = len(raw)
+            elif ftype == 5:
+                raw = b"".join(struct.pack(bo + "II", a, b) for a, b in values)
+                count = len(values)
+            elif ftype == 3:
+                raw = struct.pack(bo + "H" * len(values), *values)
+                count = len(values)
+            else:  # LONG
+                raw = struct.pack(bo + "I" * len(values), *values)
+                count = len(values)
+            if len(raw) <= 4:
+                inline = raw + b"\x00" * (4 - len(raw))
+            else:
+                inline = struct.pack(bo + "I", tail_base + len(tail))
+                tail += raw + (b"\x00" if len(raw) & 1 else b"")
+            table += struct.pack(bo + "HHI", tag, ftype, count) + inline
+        table += struct.pack(bo + "I", 0)  # next IFD
+        return bytes(table) + bytes(tail)
+
+    num, den = fields["exposure"].split("/")
+    sub_entries = [
+        (0x829A, 5, ((int(num), int(den)),)),
+        (0x8827, 3, (fields["iso"],)),
+        (0xA002, 4, (fields["pixel_x"],)),
+        (0xA003, 4, (fields["pixel_y"],)),
+    ]
+    # IFD0 size must be known to place the sub-IFD: 5 entries, two
+    # out-of-line ASCII values (model may inline; compute exactly)
+    ifd0_entries = [
+        (0x010F, 2, (fields["make"],)),
+        (0x0110, 2, (fields["model"],)),
+        (0x0112, 3, (fields["orientation"],)),
+        (0x0132, 2, (fields["datetime"],)),
+        (0x8769, 4, (0,)),  # placeholder, patched below
+    ]
+    ifd0 = ifd(ifd0_entries, 8)
+    sub_off = 8 + len(ifd0)
+    ifd0_entries[-1] = (0x8769, 4, (sub_off,))
+    ifd0 = ifd(ifd0_entries, 8)
+    assert 8 + len(ifd0) == sub_off  # pointer patch kept the layout
+    import struct as _s  # noqa: PLC0415
+
+    header = (b"MM" if big_endian else b"II") + _s.pack(bo + "HI", 42, 8)
+    return header + ifd0 + ifd(sub_entries, sub_off)
+
+
+def build_jpeg_exif(doc_id: int, k: int) -> bytes:
+    """The q70 JPEG of (doc_id, k) with a closed-form EXIF APP1 segment
+    spliced after SOI — the q86 writer twin (pixels unchanged, so the
+    q70 pixel closed forms still hold for these bytes)."""
+    import struct  # noqa: PLC0415
+
+    base = build_jpeg(doc_id, k)
+    fields = exif_closed_fields(doc_id, k)
+    blob = b"Exif\x00\x00" + _exif_tiff_blob(fields, (doc_id + k) % 2 == 1)
+    app1 = b"\xff\xe1" + struct.pack(">H", len(blob) + 2) + blob
+    return base[:2] + app1 + base[2:]
+
+
+# ---------------------------------------------------------------------------
+# TIFF corpus twin (q85) — the scanned-image container: four modes
+# cycle per image index to cover the decoder's axes (byte order,
+# photometric inversion, strip organization, all three compressions):
+#
+#   mode = k % 4:
+#     0  gray-8, Compression 1,     II, single strip
+#     1  RGB-8,  Compression 1,     MM (big-endian), RowsPerStrip 8
+#     2  bilevel, CCITT G4 (4),     II; ink where v % 5 < 2 → pixel 0,
+#        else 255 — decoded output is DISPLAY truth
+#     3  gray-8, PackBits (32773),  II, photometric 0 (WhiteIsZero:
+#        wire bytes inverted), RowsPerStrip 16
+#   width  = 8 * (2 + (doc_id + 7*k) % 5)     in 8x8 blocks bx
+#   height = 8 * (1 + (2*doc_id + 11*k) % 5)  in 8x8 blocks by
+#   v(c, bx, by) = (doc_id + 31*k + 7*bx + 13*by + 97*c) % 256
+#   decoded pixels: modes 0/1/3 → v; mode 2 → 0 if v%5<2 else 255
+
+from ..kernel.tiffcodec import encode_tiff  # noqa: E402
+
+
+def tiff_geometry(doc_id: int, k: int) -> tuple[int, int, int, int]:
+    """(mode, width, height, n_channels) for TIFF ``k`` of ``doc_id``."""
+    mode = k % 4
+    w = 8 * (2 + (doc_id + 7 * k) % 5)
+    h = 8 * (1 + (2 * doc_id + 11 * k) % 5)
+    return mode, w, h, 3 if mode == 1 else 1
+
+
+def tiff_pixels(doc_id: int, k: int) -> np.ndarray:
+    """The closed-form DECODED pixels ((h,w,nc) uint8)."""
+    mode, w, h, nc = tiff_geometry(doc_id, k)
+    img = _png_grid(doc_id, k, nc, w, h)
+    if mode == 2:
+        return np.where(img % 5 < 2, 0, 255).astype(np.uint8)
+    return img
+
+
+def build_tiff(doc_id: int, k: int) -> bytes:
+    """Encode TIFF ``k`` of ``doc_id`` — the writer twin."""
+    mode, _w, _h, _nc = tiff_geometry(doc_id, k)
+    px = tiff_pixels(doc_id, k)
+    if mode == 0:
+        return encode_tiff(px)
+    if mode == 1:
+        return encode_tiff(px, byte_order=">", rows_per_strip=8)
+    if mode == 2:
+        return encode_tiff(px, compression=4, photometric=0)
+    return encode_tiff(
+        px, compression=32773, photometric=0, rows_per_strip=16
+    )

@@ -1,0 +1,173 @@
+"""TIFF 6.0 codec + EXIF walker (kernel/tiffcodec.py): roundtrips
+across byte orders / photometrics / strips / compressions, typed
+rejections, hostile budgets, the imagegen corpus twins behind q85/q86,
+and the EXIF APP1 walk."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sax_wasm_spark.kernel.tiffcodec import (
+    TiffError,
+    decode_tiff,
+    encode_tiff,
+    exif_from_jpeg,
+    parse_exif,
+)
+from sax_wasm_spark.sources.imagegen import (
+    build_jpeg_exif,
+    build_tiff,
+    exif_closed_fields,
+    tiff_geometry,
+    tiff_pixels,
+)
+
+
+def _rng():
+    return np.random.RandomState(21)
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("bo", ["<", ">"])
+    def test_gray(self, bo):
+        g = _rng().randint(0, 256, (13, 17)).astype(np.uint8)
+        t = decode_tiff(encode_tiff(g, byte_order=bo))
+        assert np.array_equal(t.planes[:, :, 0], g)
+        assert (t.compression, t.photometric, t.n_components) == (1, 1, 1)
+
+    def test_rgb_stripped(self):
+        c = _rng().randint(0, 256, (20, 9, 3)).astype(np.uint8)
+        t = decode_tiff(encode_tiff(c, byte_order=">", rows_per_strip=6))
+        assert np.array_equal(t.planes, c) and t.n_components == 3
+
+    def test_white_is_zero_inverts_wire(self):
+        g = _rng().randint(0, 256, (7, 11)).astype(np.uint8)
+        data = encode_tiff(g, photometric=0)
+        assert np.array_equal(decode_tiff(data).planes[:, :, 0], g)
+        # the wire bytes really are inverted (strip = last bytes)
+        assert bytes(255 - g.reshape(-1)) in data
+
+    @pytest.mark.parametrize("rps", [None, 4, 7])
+    def test_packbits(self, rps):
+        g = _rng().randint(0, 256, (13, 17)).astype(np.uint8)
+        t = decode_tiff(encode_tiff(g, compression=32773, rows_per_strip=rps))
+        assert np.array_equal(t.planes[:, :, 0], g)
+
+    def test_packbits_long_runs(self):
+        r = np.zeros((5, 300), np.uint8)
+        r[:, 100:250] = 7
+        t = decode_tiff(encode_tiff(r, compression=32773))
+        assert np.array_equal(t.planes[:, :, 0], r)
+
+    @pytest.mark.parametrize("photo", [0, 1])
+    def test_g4_bilevel(self, photo):
+        b = np.where(_rng().rand(16, 33) < 0.5, 0, 255).astype(np.uint8)
+        t = decode_tiff(
+            encode_tiff(b, compression=4, photometric=photo, rows_per_strip=7)
+        )
+        assert np.array_equal(t.planes[:, :, 0], b)
+        assert t.compression == 4
+
+
+class TestNegatives:
+    def test_not_tiff(self):
+        with pytest.raises(TiffError, match="byte order"):
+            decode_tiff(b"\x89PNG\r\n\x1a\n")
+        with pytest.raises(TiffError, match="magic"):
+            decode_tiff(b"II\x2b\x00\x08\x00\x00\x00")  # BigTIFF = 43
+
+    def test_hostile_dims(self):
+        g = np.zeros((4, 4), np.uint8)
+        data = bytearray(encode_tiff(g))
+        # ImageWidth is the first IFD entry's inline value
+        at = data.index(struct.pack("<HHI", 0x0100, 4, 1)) + 8
+        struct.pack_into("<I", data, at, 1 << 20)
+        with pytest.raises(TiffError, match="max_pixels"):
+            decode_tiff(bytes(data), max_pixels=1 << 16)
+
+    def test_unsupported_compression(self):
+        data = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+        at = data.index(struct.pack("<HHI", 0x0103, 3, 1)) + 8
+        struct.pack_into("<H", data, at, 5)  # LZW
+        with pytest.raises(TiffError, match="compression 5"):
+            decode_tiff(bytes(data))
+
+    def test_strip_out_of_range(self):
+        data = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+        at = data.index(struct.pack("<HHI", 0x0111, 4, 1)) + 8
+        struct.pack_into("<I", data, at, 1 << 28)
+        with pytest.raises(TiffError, match="out of range"):
+            decode_tiff(bytes(data))
+
+    def test_packbits_underflow(self):
+        g = _rng().randint(0, 256, (6, 20)).astype(np.uint8)
+        data = encode_tiff(g, compression=32773)
+        with pytest.raises(TiffError):
+            decode_tiff(data[:-10])
+
+    def test_hostile_ifd_count(self):
+        data = bytearray(encode_tiff(np.zeros((2, 2), np.uint8)))
+        struct.pack_into("<H", data, 8, 60000)
+        with pytest.raises(TiffError):
+            decode_tiff(bytes(data))
+
+
+class TestTiffTwin:
+    @pytest.mark.parametrize("doc_id", [0, 1, 5, 42, 1003])
+    def test_closed_forms(self, doc_id):
+        for k in range(4):
+            t = decode_tiff(build_tiff(doc_id, k))
+            mode, w, h, nc = tiff_geometry(doc_id, k)
+            assert (t.width, t.height, t.n_components) == (w, h, nc)
+            assert np.array_equal(t.planes, tiff_pixels(doc_id, k)), (doc_id, k)
+            assert t.compression == {0: 1, 1: 1, 2: 4, 3: 32773}[mode]
+
+    def test_five_format_sniff(self, spark):
+        """TIFF joins jpeg/png/gif/bmp in the ONE-column mixed decode."""
+        from sax_wasm_spark.operators.multimodal import decode_image_stats
+        from sax_wasm_spark.sources.imagegen import build_jpeg, build_png
+
+        rows = [
+            (0, 0, build_tiff(0, 0)),
+            (1, 0, build_jpeg(1, 1)),
+            (2, 0, build_png(2, 2)),
+            (3, 0, build_tiff(3, 2)),  # G4 mode through the sniff
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, img_idx int, img binary")
+        got = {r.doc_id: r for r in decode_image_stats(df).collect()}
+        assert got[0].format == "tiff" and got[0].status == "ok"
+        assert got[1].format == "jpeg" and got[2].format == "png"
+        assert got[3].format == "tiff"
+        px = tiff_pixels(3, 2).astype(np.int64)
+        assert got[3].pixel_sum == int(px.sum())
+
+
+class TestExif:
+    @pytest.mark.parametrize("doc_id", [0, 1, 7, 100])
+    def test_twin_closed_forms(self, doc_id):
+        for k in range(3):  # k parity flips the byte order
+            got = exif_from_jpeg(build_jpeg_exif(doc_id, k))
+            assert got == exif_closed_fields(doc_id, k), (doc_id, k)
+
+    def test_no_exif_is_none(self):
+        from sax_wasm_spark.sources.imagegen import build_jpeg
+
+        assert exif_from_jpeg(build_jpeg(5, 1)) is None
+
+    def test_not_jpeg_typed(self):
+        with pytest.raises(TiffError, match="JPEG"):
+            exif_from_jpeg(b"II*\x00 not a jpeg")
+
+    def test_truncated_exif_blob_typed(self):
+        data = build_jpeg_exif(3, 0)
+        at = data.index(b"Exif\x00\x00") + 6
+        with pytest.raises(TiffError):
+            parse_exif(data[at : at + 10])
+
+    def test_rational_is_exact_wire_string(self):
+        got = exif_from_jpeg(build_jpeg_exif(9, 1))
+        num, den = got["exposure"].split("/")
+        assert int(num) == 1 and int(den) % 8 == 0
