@@ -12,7 +12,9 @@ Scope (the crawl-relevant baseline subset):
   rule: ≤4 bytes live in the offset slot).
 - Decode: PhotometricInterpretation 0/1 (bilevel/gray, WhiteIsZero
   inverts) and 2 (RGB); BitsPerSample 1 or 8; Compression 1 (none),
-  4 (CCITT Group 4 — kernel/ccittcodec.py, the shared T.6 engine) and
+  4 (CCITT Group 4 — kernel/ccittcodec.py, the shared T.6 engine),
+  5 (LZW per TIFF 6.0 §13 — the SAME wire coding as PDF LZWDecode,
+  reused from kernel/pdftext.py — with horizontal Predictor 2) and
   32773 (PackBits); strip organization (RowsPerStrip /
   StripOffsets / StripByteCounts).
 - Typed ``TiffError`` + ``max_pixels`` budgets — poison payloads
@@ -45,6 +47,7 @@ _T_WIDTH, _T_HEIGHT = 0x0100, 0x0101
 _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 0x0102, 0x0103, 0x0106
 _T_STRIP_OFFSETS, _T_SAMPLES_PER_PIXEL = 0x0111, 0x0115
 _T_ROWS_PER_STRIP, _T_STRIP_COUNTS = 0x0116, 0x0117
+_T_PREDICTOR = 0x013D
 _T_EXIF_IFD = 0x8769
 
 
@@ -176,8 +179,13 @@ def decode_tiff(data: bytes, max_pixels: int = 1 << 24) -> TiffImage:
             raise TiffError("gray supports 1/8-bit single-sample only")
     else:
         raise TiffError(f"unsupported photometric {photo}")
-    if comp not in (1, 4, 32773):
+    if comp not in (1, 4, 5, 32773):
         raise TiffError(f"unsupported compression {comp}")
+    predictor = _scalar(entries, _T_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise TiffError(f"unsupported predictor {predictor}")
+    if predictor == 2 and bits[0] != 8:
+        raise TiffError("predictor 2 requires 8-bit samples")
     if comp == 4 and bits[0] != 1:
         raise TiffError("CCITT G4 requires 1-bit bilevel")
 
@@ -212,6 +220,15 @@ def decode_tiff(data: bytes, max_pixels: int = 1 << 24) -> TiffImage:
             continue
         if comp == 32773:
             blob = _unpackbits(blob, row_bytes * n_rows)
+        elif comp == 5:
+            from .pdftext import PdfError, _lzw_decode  # noqa: PLC0415
+
+            try:
+                blob = _lzw_decode(blob)
+            except PdfError as e:
+                raise TiffError(f"strip {s}: {e}") from e
+            if len(blob) < row_bytes * n_rows:
+                raise TiffError(f"strip {s}: LZW underflow")
         elif len(blob) < row_bytes * n_rows:
             raise TiffError(f"strip {s} truncated")
         if bits[0] == 1:
@@ -230,6 +247,10 @@ def decode_tiff(data: bytes, max_pixels: int = 1 << 24) -> TiffImage:
             arr = np.frombuffer(
                 blob[: row_bytes * n_rows], np.uint8
             ).reshape(n_rows, width, spp)
+            if predictor == 2:  # horizontal differencing: undo = cumsum
+                arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(
+                    np.uint8
+                )
             strip_px = 255 - arr if photo == 0 else arr
         rows_out.append(strip_px)
     if not rows_out:
@@ -348,8 +369,9 @@ def encode_tiff(
     strip-organized TIFF — the writer twin. ``compression``: 1 (none),
     4 (CCITT G4 — input must be bilevel 0/255), 32773 (PackBits).
     ``photometric`` defaults to 1 (BlackIsZero) for gray, 2 for RGB;
-    pass 0 to invert the wire sense. ``extra_ifd0`` splices extra
-    pre-encoded IFD entries (the EXIF twin uses this)."""
+    pass 0 to invert the wire sense. Compression 5 (LZW) always writes
+    horizontal Predictor 2 — the real-crawl pairing. ``extra_ifd0``
+    splices extra pre-encoded IFD entries (the EXIF twin uses this)."""
     from .ccittcodec import encode_g4  # noqa: PLC0415
 
     px = np.asarray(planes, dtype=np.uint8)
@@ -377,6 +399,11 @@ def encode_tiff(
             strips.append(encode_g4(ink))
         else:
             body = chunk if photometric != 0 else 255 - chunk
+            if compression == 5:  # predictor 2 then LZW
+                body = np.diff(
+                    body.astype(np.int16), axis=1,
+                    prepend=np.zeros((body.shape[0], 1, body.shape[2]), np.int16),
+                ).astype(np.uint8)
             raw = body.tobytes()
             if compression == 32773:
                 row_len = w * spp
@@ -386,6 +413,10 @@ def encode_tiff(
                         for i in range(0, len(raw), row_len)
                     )
                 )
+            elif compression == 5:
+                from ..sources.pdfgen import lzw_encode  # noqa: PLC0415
+
+                strips.append(lzw_encode(raw))
             elif compression == 1:
                 strips.append(raw)
             else:
@@ -402,6 +433,8 @@ def encode_tiff(
         _T_SAMPLES_PER_PIXEL: (3, (spp,)),
         _T_ROWS_PER_STRIP: (4, (rps,)),
     }
+    if compression == 5:
+        entries[_T_PREDICTOR] = (3, (2,))
     if extra_ifd0:
         entries.update(extra_ifd0)
 

@@ -3555,8 +3555,10 @@ def q85_tiff_decode_stats(spark, sf_dir):
     same mixed-column decoder (q72's shape): every document carries
     ``1 + doc_id % 3`` TIFFs whose modes cycle byte order (II/MM),
     photometric inversion (WhiteIsZero wire bytes), strip organization
-    and all three baseline compressions — none, CCITT G4 (the shared
-    T.6 engine from q82), PackBits. Every mode is lossless, so the
+    and all FOUR baseline compressions — none, CCITT G4 (the shared
+    T.6 engine from q82), PackBits, and LZW with horizontal
+    Predictor 2 (the PDF LZWDecode engine reused — TIFF 6.0 §13 is
+    the same wire coding). Every mode is lossless, so the
     oracle computes width/height/channels and exact pixel statistics
     from the imagegen closed forms in pure SQL. Zero shuffle, per-row
     CPU inside Arrow batches."""
@@ -3601,18 +3603,18 @@ def q85_tiff_decode_stats(spark, sf_dir):
 
 
 def q85_sql():
-    # mirrors imagegen tiff closed forms: mode k%4, v = (d+31k+7bx+
-    # 13by+97c)%256; mode 2 maps v%5<2 → 0 else 255; others keep v.
+    # mirrors imagegen tiff closed forms: mode (d+k)%5, v = (d+31k+
+    # 7bx+13by+97c)%256; mode 2 maps v%5<2 → 0 else 255; others keep v.
     return """
     WITH imgs AS (
       SELECT d.doc_id, k.range AS k
       FROM documents d, range(3) k
       WHERE k.range < 1 + d.doc_id % 3
     ), geom AS (
-      SELECT doc_id, k, k % 4 AS mode,
+      SELECT doc_id, k, (doc_id + k) % 5 AS mode,
              8 * (2 + (doc_id + 7*k) % 5) AS width,
              8 * (1 + (2*doc_id + 11*k) % 5) AS height,
-             CASE WHEN k % 4 = 1 THEN 3 ELSE 1 END AS nc
+             CASE WHEN (doc_id + k) % 5 = 1 THEN 3 ELSE 1 END AS nc
       FROM imgs
     ), cells AS (
       SELECT g.doc_id, g.k, g.mode, g.width, g.height, g.nc,
@@ -4772,7 +4774,7 @@ def q72_sql():
       FROM documents d, range(4) k
       WHERE k.range < 1 + d.doc_id % 4
     ), geom AS (
-      SELECT doc_id, k, k % 4 AS mode,
+      SELECT doc_id, k, (doc_id + k) % 5 AS mode,
              8 * (2 + (doc_id + 7*k) % 5) AS width,
              8 * (1 + (2*doc_id + 11*k) % 5) AS height,
              CASE k % 4 WHEN 0 THEN 1 WHEN 3 THEN 4 ELSE 3 END AS nc

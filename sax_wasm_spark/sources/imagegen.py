@@ -420,13 +420,15 @@ def build_jpeg_exif(doc_id: int, k: int) -> bytes:
 # cycle per image index to cover the decoder's axes (byte order,
 # photometric inversion, strip organization, all three compressions):
 #
-#   mode = k % 4:
+#   mode = (doc_id + k) % 5  (doc-dependent so ALL modes appear in a
+#   corpus whose per-doc image count caps at 3):
 #     0  gray-8, Compression 1,     II, single strip
 #     1  RGB-8,  Compression 1,     MM (big-endian), RowsPerStrip 8
 #     2  bilevel, CCITT G4 (4),     II; ink where v % 5 < 2 → pixel 0,
 #        else 255 — decoded output is DISPLAY truth
 #     3  gray-8, PackBits (32773),  II, photometric 0 (WhiteIsZero:
 #        wire bytes inverted), RowsPerStrip 16
+#     4  gray-8, LZW (5) + horizontal Predictor 2, II, RowsPerStrip 8
 #   width  = 8 * (2 + (doc_id + 7*k) % 5)     in 8x8 blocks bx
 #   height = 8 * (1 + (2*doc_id + 11*k) % 5)  in 8x8 blocks by
 #   v(c, bx, by) = (doc_id + 31*k + 7*bx + 13*by + 97*c) % 256
@@ -437,7 +439,7 @@ from ..kernel.tiffcodec import encode_tiff  # noqa: E402
 
 def tiff_geometry(doc_id: int, k: int) -> tuple[int, int, int, int]:
     """(mode, width, height, n_channels) for TIFF ``k`` of ``doc_id``."""
-    mode = k % 4
+    mode = (doc_id + k) % 5
     w = 8 * (2 + (doc_id + 7 * k) % 5)
     h = 8 * (1 + (2 * doc_id + 11 * k) % 5)
     return mode, w, h, 3 if mode == 1 else 1
@@ -462,6 +464,8 @@ def build_tiff(doc_id: int, k: int) -> bytes:
         return encode_tiff(px, byte_order=">", rows_per_strip=8)
     if mode == 2:
         return encode_tiff(px, compression=4, photometric=0)
-    return encode_tiff(
-        px, compression=32773, photometric=0, rows_per_strip=16
-    )
+    if mode == 3:
+        return encode_tiff(
+            px, compression=32773, photometric=0, rows_per_strip=16
+        )
+    return encode_tiff(px, compression=5, rows_per_strip=8)

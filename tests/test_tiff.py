@@ -91,8 +91,8 @@ class TestNegatives:
     def test_unsupported_compression(self):
         data = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
         at = data.index(struct.pack("<HHI", 0x0103, 3, 1)) + 8
-        struct.pack_into("<H", data, at, 5)  # LZW
-        with pytest.raises(TiffError, match="compression 5"):
+        struct.pack_into("<H", data, at, 7)  # JPEG-in-TIFF
+        with pytest.raises(TiffError, match="compression 7"):
             decode_tiff(bytes(data))
 
     def test_strip_out_of_range(self):
@@ -118,12 +118,12 @@ class TestNegatives:
 class TestTiffTwin:
     @pytest.mark.parametrize("doc_id", [0, 1, 5, 42, 1003])
     def test_closed_forms(self, doc_id):
-        for k in range(4):
+        for k in range(5):
             t = decode_tiff(build_tiff(doc_id, k))
             mode, w, h, nc = tiff_geometry(doc_id, k)
             assert (t.width, t.height, t.n_components) == (w, h, nc)
             assert np.array_equal(t.planes, tiff_pixels(doc_id, k)), (doc_id, k)
-            assert t.compression == {0: 1, 1: 1, 2: 4, 3: 32773}[mode]
+            assert t.compression == {0: 1, 1: 1, 2: 4, 3: 32773, 4: 5}[mode]
 
     def test_five_format_sniff(self, spark):
         """TIFF joins jpeg/png/gif/bmp in the ONE-column mixed decode."""
@@ -171,3 +171,36 @@ class TestExif:
         got = exif_from_jpeg(build_jpeg_exif(9, 1))
         num, den = got["exposure"].split("/")
         assert int(num) == 1 and int(den) % 8 == 0
+
+
+class TestLzw:
+    """Compression 5 (TIFF LZW, the PDF engine reused) + Predictor 2."""
+
+    @pytest.mark.parametrize("bo,rps", [("<", None), (">", 5)])
+    def test_roundtrip(self, bo, rps):
+        g = _rng().randint(0, 256, (13, 17)).astype(np.uint8)
+        t = decode_tiff(
+            encode_tiff(g, compression=5, byte_order=bo, rows_per_strip=rps)
+        )
+        assert np.array_equal(t.planes[:, :, 0], g) and t.compression == 5
+
+    def test_rgb_predictor_per_channel(self):
+        c = _rng().randint(0, 256, (9, 6, 3)).astype(np.uint8)
+        t = decode_tiff(encode_tiff(c, compression=5))
+        assert np.array_equal(t.planes, c)
+
+    def test_predictor_compresses_gradients(self):
+        grad = np.tile(np.arange(200, dtype=np.uint8), (50, 1))
+        enc = encode_tiff(grad, compression=5)
+        assert len(enc) < grad.size // 3  # differencing makes LZW bite
+        assert np.array_equal(decode_tiff(enc).planes[:, :, 0], grad)
+
+    def test_lzw_underflow_typed(self):
+        g = _rng().randint(0, 256, (8, 8)).astype(np.uint8)
+        data = bytearray(encode_tiff(g, compression=5))
+        # shrink the single strip's byte count: decode yields too few
+        at = data.index(struct.pack("<HHI", 0x0117, 4, 1)) + 8
+        (cnt,) = struct.unpack_from("<I", data, at)
+        struct.pack_into("<I", data, at, cnt // 2)
+        with pytest.raises(TiffError):
+            decode_tiff(bytes(data))
