@@ -3644,6 +3644,62 @@ def q85_sql():
     """
 
 
+def q87_docx_text(spark, sf_dir):
+    """Office-document text extraction — OOXML (Word) packages opened
+    by the from-scratch ZIP reader (kernel/zipread.py: central-
+    directory truth, CRC-verified, stored AND deflate members cycling
+    by doc parity) and their WordprocessingML tokenized by the SAX
+    kernel itself: run concatenation across <w:t> boundaries
+    (xml:space-preserved spaces survive), <w:tab/>/<w:br/> content
+    marks become literal tab/newline, paragraph ordinals from a
+    running <w:p> count. One row per paragraph; the oracle reproduces
+    the EXTRACTED text closed forms in pure SQL — a drift anywhere in
+    ZIP walk → member decompress → tokenize → structural pairing
+    hash-fails. Plan: row-local unzip, ONE doc-partitioned exchange
+    (window + same-key groupBy), no joins."""
+    from ..operators.metadata import extract_docx_paragraphs  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.docxgen import build_docx  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "docx": []}
+            for did in pdf["doc_id"]:
+                out["doc_id"].append(int(did))
+                out["docx"].append(build_docx(int(did)))
+            yield pd.DataFrame(out)
+
+    pkgs = d.select("doc_id").mapInPandas(render, schema="doc_id long, docx binary")
+    paras = extract_docx_paragraphs(pkgs, docx_col="docx", id_cols=("doc_id",))
+    return paras.orderBy("doc_id", "para_idx")
+
+
+def q87_sql():
+    # mirrors docxgen closed forms: 'Para i of doc d%1000', odd paras
+    # append \t + 'tabbed i', the LAST appends \n + 'after break'.
+    return """
+    WITH paras AS (
+      SELECT d.doc_id, i.range AS i, 1 + d.doc_id % 4 AS n
+      FROM documents d, range(4) i
+      WHERE i.range < 1 + d.doc_id % 4
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS para_idx,
+           'Para ' || i || ' of doc ' || (doc_id % 1000) ||
+             CASE WHEN i % 2 = 1 THEN chr(9) || 'tabbed ' || i ELSE '' END ||
+             CASE WHEN i = n - 1 THEN chr(10) || 'after break' ELSE '' END
+             AS text
+    FROM paras
+    ORDER BY doc_id, para_idx
+    """
+
+
 def q86_exif_metadata(spark, sf_dir):
     """Camera-metadata extraction — the EXIF APP1 segment (an embedded
     TIFF IFD pair, walked by the same from-scratch IFD engine as q85)
@@ -5213,6 +5269,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q87_docx_text": q87_docx_text,
     "q86_exif_metadata": q86_exif_metadata,
     "q85_tiff_decode_stats": q85_tiff_decode_stats,
     "q84_mixed_captions": q84_mixed_captions,
@@ -5254,8 +5311,8 @@ QUERIES = {
     "q05_customers_without_orders": q05_customers_without_orders,
     "q06_rollup_revenue": q06_rollup_revenue,
     "q07_top_parts": q07_top_parts,
-    "q08_scalar_functions": q08_scalar_functions,
     "q33_bpe_tokens": q33_bpe_tokens,
+    "q08_scalar_functions": q08_scalar_functions,
     "q34_ann_int_lsh": q34_ann_int_lsh,
     "q52_warc_revisit_resolve": q52_warc_revisit_resolve,
     "q44_host_politeness": q44_host_politeness,
@@ -5388,6 +5445,7 @@ ORACLES = {
     "q84_mixed_captions": q84_sql(),
     "q85_tiff_decode_stats": q85_sql(),
     "q86_exif_metadata": q86_sql(),
+    "q87_docx_text": q87_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

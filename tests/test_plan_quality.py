@@ -475,3 +475,15 @@ def test_q83_xmp_metadata_plan(spark):
     assert "Join" not in plan, plan[:3000]
     keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert keys.count("doc_id") == 1, (keys, plan[:3000])
+
+
+def test_q87_docx_text_plan(spark):
+    """OOXML text extraction: row-local unzip + tokenize stages, then
+    ONE doc_id hash exchange shared by the window and the per-paragraph
+    groupBy; join-free."""
+    from sax_wasm_spark.plans.queries import q87_docx_text
+
+    plan = plan_of(q87_docx_text(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert keys.count("doc_id") == 1, (keys, plan[:3000])

@@ -1,0 +1,118 @@
+"""ZIP reader (kernel/zipread.py) and the OOXML/DOCX tier behind q87:
+central-directory truth, CRC verification, stdlib interop in both
+directions, typed rejections, and the docxgen twin's closed forms."""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+import pytest
+
+from sax_wasm_spark.kernel.zipread import (
+    ZipError,
+    zip_entries,
+    zip_find,
+    zip_read,
+    zip_write,
+)
+from sax_wasm_spark.sources.docxgen import (
+    build_docx,
+    docx_document_xml,
+    docx_para_text,
+    n_docx_paras,
+)
+
+MEMBERS = [
+    ("a.txt", b"hello world"),
+    ("dir/b.xml", b"<x>" + b"data" * 500 + b"</x>"),
+    ("empty", b""),
+]
+
+
+class TestZip:
+    @pytest.mark.parametrize("deflate", [True, False])
+    def test_roundtrip_and_stdlib_reads_ours(self, deflate):
+        blob = zip_write(MEMBERS, deflate=deflate)
+        assert [e.name for e in zip_entries(blob)] == [m[0] for m in MEMBERS]
+        for e, (_nm, body) in zip(zip_entries(blob), MEMBERS):
+            assert zip_read(blob, e) == body
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        for nm, body in MEMBERS:
+            assert zf.read(nm) == body
+
+    def test_we_read_stdlib(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for nm, body in MEMBERS:
+                zf.writestr(nm, body)
+        blob = buf.getvalue()
+        for nm, body in MEMBERS:
+            assert zip_find(blob, nm) == body
+
+    def test_trailing_comment_eocd_scan(self):
+        blob = zip_write(MEMBERS) + b"\x00" * 100  # junk after EOCD? no—
+        # a REAL comment: patch the EOCD comment length instead
+        base = zip_write(MEMBERS)
+        data = bytearray(base + b"x" * 40)
+        struct.pack_into("<H", data, len(base) - 2, 40)
+        assert zip_find(bytes(data), "a.txt") == b"hello world"
+        del blob
+
+    def test_missing_member_typed(self):
+        with pytest.raises(ZipError, match="not found"):
+            zip_find(zip_write(MEMBERS), "nope")
+
+    def test_not_a_zip_typed(self):
+        with pytest.raises(ZipError):
+            zip_entries(b"PK\x03\x04 but no central directory")
+
+    def test_crc_mismatch_typed(self):
+        blob = bytearray(zip_write(MEMBERS, deflate=False))
+        at = blob.index(b"hello world")
+        blob[at] = ord("H")
+        entries = zip_entries(bytes(blob))
+        with pytest.raises(ZipError, match="CRC"):
+            zip_read(bytes(blob), entries[0])
+
+    def test_encrypted_rejected(self):
+        blob = bytearray(zip_write(MEMBERS))
+        # set the encryption bit in the first CD entry's flags
+        at = blob.index(b"PK\x01\x02") + 8
+        struct.pack_into("<H", blob, at, 0x0801)
+        with pytest.raises(ZipError, match="encrypted"):
+            zip_entries(bytes(blob))
+
+    def test_cd_is_authoritative_over_local(self):
+        """Smuggled local-header sizes must not matter: only name/extra
+        lengths are read from the local header."""
+        blob = bytearray(zip_write(MEMBERS, deflate=False))
+        at = blob.index(b"PK\x03\x04") + 18  # local compressed size
+        struct.pack_into("<I", blob, at, 3)  # lie
+        assert zip_find(bytes(blob), "a.txt") == b"hello world"
+
+
+class TestDocxTwin:
+    @pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7, 1003])
+    def test_closed_forms_via_stdlib_unzip(self, doc_id):
+        """The package is REAL: stdlib zipfile extracts it and the
+        document.xml matches the generator's XML."""
+        zf = zipfile.ZipFile(io.BytesIO(build_docx(doc_id)))
+        assert set(zf.namelist()) == {
+            "[Content_Types].xml", "_rels/.rels", "word/document.xml",
+        }
+        assert zf.read("word/document.xml") == docx_document_xml(doc_id)
+
+    def test_para_text_forms(self):
+        # paragraph text: base + tab-extension on odd + break on last
+        assert docx_para_text(2, 0) == "Para 0 of doc 2"
+        assert docx_para_text(3, 1) == "Para 1 of doc 3\ttabbed 1"
+        n = n_docx_paras(7)
+        assert docx_para_text(7, n - 1).endswith("\nafter break")
+
+    def test_zip_method_cycles_by_parity(self):
+        even = zip_entries(build_docx(2))
+        odd = zip_entries(build_docx(3))
+        assert all(e.method == 8 for e in even)
+        assert all(e.method == 0 for e in odd)
