@@ -125,16 +125,20 @@ def zip_find(data: bytes, name: str) -> bytes:
     raise ZipError(f"member {name!r} not found")
 
 
-def zip_write(members: list[tuple[str, bytes]], deflate: bool = True) -> bytes:
+def zip_write(members: list, deflate: bool = True) -> bytes:
     """Minimal writer twin: stored or deflate members + one central
     directory. Deterministic (fixed timestamps) so corpora are
-    byte-stable."""
+    byte-stable. Members are ``(name, body)`` pairs, or
+    ``(name, body, deflate_override)`` triples for per-member control
+    (EPUB's ``mimetype`` must be STORED regardless of the default)."""
     out = bytearray()
     cd = bytearray()
-    for name, body in members:
+    for member in members:
+        name, body = member[0], member[1]
+        use_deflate = member[2] if len(member) > 2 else deflate
         nb = name.encode("utf-8")
         crc = zlib.crc32(body) & 0xFFFFFFFF
-        if deflate:
+        if use_deflate:
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             blob = comp.compress(body) + comp.flush()
             method = 8

@@ -550,3 +550,118 @@ def extract_docx_paragraphs(
         )
         .select(*ids, F.col("para_ord").cast("int").alias("para_idx"), "text")
     )
+
+
+def _xml_elements(data: bytes):
+    """Row-local mini-walk over kernel events: yields (tag_name,
+    {attr: value}) per OpenTag — the kernel emits an element's
+    Attribute events immediately before its OpenTag, so one pending
+    dict pairs them exactly (the q61 ordering fact, in-process)."""
+    from ..kernel.collect import parse_events  # noqa: PLC0415
+
+    pending: dict[str, str] = {}
+    mask = (1 << _EV_ATTRIBUTE) | (1 << _EV_OPEN)
+    for row in parse_events(data, events=mask):
+        code = row[0]
+        if code == _EV_ATTRIBUTE:
+            pending[row[4].decode("utf-8", "replace")] = row[5].decode(
+                "utf-8", "replace"
+            )
+        elif code == _EV_OPEN:
+            yield row[2], pending
+            pending = {}
+
+
+def epub_spine(data: bytes) -> list[tuple[int, str, bytes]]:
+    """Resolve an EPUB package to its reading order:
+    [(spine_idx, chapter_path, xhtml_bytes)]. The kernel parses BOTH
+    package-metadata layers — META-INF/container.xml (rootfile
+    full-path) and the OPF (manifest id→href, spine idref order);
+    chapter hrefs resolve relative to the OPF directory. Typed
+    ZipError/ValueError for structural breakage."""
+    from ..kernel.zipread import zip_find  # noqa: PLC0415
+
+    container = zip_find(data, "META-INF/container.xml")
+    opf_path = None
+    for name, attrs in _xml_elements(container):
+        if name == "rootfile" and "full-path" in attrs:
+            opf_path = attrs["full-path"]
+            break
+    if opf_path is None:
+        raise ValueError("container.xml has no rootfile")
+    opf_dir = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    manifest: dict[str, str] = {}
+    spine: list[str] = []
+    for name, attrs in _xml_elements(zip_find(data, opf_path)):
+        if name == "item" and "id" in attrs and "href" in attrs:
+            manifest[attrs["id"]] = attrs["href"]
+        elif name == "itemref" and "idref" in attrs:
+            spine.append(attrs["idref"])
+    if not spine:
+        raise ValueError("OPF has an empty spine")
+    out = []
+    for s, idref in enumerate(spine):
+        href = manifest.get(idref)
+        if href is None:
+            raise ValueError(f"spine idref {idref!r} not in manifest")
+        path = opf_dir + href
+        out.append((s, path, zip_find(data, path)))
+    return out
+
+
+def extract_epub_chapters(
+    packages: DataFrame,
+    epub_col: str = "epub",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """packages(id…, epub:binary) → one row per SPINE entry:
+    (id…, spine_idx, path, title, text) — ebook main-content
+    extraction: the ZIP reader opens the package, the SAX kernel
+    parses container.xml + OPF (manifest/spine indirection — reading
+    order is the spine's, NOT the archive's), and each chapter runs
+    through the SAME main-content classifier as the web corpus
+    (boilerplate stripped, title from <title>). Unreadable packages
+    are dropped by the resolve stage (typed reasons in executor
+    logs). Scale shape: two row-local stages + the extractor's
+    mapInArrow — zero shuffles in this operator itself."""
+    from .extract import extract_main_content  # noqa: PLC0415
+
+    ids = list(id_cols)
+
+    def resolve(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..kernel.zipread import ZipError  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {c: [] for c in (*ids, "spine_idx", "path", "url", "html")}
+            for row in range(len(pdf)):
+                data = pdf[epub_col].iloc[row]
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    chapters = epub_spine(data or b"")
+                except (ZipError, ValueError):
+                    continue
+                for s, path, xhtml in chapters:
+                    for c in ids:
+                        out[c].append(pdf[c].iloc[row])
+                    out["spine_idx"].append(s)
+                    out["path"].append(path)
+                    out["url"].append(f"epub:{row}:{s}")
+                    out["html"].append(xhtml)
+            yield pd.DataFrame(out)
+
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in [packages.schema[c] for c in ids]
+    )
+    pages = packages.select(*ids, epub_col).mapInPandas(
+        resolve,
+        schema=f"{id_schema}, spine_idx int, path string, url string, html binary",
+    )
+    ex = extract_main_content(
+        pages, html_col="html", url_col="url",
+        passthrough=(*ids, "spine_idx", "path"),
+    )
+    return ex.select(*ids, "spine_idx", "path", "title", "text")

@@ -116,3 +116,71 @@ class TestDocxTwin:
         odd = zip_entries(build_docx(3))
         assert all(e.method == 8 for e in even)
         assert all(e.method == 0 for e in odd)
+
+
+class TestEpub:
+    """EPUB package resolution + chapter extraction (q88)."""
+
+    @pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 1001])
+    def test_spine_rotation(self, doc_id):
+        from sax_wasm_spark.operators.metadata import epub_spine
+        from sax_wasm_spark.sources.epubgen import (
+            build_epub,
+            chapter_text,
+            n_chapters,
+            spine_chapter,
+        )
+
+        chapters = epub_spine(build_epub(doc_id))
+        assert len(chapters) == n_chapters(doc_id)
+        for s, path, xhtml in chapters:
+            j = spine_chapter(doc_id, s)
+            assert path == f"OEBPS/ch{j}.xhtml"
+            assert chapter_text(doc_id, j).encode() in xhtml
+
+    def test_mimetype_stored_first(self):
+        from sax_wasm_spark.sources.epubgen import build_epub
+
+        data = build_epub(4)
+        entries = zip_entries(data)
+        assert entries[0].name == "mimetype" and entries[0].method == 0
+        # spec: the stored mimetype's BYTES start at a fixed offset (30
+        # + len('mimetype')) so magic-sniffers can read it raw
+        assert data[38:58] == b"application/epub+zip"
+
+    def test_stdlib_reads_the_package(self):
+        import io
+        import zipfile
+
+        from sax_wasm_spark.sources.epubgen import build_epub, content_opf
+
+        zf = zipfile.ZipFile(io.BytesIO(build_epub(5)))
+        assert zf.read("mimetype") == b"application/epub+zip"
+        assert zf.read("OEBPS/content.opf") == content_opf(5)
+
+    def test_broken_spine_typed(self):
+        from sax_wasm_spark.operators.metadata import epub_spine
+        from sax_wasm_spark.sources.epubgen import (
+            _CONTAINER,
+            chapter_xhtml,
+            content_opf,
+        )
+
+        opf = content_opf(2).replace(b'idref="ch', b'idref="zz', 1)
+        data = zip_write(
+            [
+                ("mimetype", b"application/epub+zip", False),
+                ("META-INF/container.xml", _CONTAINER.encode()),
+                ("OEBPS/content.opf", opf),
+                ("OEBPS/ch0.xhtml", chapter_xhtml(2, 0)),
+            ]
+        )
+        with pytest.raises(ValueError, match="not in manifest"):
+            epub_spine(data)
+
+    def test_missing_container_typed(self):
+        from sax_wasm_spark.kernel.zipread import ZipError
+        from sax_wasm_spark.operators.metadata import epub_spine
+
+        with pytest.raises(ZipError):
+            epub_spine(zip_write([("a", b"b")]))
