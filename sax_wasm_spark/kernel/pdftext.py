@@ -341,13 +341,15 @@ def _parse_value(lex: _Lexer, tok=None):
 # filters
 
 
-def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+def _lzw_decode(data: bytes, early: int = 1, max_out: int | None = None) -> bytes:
     """LZWDecode per ISO 32000-1 §7.4.4: MSB-first bit packing, variable
     code width 9→12 bits, 256 = ClearTable, 257 = EOD, /EarlyChange
     (default 1) widens the code one entry before the table fills. The
     inverse encoder lives in sources/pdfgen.py (``lzw_encode``); the pair
     is round-trip-property-tested and checked against the spec's own
-    worked example (tests/test_pdf.py)."""
+    worked example (tests/test_pdf.py). ``max_out`` bounds hostile
+    expansion: output past it raises DURING decode, not after — the
+    TIFF strip path passes its known expected size."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -381,6 +383,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             else:
                 raise PdfError("bad LZW code")
             out += entry
+            if max_out is not None and len(out) > max_out:
+                raise PdfError(f"LZW output exceeds max_out={max_out}")
             prev = entry
             if len(table) + early >= (1 << width) and width < 12:
                 width += 1

@@ -170,7 +170,9 @@ def decode_tiff(data: bytes, max_pixels: int = 1 << 24) -> TiffImage:
     photo = _scalar(entries, _T_PHOTOMETRIC, 1)
     spp = _scalar(entries, _T_SAMPLES_PER_PIXEL, 1)
     bits_e = entries.get(_T_BITS)
-    bits = bits_e[1] if bits_e else (1 if photo in (0, 1) else (8,) * spp)
+    bits = bits_e[1] if bits_e else ((1,) if photo in (0, 1) else (8,) * spp)
+    if not bits:
+        raise TiffError("empty BitsPerSample")
     if photo == 2:
         if spp != 3 or any(b != 8 for b in bits):
             raise TiffError("RGB supports 8-bit 3-sample only")
@@ -224,7 +226,8 @@ def decode_tiff(data: bytes, max_pixels: int = 1 << 24) -> TiffImage:
             from .pdftext import PdfError, _lzw_decode  # noqa: PLC0415
 
             try:
-                blob = _lzw_decode(blob)
+                # max_out bounds hostile expansion BEFORE the size check
+                blob = _lzw_decode(blob, max_out=row_bytes * n_rows + 1)
             except PdfError as e:
                 raise TiffError(f"strip {s}: {e}") from e
             if len(blob) < row_bytes * n_rows:
@@ -283,6 +286,8 @@ def parse_exif(tiff_blob: bytes) -> dict:
     {make, model, orientation, datetime, exposure, iso, pixel_x,
     pixel_y} (missing keys absent). RATIONALs come back as 'num/den'
     strings — exact, SQL-reproducible wire truth."""
+    if len(tiff_blob) < 8:
+        raise TiffError("truncated EXIF TIFF header")
     bo = _byte_order(tiff_blob)
     magic, first = struct.unpack_from(bo + "HI", tiff_blob, 2)
     if magic != 42:
@@ -312,13 +317,25 @@ def exif_from_jpeg(data: bytes) -> dict | None:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise TiffError("not a JPEG")
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise TiffError("bad JPEG marker chain")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xDA:  # SOS: no EXIF past here
             return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            break
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        if seg_len < 2:
+            raise TiffError("bad JPEG segment length")
         body = data[pos + 4 : pos + 2 + seg_len]
         if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
             return parse_exif(body[6:])
@@ -363,15 +380,15 @@ def encode_tiff(
     photometric: int | None = None,
     rows_per_strip: int | None = None,
     byte_order: str = "<",
-    extra_ifd0: "dict[int, tuple[int, tuple]] | None" = None,
 ) -> bytes:
     """Encode (h, w) gray / (h, w, 1) / (h, w, 3) uint8 pixels as a
     strip-organized TIFF — the writer twin. ``compression``: 1 (none),
     4 (CCITT G4 — input must be bilevel 0/255), 32773 (PackBits).
     ``photometric`` defaults to 1 (BlackIsZero) for gray, 2 for RGB;
     pass 0 to invert the wire sense. Compression 5 (LZW) always writes
-    horizontal Predictor 2 — the real-crawl pairing. ``extra_ifd0``
-    splices extra pre-encoded IFD entries (the EXIF twin uses this)."""
+    horizontal Predictor 2 — the real-crawl pairing. (The EXIF twin
+    hand-rolls its two-IFD blob in sources/imagegen.py — EXIF needs a
+    chained sub-IFD this single-IFD writer deliberately can't.)"""
     from .ccittcodec import encode_g4  # noqa: PLC0415
 
     px = np.asarray(planes, dtype=np.uint8)
@@ -435,9 +452,6 @@ def encode_tiff(
     }
     if compression == 5:
         entries[_T_PREDICTOR] = (3, (2,))
-    if extra_ifd0:
-        entries.update(extra_ifd0)
-
     # layout: header(8) + IFD + values + strips
     n_entries = len(entries) + 2  # + StripOffsets + StripByteCounts
     ifd_off = 8

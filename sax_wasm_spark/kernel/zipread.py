@@ -103,7 +103,13 @@ def zip_read(data: bytes, entry: ZipEntry) -> bytes:
         out = blob
     elif entry.method == 8:
         try:
-            out = zlib.decompress(blob, -15, entry.uncomp_size + 1)
+            # decompressobj honors max_length (zlib.decompress's third
+            # arg is only the INITIAL buffer size — a bomb would fully
+            # inflate before any size check)
+            d = zlib.decompressobj(-15)
+            out = d.decompress(blob, entry.uncomp_size + 1)
+            if len(out) > entry.uncomp_size:
+                raise ZipError(f"{entry.name}: inflates past declared size")
         except zlib.error as e:
             raise ZipError(f"{entry.name}: deflate failed ({e})") from e
     else:

@@ -577,11 +577,20 @@ def epub_spine(data: bytes) -> list[tuple[int, str, bytes]]:
     [(spine_idx, chapter_path, xhtml_bytes)]. The kernel parses BOTH
     package-metadata layers — META-INF/container.xml (rootfile
     full-path) and the OPF (manifest id→href, spine idref order);
-    chapter hrefs resolve relative to the OPF directory. Typed
+    chapter hrefs resolve relative to the OPF directory; the central
+    directory is parsed ONCE per package (name→entry dict). Typed
     ZipError/ValueError for structural breakage."""
-    from ..kernel.zipread import zip_find  # noqa: PLC0415
+    from ..kernel.zipread import ZipError, zip_entries, zip_read  # noqa: PLC0415
 
-    container = zip_find(data, "META-INF/container.xml")
+    by_name = {e.name: e for e in zip_entries(data)}
+
+    def member(name: str) -> bytes:
+        e = by_name.get(name)
+        if e is None:
+            raise ZipError(f"member {name!r} not found")
+        return zip_read(data, e)
+
+    container = member("META-INF/container.xml")
     opf_path = None
     for name, attrs in _xml_elements(container):
         if name == "rootfile" and "full-path" in attrs:
@@ -592,7 +601,7 @@ def epub_spine(data: bytes) -> list[tuple[int, str, bytes]]:
     opf_dir = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
     manifest: dict[str, str] = {}
     spine: list[str] = []
-    for name, attrs in _xml_elements(zip_find(data, opf_path)):
+    for name, attrs in _xml_elements(member(opf_path)):
         if name == "item" and "id" in attrs and "href" in attrs:
             manifest[attrs["id"]] = attrs["href"]
         elif name == "itemref" and "idref" in attrs:
@@ -605,7 +614,7 @@ def epub_spine(data: bytes) -> list[tuple[int, str, bytes]]:
         if href is None:
             raise ValueError(f"spine idref {idref!r} not in manifest")
         path = opf_dir + href
-        out.append((s, path, zip_find(data, path)))
+        out.append((s, path, member(path)))
     return out
 
 

@@ -1033,7 +1033,15 @@ def extract_exif(
                     out["status"].append("no_exif")
                     continue
                 for col in field_cols:
-                    out[col].append(exif.get(key_of[col]))
+                    v = exif.get(key_of[col])
+                    # hostile wire TYPES (a RATIONAL orientation, a
+                    # SHORT ExposureTime) must not poison the Arrow
+                    # batch: enforce the schema per value
+                    if col in ("orientation", "iso", "pixel_x", "pixel_y"):
+                        v = v if isinstance(v, int) else None
+                    else:
+                        v = v if isinstance(v, str) else None
+                    out[col].append(v)
                 out["status"].append("ok")
             yield pd.DataFrame(out)
 

@@ -4891,7 +4891,7 @@ def q72_sql():
       FROM documents d, range(4) k
       WHERE k.range < 1 + d.doc_id % 4
     ), geom AS (
-      SELECT doc_id, k, (doc_id + k) % 5 AS mode,
+      SELECT doc_id, k, k % 4 AS mode,
              8 * (2 + (doc_id + 7*k) % 5) AS width,
              8 * (1 + (2*doc_id + 11*k) % 5) AS height,
              CASE k % 4 WHEN 0 THEN 1 WHEN 3 THEN 4 ELSE 3 END AS nc

@@ -204,3 +204,58 @@ class TestLzw:
         struct.pack_into("<I", data, at, cnt // 2)
         with pytest.raises(TiffError):
             decode_tiff(bytes(data))
+
+
+class TestReviewFixes:
+    """Second round-7 review pass findings, pinned."""
+
+    def test_default_bits_per_sample(self):
+        """A spec-valid bilevel TIFF may OMIT BitsPerSample (default 1)
+        — must decode, and must raise TiffError (not TypeError) deeper."""
+        b = np.where(_rng().rand(8, 16) < 0.5, 0, 255).astype(np.uint8)
+        data = bytearray(encode_tiff(b, compression=4, photometric=0))
+        # retag the BitsPerSample entry to an unknown private tag so
+        # the walker ignores it (absolute offsets stay intact)
+        at = data.index(struct.pack("<HH", 0x0102, 3))
+        struct.pack_into("<H", data, at, 0x9999)
+        t = decode_tiff(bytes(data))
+        assert np.array_equal(t.planes[:, :, 0], b)
+
+    def test_truncated_exif_header_typed(self):
+        with pytest.raises(TiffError, match="truncated"):
+            parse_exif(b"II")
+
+    def test_jpeg_fill_bytes_tolerated(self):
+        """T.81 permits 0xFF fill bytes before markers — EXIF must
+        still be found."""
+        data = build_jpeg_exif(4, 0)
+        spliced = data[:2] + b"\xff" + data[2:]  # fill before APP1
+        assert exif_from_jpeg(spliced) == exif_closed_fields(4, 0)
+
+    def test_lzw_expansion_capped(self):
+        """A strip whose LZW stream inflates past the declared pixel
+        volume dies with a typed error DURING decode."""
+        g = _rng().randint(0, 256, (20, 100)).astype(np.uint8)
+        data = bytearray(encode_tiff(g, compression=5))
+        # shrink the claimed height so the expected output is tiny
+        at = data.index(struct.pack("<HHI", 0x0101, 4, 1)) + 8
+        struct.pack_into("<I", data, at, 2)
+        with pytest.raises(TiffError):
+            decode_tiff(bytes(data))
+
+    def test_exif_hostile_types_degrade(self, spark):
+        """A RATIONAL orientation must become an error-free NULL, not
+        an Arrow batch failure."""
+        import struct as _s
+
+        from sax_wasm_spark.operators.multimodal import extract_exif
+
+        data = bytearray(build_jpeg_exif(6, 0))  # little-endian EXIF
+        at = data.index(_s.pack("<HH", 0x0112, 3))
+        _s.pack_into("<HH", data, at, 0x0112, 5)  # orientation → RATIONAL
+        rows = [(0, 0, bytes(data)), (1, 0, build_jpeg_exif(7, 0))]
+        df = spark.createDataFrame(rows, "doc_id long, img_idx int, jpeg binary")
+        got = {r.doc_id: r for r in extract_exif(df).collect()}
+        assert got[0].status == "ok" and got[0].orientation is None
+        assert got[0].make == "Cam6"
+        assert got[1].orientation == exif_closed_fields(7, 0)["orientation"]

@@ -184,3 +184,37 @@ class TestEpub:
 
         with pytest.raises(ZipError):
             epub_spine(zip_write([("a", b"b")]))
+
+
+class TestReviewFixes:
+    def test_deflate_bomb_capped(self):
+        """A member whose deflate stream inflates past the declared
+        uncompressed size dies typed WITHOUT full inflation."""
+        import zlib
+
+        bomb = zlib.compressobj(9, zlib.DEFLATED, -15)
+        payload = bomb.compress(b"\x00" * (1 << 22)) + bomb.flush()
+        blob = bytearray(zip_write([("a", b"tiny")], deflate=True))
+        # graft the bomb in place of the real member data, keep CD sizes
+        entries = zip_entries(bytes(blob))
+        e = entries[0]
+        # rebuild: local header + name + bomb, CD claiming tiny sizes
+        import struct as _s
+
+        local_end = blob.index(b"PK\x01\x02")
+        head = bytes(blob[: 30 + 1])  # local header + name 'a'
+        cd = bytes(blob[local_end:])
+        out = bytearray(head) + payload
+        cd_off = len(out)
+        out += cd
+        # patch local+CD comp_size to the bomb's size, EOCD cd offset
+        _s.pack_into("<I", out, 18, len(payload))
+        cd_at = out.index(b"PK\x01\x02")
+        _s.pack_into("<I", out, cd_at + 20, len(payload))
+        eocd_at = out.rindex(b"PK\x05\x06")
+        _s.pack_into("<I", out, eocd_at + 16, cd_off)
+        entry = zip_entries(bytes(out))[0]
+        assert entry.comp_size == len(payload) and entry.uncomp_size == 4
+        with pytest.raises(ZipError):
+            zip_read(bytes(out), entry)
+        del e
