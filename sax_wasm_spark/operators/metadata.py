@@ -674,3 +674,156 @@ def extract_epub_chapters(
         passthrough=(*ids, "spine_idx", "path"),
     )
     return ex.select(*ids, "spine_idx", "path", "title", "text")
+
+
+_FEED_TEXT_FIELDS = ("title", "pubDate", "updated", "guid", "id", "link")
+
+
+def parse_feed_items(
+    feeds: DataFrame,
+    xml_col: str = "xml",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """feeds(id…, xml:binary) → one row per item/entry:
+    (id…, item_idx, fmt, title, link, published, entry_id) — the third
+    crawl-frontier channel (after robots and sitemaps), parsed by the
+    SAX kernel. BOTH wire shapes in one operator: RSS 2.0 (item text
+    elements: title/link/pubDate/guid) and Atom (entry elements with
+    the link as an ``href`` ATTRIBUTE on a void <link/> — paired via
+    the tag-count ``grp`` trick, q61's ordering fact). Channel/feed-
+    level title+link+date precede the first item so their
+    ``item_ord`` is -1 and they drop out. Scale shape: ONE
+    id-partitioned window; the groupBy keys on (id…, item_ord) whose
+    prefix is the window's partition key — a single shuffle."""
+    ids = list(id_cols)
+    ev = tokenize_events(
+        feeds.select(*ids, xml_col),
+        html_col=xml_col,
+        id_cols=tuple(ids),
+        events=_MASK,
+        positions=False,
+    )
+    w_prev = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_tag = F.col("event").isin(_EV_OPEN, _EV_CLOSE).cast("int")
+    staged = ev.select(
+        *ids,
+        "event",
+        "event_idx",
+        "name",
+        F.col("value").cast("string").alias("text"),
+        F.col("attr_name").cast("string").alias("attr_name"),
+        F.col("attr_value").cast("string").alias("attr_value"),
+        F.coalesce(F.sum(is_tag).over(w_prev), F.lit(0)).alias("grp"),
+        (
+            F.sum(
+                (
+                    (F.col("event") == _EV_OPEN)
+                    & F.col("name").isin("item", "entry")
+                ).cast("int")
+            ).over(w_run)
+            - 1
+        ).alias("item_ord"),
+        F.first(
+            F.when(
+                (F.col("event") == _EV_OPEN)
+                & F.col("name").isin("rss", "feed"),
+                F.when(F.col("name") == "rss", F.lit("rss")).otherwise(
+                    F.lit("atom")
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w_run).alias("fmt"),
+        F.last(
+            F.when(
+                F.col("event").isin(_EV_OPEN, _EV_CLOSE),
+                F.struct(F.col("event").alias("e"), F.col("name").alias("n")),
+            ),
+            ignorenulls=True,
+        ).over(w_prev).alias("lt"),
+    )
+    # the href carry references grp, which the select above computes —
+    # stage first, then carry (same-select aliases can't be referenced)
+    carried = staged.select(
+        *ids,
+        "event",
+        "event_idx",
+        "name",
+        "text",
+        "item_ord",
+        "fmt",
+        "lt",
+        "grp",
+        F.last(
+            F.when(
+                (F.col("event") == _EV_ATTRIBUTE)
+                & (F.col("attr_name") == "href"),
+                F.struct(F.col("grp").alias("g"), F.col("attr_value").alias("v")),
+            ),
+            ignorenulls=True,
+        ).over(w_run).alias("href"),
+    )
+    # contributions: (kind, value) per row
+    kind = (
+        F.when(
+            (F.col("event") == _EV_TEXT)
+            & (F.col("lt")["e"] == _EV_OPEN)
+            & F.col("lt")["n"].isin(*_FEED_TEXT_FIELDS),
+            F.col("lt")["n"],
+        )
+        .when(
+            (F.col("event") == _EV_OPEN)
+            & (F.col("name") == "link")
+            & (F.col("href")["g"] == F.col("grp")),
+            F.lit("href"),
+        )
+    )
+    val = F.when(F.col("event") == _EV_TEXT, F.col("text")).otherwise(
+        F.col("href")["v"]
+    )
+    frags = carried.select(
+        *ids, "event_idx", "item_ord", "fmt",
+        kind.alias("kind"), val.alias("val"),
+    ).where(F.col("kind").isNotNull() & (F.col("item_ord") >= 0))
+
+    def field(kinds: tuple[str, ...], alias: str):
+        picked = _ordered_fragments(F.col("kind").isin(*kinds), F.col("val"))
+        return F.try_element_at(picked, F.lit(1))["v"].alias(alias)
+
+    return (
+        frags.groupBy(*ids, "item_ord")
+        .agg(
+            F.max("fmt").alias("fmt"),
+            field(("title",), "title"),
+            # RSS: the <link> element's TEXT; Atom: the href attribute
+            F.coalesce(
+                F.try_element_at(
+                    _ordered_fragments(F.col("kind") == "href", F.col("val")),
+                    F.lit(1),
+                )["v"],
+                F.try_element_at(
+                    _ordered_fragments(F.col("kind") == "link", F.col("val")),
+                    F.lit(1),
+                )["v"],
+            ).alias("link"),
+            field(("pubDate", "updated"), "published"),
+            field(("guid", "id"), "entry_id"),
+        )
+        .select(
+            *ids,
+            F.col("item_ord").cast("int").alias("item_idx"),
+            "fmt",
+            "title",
+            "link",
+            "published",
+            "entry_id",
+        )
+    )

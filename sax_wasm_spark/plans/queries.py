@@ -3644,6 +3644,70 @@ def q85_sql():
     """
 
 
+def q89_feed_discovery(spark, sf_dir):
+    """Feed-based crawl discovery — the third frontier channel after
+    robots (q46) and sitemaps (q65/q66): every document publishes a
+    feed, RSS 2.0 on even doc_ids and Atom on odd, and ONE operator
+    parses both wire shapes off the SAX event stream — including the
+    structural split that matters (RSS links are element TEXT, Atom
+    links are an href ATTRIBUTE on a void <link/>, paired via the
+    tag-count grp trick). Channel/feed-level title+link+date are
+    in-corpus DECOYS that must drop out (they precede the first
+    item/entry). One row per item; the oracle reproduces titles,
+    links, dates and ids for both formats in pure SQL. ONE
+    doc-partitioned exchange (window + same-key groupBy), plan-gated.
+    """
+    from ..operators.metadata import parse_feed_items  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.feedgen import build_feed  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "xml": []}
+            for did in pdf["doc_id"]:
+                out["doc_id"].append(int(did))
+                out["xml"].append(build_feed(int(did)))
+            yield pd.DataFrame(out)
+
+    feeds = d.select("doc_id").mapInPandas(render, schema="doc_id long, xml binary")
+    items = parse_feed_items(feeds, xml_col="xml", id_cols=("doc_id",))
+    return items.orderBy("doc_id", "item_idx")
+
+
+def q89_sql():
+    # mirrors feedgen: fmt by parity, dd = 1 + (d+i)%28, hh = d%24.
+    return """
+    WITH items AS (
+      SELECT d.doc_id, i.range AS i,
+             1 + (d.doc_id + i.range) % 28 AS dd,
+             d.doc_id % 24 AS hh,
+             d.doc_id % 2 = 0 AS is_rss
+      FROM documents d, range(4) i
+      WHERE i.range < 1 + d.doc_id % 4
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS item_idx,
+           CASE WHEN is_rss THEN 'rss' ELSE 'atom' END AS fmt,
+           'Item ' || i || ' feed ' || (doc_id % 1000) AS title,
+           'https://h' || ((doc_id + i) % 7) || '.example.com/e/'
+             || (doc_id % 1000) || '-' || i AS link,
+           CASE WHEN is_rss
+                THEN printf('Mon, %02d Jan 2024 %02d:00:00 GMT', dd, hh)
+                ELSE printf('2024-01-%02dT%02d:00:00Z', dd, hh) END
+             AS published,
+           'urn:' || CASE WHEN is_rss THEN 'g' ELSE 'a' END || ':'
+             || (doc_id % 1000) || ':' || i AS entry_id
+    FROM items
+    ORDER BY doc_id, item_idx
+    """
+
+
 def q88_epub_chapters(spark, sf_dir):
     """Ebook extraction — the FULL chain: the ZIP reader opens the
     EPUB, the SAX kernel parses BOTH package-metadata layers
@@ -5331,6 +5395,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q89_feed_discovery": q89_feed_discovery,
     "q88_epub_chapters": q88_epub_chapters,
     "q87_docx_text": q87_docx_text,
     "q86_exif_metadata": q86_exif_metadata,
@@ -5510,6 +5575,7 @@ ORACLES = {
     "q86_exif_metadata": q86_sql(),
     "q87_docx_text": q87_sql(),
     "q88_epub_chapters": q88_sql(),
+    "q89_feed_discovery": q89_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

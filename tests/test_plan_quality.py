@@ -487,3 +487,15 @@ def test_q87_docx_text_plan(spark):
     assert "Join" not in plan, plan[:3000]
     keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert keys.count("doc_id") == 1, (keys, plan[:3000])
+
+
+def test_q89_feed_discovery_plan(spark):
+    """Feed parsing (both RSS and Atom in one operator): ONE doc_id
+    hash exchange shared by the window and the per-item groupBy,
+    join-free."""
+    from sax_wasm_spark.plans.queries import q89_feed_discovery
+
+    plan = plan_of(q89_feed_discovery(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert keys.count("doc_id") == 1, (keys, plan[:3000])

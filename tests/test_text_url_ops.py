@@ -307,3 +307,54 @@ def test_redact_pii_idempotent(spark_global, raw):
     ).collect()
     for r in rows:
         assert r.once == r.twice, raw
+
+
+class TestFeedParsing:
+    """q89's RSS/Atom operator: format split, attribute links, decoy
+    exclusion (kernel-level checks live in the oracle; these pin the
+    Spark-side edge cases)."""
+
+    def test_both_formats_and_decoys(self, spark):
+        from sax_wasm_spark.operators.metadata import parse_feed_items
+        from sax_wasm_spark.sources.feedgen import (
+            build_feed,
+            feed_item,
+            n_feed_items,
+        )
+
+        rows = [(d, build_feed(d)) for d in (2, 3)]
+        df = spark.createDataFrame(rows, "doc_id long, xml binary")
+        got = {(r.doc_id, r.item_idx): r for r in parse_feed_items(df).collect()}
+        assert len(got) == n_feed_items(2) + n_feed_items(3)  # no decoys
+        assert got[(2, 0)].fmt == "rss" and got[(3, 0)].fmt == "atom"
+        assert got[(3, 0)].link == feed_item(3, 0)["link"]  # href attr
+        assert got[(2, 0)].link == feed_item(2, 0)["link"]  # element text
+
+    def test_missing_fields_null(self, spark):
+        from sax_wasm_spark.operators.metadata import parse_feed_items
+
+        xml = (
+            b'<rss version="2.0"><channel>'
+            b"<item><title>only a title</title></item>"
+            b"</channel></rss>"
+        )
+        df = spark.createDataFrame([(0, xml)], "doc_id long, xml binary")
+        r = parse_feed_items(df).collect()[0]
+        assert r.title == "only a title"
+        assert r.link is None and r.published is None and r.entry_id is None
+
+    def test_stale_href_never_leaks(self, spark):
+        """An earlier element's href must not attach to a LATER <link>
+        that has no href of its own (the grp gate)."""
+        from sax_wasm_spark.operators.metadata import parse_feed_items
+
+        xml = (
+            b"<feed>"
+            b'<entry><link href="https://a/"/><title>A</title></entry>'
+            b"<entry><link/><title>B</title></entry>"
+            b"</feed>"
+        )
+        df = spark.createDataFrame([(0, xml)], "doc_id long, xml binary")
+        got = {r.item_idx: r for r in parse_feed_items(df).collect()}
+        assert got[0].link == "https://a/"
+        assert got[1].link is None
