@@ -827,3 +827,209 @@ def parse_feed_items(
             "entry_id",
         )
     )
+
+
+def extract_xlsx_cells(
+    packages: DataFrame,
+    xlsx_col: str = "xlsx",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """packages(id…, xlsx:binary) → one row per cell:
+    (id…, row_idx, col_idx, kind, value) — SpreadsheetML extraction
+    with the REAL shared-strings join: the sheet's cells and the
+    per-document string table are two separate members, tokenized in
+    ONE pass (the unzip stage emits (part, xml) rows for both), and
+    cells with ``t="s"`` resolve their <v> index against the string
+    table by an equi-join on (id…, index). Attribute pairing (r/t on
+    <c>) uses the tag-count grp trick; <v>/<is><t> text pairs by the
+    immediate-OpenTag rule scoped to the current cell ordinal. Scale
+    shape: one windowed exchange per part plus ONE co-partitioned
+    join keyed (id…, sst index) — shared strings are per-document, so
+    the join never crosses documents."""
+    ids = list(id_cols)
+
+    def unzip(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..kernel.zipread import ZipError, zip_find  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {c: [] for c in (*ids, "part", "xml")}
+            for row in range(len(pdf)):
+                data = pdf[xlsx_col].iloc[row]
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    sheet = zip_find(data or b"", "xl/worksheets/sheet1.xml")
+                except ZipError:
+                    continue
+                try:
+                    sst = zip_find(data, "xl/sharedStrings.xml")
+                except ZipError:
+                    sst = b"<sst/>"  # packages without shared strings
+                for part, xml in (("sheet", sheet), ("sst", sst)):
+                    for c in ids:
+                        out[c].append(pdf[c].iloc[row])
+                    out["part"].append(part)
+                    out["xml"].append(xml)
+            yield pd.DataFrame(out)
+
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in [packages.schema[c] for c in ids]
+    )
+    parts = packages.select(*ids, xlsx_col).mapInPandas(
+        unzip, schema=f"{id_schema}, part string, xml binary"
+    )
+    ev = tokenize_events(
+        parts,
+        html_col="xml",
+        id_cols=(*ids, "part"),
+        events=_MASK,
+        positions=False,
+    )
+    w_prev = (
+        Window.partitionBy(*ids, "part")
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*ids, "part")
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_tag = F.col("event").isin(_EV_OPEN, _EV_CLOSE).cast("int")
+    staged = ev.select(
+        *ids,
+        "part",
+        "event",
+        "event_idx",
+        "name",
+        F.col("value").cast("string").alias("text"),
+        F.col("attr_name").cast("string").alias("attr_name"),
+        F.col("attr_value").cast("string").alias("attr_value"),
+        F.coalesce(F.sum(is_tag).over(w_prev), F.lit(0)).alias("grp"),
+        (
+            F.sum(
+                (
+                    (F.col("event") == _EV_OPEN)
+                    & F.col("name").isin("c", "si")
+                ).cast("int")
+            ).over(w_run)
+            - 1
+        ).alias("cell_ord"),
+        F.last(
+            F.when(
+                F.col("event").isin(_EV_OPEN, _EV_CLOSE),
+                F.struct(F.col("event").alias("e"), F.col("name").alias("n")),
+            ),
+            ignorenulls=True,
+        ).over(w_prev).alias("lt"),
+    )
+
+    def attr_carry(key: str, alias: str):
+        return F.last(
+            F.when(
+                (F.col("event") == _EV_ATTRIBUTE)
+                & (F.col("attr_name") == key),
+                F.struct(F.col("grp").alias("g"), F.col("attr_value").alias("v")),
+            ),
+            ignorenulls=True,
+        ).over(w_run).alias(alias)
+
+    carried = staged.select(
+        *ids, "part", "event", "event_idx", "name", "text",
+        "grp", "cell_ord", "lt",
+        attr_carry("r", "ref"), attr_carry("t", "typ"),
+    )
+    # per-cell contributions: the <c> OpenTag row carries ref/type;
+    # <v> and <is><t> text rows carry the value fragments
+    cell_rows = carried.where(
+        (F.col("part") == "sheet")
+        & (F.col("event") == _EV_OPEN)
+        & (F.col("name") == "c")
+    ).select(
+        *ids,
+        "cell_ord",
+        F.when(F.col("ref")["g"] == F.col("grp"), F.col("ref")["v"]).alias(
+            "cell_ref"
+        ),
+        F.when(F.col("typ")["g"] == F.col("grp"), F.col("typ")["v"]).alias(
+            "cell_type"
+        ),
+    )
+    val_rows = (
+        carried.where(
+            (F.col("part") == "sheet")
+            & (F.col("event") == _EV_TEXT)
+            & (F.col("lt")["e"] == _EV_OPEN)
+            & F.col("lt")["n"].isin("v", "t")
+            & (F.col("cell_ord") >= 0)
+        )
+        .groupBy(*ids, "cell_ord")
+        .agg(
+            F.array_join(
+                F.transform(
+                    _ordered_fragments(F.lit(True), F.col("text")),
+                    lambda x: x["v"],
+                ),
+                "",
+            ).alias("raw_value")
+        )
+    )
+    cells = cell_rows.join(val_rows, [*ids, "cell_ord"], "left").select(
+        *ids,
+        "cell_ord",
+        "cell_ref",
+        "cell_type",
+        "raw_value",
+        (
+            F.ascii(F.regexp_extract(F.col("cell_ref"), r"^([A-Z]+)", 1))
+            - 65
+        ).alias("col_idx"),
+        (
+            F.regexp_extract(F.col("cell_ref"), r"(\d+)$", 1).cast("int") - 1
+        ).alias("row_idx"),
+    )
+    sst = (
+        carried.where(
+            (F.col("part") == "sst")
+            & (F.col("event") == _EV_TEXT)
+            & (F.col("lt")["e"] == _EV_OPEN)
+            & (F.col("lt")["n"] == "t")
+            & (F.col("cell_ord") >= 0)
+        )
+        .groupBy(*ids, "cell_ord")
+        .agg(
+            F.array_join(
+                F.transform(
+                    _ordered_fragments(F.lit(True), F.col("text")),
+                    lambda x: x["v"],
+                ),
+                "",
+            ).alias("sst_value")
+        )
+        .select(*ids, F.col("cell_ord").alias("sst_idx"), "sst_value")
+    )
+    shared = cells.where(F.col("cell_type") == "s").withColumn(
+        "sst_idx", F.col("raw_value").cast("int")
+    )
+    resolved_shared = shared.join(sst, [*ids, "sst_idx"], "left").select(
+        *ids,
+        "row_idx",
+        "col_idx",
+        F.lit("shared").alias("kind"),
+        F.col("sst_value").alias("value"),
+    )
+    others = cells.where(
+        F.col("cell_type").isNull() | (F.col("cell_type") != "s")
+    ).select(
+        *ids,
+        "row_idx",
+        "col_idx",
+        F.when(F.col("cell_type") == "inlineStr", F.lit("inline"))
+        .otherwise(F.lit("number"))
+        .alias("kind"),
+        F.col("raw_value").alias("value"),
+    )
+    return resolved_shared.unionByName(others)

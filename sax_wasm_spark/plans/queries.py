@@ -3644,6 +3644,67 @@ def q85_sql():
     """
 
 
+def q90_xlsx_cells(spark, sf_dir):
+    """Spreadsheet extraction — SpreadsheetML's split-value wire shape
+    made real: cell values live in TWO ZIP members (the sheet's
+    ``<c r t><v>`` cells and the per-document shared-string table),
+    both tokenized by the SAX kernel in ONE pass (the unzip stage
+    emits (part, xml) rows), with shared-string cells resolved by an
+    equi-join on (doc_id, index). Cell kinds cycle per column —
+    shared / number / inlineStr — and the A1-style reference parses to
+    (row, col) JVM-side. The oracle reproduces every resolved cell in
+    pure SQL. Plan: windowed exchanges per part + ONE co-partitioned
+    join keyed (doc_id, sst index) — shared strings are per-document,
+    the join never crosses documents."""
+    from ..operators.metadata import extract_xlsx_cells  # noqa: PLC0415
+
+    d = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+
+    def render(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.xlsxgen import build_xlsx  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {"doc_id": [], "xlsx": []}
+            for did in pdf["doc_id"]:
+                out["doc_id"].append(int(did))
+                out["xlsx"].append(build_xlsx(int(did)))
+            yield pd.DataFrame(out)
+
+    pkgs = d.select("doc_id").mapInPandas(render, schema="doc_id long, xlsx binary")
+    cells = extract_xlsx_cells(pkgs, xlsx_col="xlsx", id_cols=("doc_id",))
+    return cells.select(
+        "doc_id", "row_idx", "col_idx", "kind", "value"
+    ).orderBy("doc_id", "row_idx", "col_idx")
+
+
+def q90_sql():
+    # mirrors xlsxgen: col 0 shared → sst[(d+r)%5], col 1 number,
+    # col 2 (when n_cols=3) inline.
+    return """
+    WITH cells AS (
+      SELECT d.doc_id, r.range AS r, c.range AS c
+      FROM documents d, range(3) r, range(3) c
+      WHERE r.range < 1 + d.doc_id % 3 AND c.range < 2 + d.doc_id % 2
+    )
+    SELECT doc_id,
+           CAST(r AS INTEGER) AS row_idx,
+           CAST(c AS INTEGER) AS col_idx,
+           CASE c WHEN 0 THEN 'shared' WHEN 1 THEN 'number'
+                  ELSE 'inline' END AS kind,
+           CASE c
+             WHEN 0 THEN 'Str ' || ((doc_id + r) % 5) || ' of '
+                         || (doc_id % 1000)
+             WHEN 1 THEN CAST((7*doc_id + 13*r) % 1000 AS VARCHAR)
+             ELSE 'inline ' || r END AS value
+    FROM cells
+    ORDER BY doc_id, row_idx, col_idx
+    """
+
+
 def q89_feed_discovery(spark, sf_dir):
     """Feed-based crawl discovery — the third frontier channel after
     robots (q46) and sitemaps (q65/q66): every document publishes a
@@ -5395,6 +5456,7 @@ QUERIES = {
     "sax_extract_roundtrip": sax_extract_roundtrip,
     "pdf_extract_roundtrip": pdf_extract_roundtrip,
     "warc_roundtrip": warc_roundtrip,
+    "q90_xlsx_cells": q90_xlsx_cells,
     "q89_feed_discovery": q89_feed_discovery,
     "q88_epub_chapters": q88_epub_chapters,
     "q87_docx_text": q87_docx_text,
@@ -5576,6 +5638,7 @@ ORACLES = {
     "q87_docx_text": q87_sql(),
     "q88_epub_chapters": q88_sql(),
     "q89_feed_discovery": q89_sql(),
+    "q90_xlsx_cells": q90_sql(),
     "sax_positions": sax_positions_sql(),
     "sax_nested": sax_nested_sql(),
     "sax_text_events": sax_text_events_sql(),

@@ -218,3 +218,37 @@ class TestReviewFixes:
         with pytest.raises(ZipError):
             zip_read(bytes(out), entry)
         del e
+
+
+class TestXlsxTwin:
+    """q90's SpreadsheetML corpus + operator edge cases."""
+
+    @pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 1002])
+    def test_package_is_real(self, doc_id):
+        import io
+        import zipfile
+
+        from sax_wasm_spark.sources.xlsxgen import build_xlsx
+
+        zf = zipfile.ZipFile(io.BytesIO(build_xlsx(doc_id)))
+        assert "xl/worksheets/sheet1.xml" in zf.namelist()
+        assert b"<sheetData>" in zf.read("xl/worksheets/sheet1.xml")
+
+    def test_missing_shared_strings_degrades(self, spark):
+        """A sheet referencing a shared string the table lacks yields
+        NULL value, never a crash; packages WITHOUT a sharedStrings
+        member still extract their number/inline cells."""
+        from sax_wasm_spark.kernel.zipread import zip_write
+        from sax_wasm_spark.operators.metadata import extract_xlsx_cells
+
+        sheet = (
+            b'<worksheet><sheetData><row r="1">'
+            b'<c r="A1" t="s"><v>7</v></c>'
+            b'<c r="B1"><v>42</v></c>'
+            b"</row></sheetData></worksheet>"
+        )
+        pkg = zip_write([("xl/worksheets/sheet1.xml", sheet)])
+        df = spark.createDataFrame([(0, pkg)], "doc_id long, xlsx binary")
+        got = {(r.row_idx, r.col_idx): r for r in extract_xlsx_cells(df).collect()}
+        assert got[(0, 0)].kind == "shared" and got[(0, 0)].value is None
+        assert got[(0, 1)].kind == "number" and got[(0, 1)].value == "42"
