@@ -1033,3 +1033,78 @@ def extract_xlsx_cells(
         F.col("raw_value").alias("value"),
     )
     return resolved_shared.unionByName(others)
+
+
+def extract_tar_members(
+    packages: DataFrame,
+    tar_col: str = "tarball",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """packages(id…, tarball:binary) → one row per member:
+    (id…, member_idx, name, kind, size, text) — source-archive
+    inventory + text surfacing (kernel/tarread.py: ustar headers with
+    verified checksums, gzip auto-unwrap with an in-flight expansion
+    cap). ``text`` is the utf-8 decode of ``.txt``/``.md`` members;
+    other files and directories carry NULL. A malformed archive yields
+    one row with NULL member fields and ``kind='error:…'`` — the key
+    never vanishes. Row-local, zero shuffle."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        IntegerType as _Int,
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    ids = list(id_cols)
+    id_fields = [packages.schema[c] for c in ids]
+    out_schema = _ST(
+        list(id_fields)
+        + [
+            _SF("member_idx", _Int(), True),
+            _SF("name", _Str(), True),
+            _SF("kind", _Str(), False),
+            _SF("size", _Long(), True),
+            _SF("text", _Str(), True),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..kernel.tarread import TarError, tar_members  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in range(len(pdf)):
+                vals = [pdf[c].iloc[row] for c in ids]
+                data = pdf[tar_col].iloc[row]
+                if isinstance(data, (bytearray, memoryview)):
+                    data = bytes(data)
+                try:
+                    members = tar_members(data or b"")
+                except TarError as e:
+                    for c, v in zip(ids, vals):
+                        out[c].append(v)
+                    out["member_idx"].append(None)
+                    out["name"].append(None)
+                    out["kind"].append(f"error:{e}")
+                    out["size"].append(None)
+                    out["text"].append(None)
+                    continue
+                for idx, m in enumerate(members):
+                    for c, v in zip(ids, vals):
+                        out[c].append(v)
+                    out["member_idx"].append(idx)
+                    out["name"].append(m.name)
+                    out["kind"].append("dir" if m.typeflag == "5" else "file")
+                    out["size"].append(m.size)
+                    out["text"].append(
+                        m.data.decode("utf-8", "replace")
+                        if m.typeflag == "0"
+                        and m.name.rsplit(".", 1)[-1] in ("txt", "md")
+                        else None
+                    )
+            yield pd.DataFrame(out)
+
+    return packages.select(*ids, tar_col).mapInPandas(run, schema=out_schema)

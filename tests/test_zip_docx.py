@@ -252,3 +252,85 @@ class TestXlsxTwin:
         got = {(r.row_idx, r.col_idx): r for r in extract_xlsx_cells(df).collect()}
         assert got[(0, 0)].kind == "shared" and got[(0, 0)].value is None
         assert got[(0, 1)].kind == "number" and got[(0, 1)].value == "42"
+
+
+class TestTar:
+    """ustar reader/writer (kernel/tarread.py) behind q91."""
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip_and_stdlib_interop(self, gz):
+        import io
+        import tarfile
+
+        from sax_wasm_spark.kernel.tarread import tar_members, tar_write
+
+        members = [("d/", b""), ("d/a.txt", b"hello"), ("b.bin", bytes(300))]
+        blob = tar_write(members, gzip_wrap=gz)
+        got = tar_members(blob)
+        assert [(m.name, m.typeflag) for m in got] == [
+            ("d/", "5"), ("d/a.txt", "0"), ("b.bin", "0"),
+        ]
+        assert got[1].data == b"hello"
+        tf = tarfile.open(fileobj=io.BytesIO(blob), mode="r:gz" if gz else "r:")
+        assert tf.extractfile("d/a.txt").read() == b"hello"
+
+    def test_we_read_stdlib(self):
+        import io
+        import tarfile
+
+        from sax_wasm_spark.kernel.tarread import tar_members
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            info = tarfile.TarInfo("x.txt")
+            info.size = 3
+            tf.addfile(info, io.BytesIO(b"abc"))
+        assert tar_members(buf.getvalue())[0].data == b"abc"
+
+    def test_checksum_verified(self):
+        from sax_wasm_spark.kernel.tarread import (
+            TarError,
+            tar_members,
+            tar_write,
+        )
+
+        blob = bytearray(tar_write([("a.txt", b"x")]))
+        blob[50] ^= 1
+        with pytest.raises(TarError, match="checksum"):
+            tar_members(bytes(blob))
+
+    def test_gzip_bomb_capped(self):
+        import zlib
+
+        from sax_wasm_spark.kernel.tarread import TarError, gunzip
+
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        bomb = co.compress(b"\x00" * (1 << 22)) + co.flush()
+        with pytest.raises(TarError, match="max_out"):
+            gunzip(bomb, max_out=1 << 16)
+
+    def test_extension_typeflags_typed(self):
+        from sax_wasm_spark.kernel.tarread import (
+            TarError,
+            tar_members,
+            tar_write,
+        )
+
+        blob = bytearray(tar_write([("a.txt", b"x")]))
+        blob[156] = ord("x")  # pax extended header
+        # fix the checksum for the mutated byte
+        chk = sum(blob[:148]) + 8 * 0x20 + sum(blob[156:512])
+        blob[148:156] = b"%06o\x00 " % chk
+        with pytest.raises(TarError, match="typeflag"):
+            tar_members(bytes(blob))
+
+    def test_truncated_member_typed(self):
+        from sax_wasm_spark.kernel.tarread import (
+            TarError,
+            tar_members,
+            tar_write,
+        )
+
+        blob = tar_write([("a.txt", b"y" * 600)])
+        with pytest.raises(TarError, match="truncated"):
+            tar_members(blob[:700])
