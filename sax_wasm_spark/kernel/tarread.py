@@ -43,7 +43,9 @@ def _octal(field: bytes) -> int:
 
 
 def gunzip(data: bytes, max_out: int = 1 << 28) -> bytes:
-    """RFC 1952 unwrap with an expansion cap enforced DURING decode."""
+    """RFC 1952 unwrap with an expansion cap enforced DURING decode.
+    A stream that ends before its gzip trailer is a TYPED error — a
+    truncated transfer must never return a silent prefix."""
     try:
         d = zlib.decompressobj(31)
         out = d.decompress(data, max_out + 1)
@@ -51,6 +53,8 @@ def gunzip(data: bytes, max_out: int = 1 << 28) -> bytes:
         raise TarError(f"gzip: {e}") from e
     if len(out) > max_out:
         raise TarError(f"gzip output exceeds max_out={max_out}")
+    if not d.eof:
+        raise TarError("truncated gzip stream (no trailer)")
     return out
 
 
@@ -87,12 +91,21 @@ def tar_members(
             raise TarError(f"extension typeflag {typeflag!r} unsupported")
         pos += 512
         body = b""
-        if typeflag == "0":
+        # POSIX: readers must skip size-rounded data for EVERY typeflag
+        # they do not interpret — only directories never carry data.
+        # '0'/'7' (regular/contiguous) surface their bytes; the rest
+        # are skipped but inventoried.
+        if typeflag != "5" and size:
             if pos + size > n:
                 raise TarError(f"member {name!r} data truncated")
-            body = data[pos : pos + size]
+            if typeflag in ("0", "7"):
+                body = data[pos : pos + size]
             pos += (size + 511) // 512 * 512
         out.append(TarMember(name, size, typeflag, body))
+    else:
+        # the loop ran out of input without ever seeing a zero block —
+        # a truncated transfer, even when it ends on a member boundary
+        raise TarError("missing end-of-archive marker")
     return out
 
 

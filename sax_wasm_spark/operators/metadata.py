@@ -65,6 +65,21 @@ def _ordered_fragments(cond, value):
     )
 
 
+def _attr_carry(key: str, w_run):
+    """The grp-gated attribute-carry idiom: the last (grp, value) of
+    attribute ``key`` rides forward; an OpenTag row accepts it only
+    when the struct's grp equals its own (kernel ordering fact: an
+    element's Attribute events immediately precede its OpenTag).
+    Shared by head-metadata, feeds, and spreadsheet cells."""
+    return F.last(
+        F.when(
+            (F.col("event") == _EV_ATTRIBUTE) & (F.col("attr_name") == key),
+            F.struct(F.col("grp").alias("g"), F.col("attr_value").alias("v")),
+        ),
+        ignorenulls=True,
+    ).over(w_run)
+
+
 def extract_head_metadata(
     pages: DataFrame,
     html_col: str = "html",
@@ -140,15 +155,7 @@ def extract_head_metadata(
     )
 
     def attr_last(key: str):
-        return F.last(
-            F.when(
-                (F.col("event") == _EV_ATTRIBUTE) & (F.col("attr_name") == key),
-                F.struct(
-                    F.col("grp").alias("g"), F.col("attr_value").alias("v")
-                ),
-            ),
-            ignorenulls=True,
-        ).over(w_run)
+        return _attr_carry(key, w_run)
 
     paired = staged.select(
         *ids,
@@ -732,6 +739,22 @@ def parse_feed_items(
             ).over(w_run)
             - 1
         ).alias("item_ord"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("event") == _EV_OPEN)
+                    & F.col("name").isin("item", "entry"),
+                    F.lit(1),
+                )
+                .when(
+                    (F.col("event") == _EV_CLOSE)
+                    & F.col("name").isin("item", "entry"),
+                    F.lit(-1),
+                )
+                .otherwise(F.lit(0))
+            ).over(w_run)
+            > 0
+        ).alias("in_item"),
         F.first(
             F.when(
                 (F.col("event") == _EV_OPEN)
@@ -759,17 +782,11 @@ def parse_feed_items(
         "name",
         "text",
         "item_ord",
+        "in_item",
         "fmt",
         "lt",
         "grp",
-        F.last(
-            F.when(
-                (F.col("event") == _EV_ATTRIBUTE)
-                & (F.col("attr_name") == "href"),
-                F.struct(F.col("grp").alias("g"), F.col("attr_value").alias("v")),
-            ),
-            ignorenulls=True,
-        ).over(w_run).alias("href"),
+        _attr_carry("href", w_run).alias("href"),
     )
     # contributions: (kind, value) per row
     kind = (
@@ -789,14 +806,26 @@ def parse_feed_items(
     val = F.when(F.col("event") == _EV_TEXT, F.col("text")).otherwise(
         F.col("href")["v"]
     )
+    # in_item gates BOTH sides of the decoy problem: channel/feed-level
+    # elements before the first item (item_ord = -1) AND after the last
+    # </item> (depth back to 0) never contribute
     frags = carried.select(
         *ids, "event_idx", "item_ord", "fmt",
         kind.alias("kind"), val.alias("val"),
-    ).where(F.col("kind").isNotNull() & (F.col("item_ord") >= 0))
+    ).where(
+        F.col("kind").isNotNull()
+        & (F.col("item_ord") >= 0)
+        & F.col("in_item")
+    )
 
     def field(kinds: tuple[str, ...], alias: str):
+        # event-order fragment join (the kernel flushes Text at '\n'),
+        # NOT first-fragment — a multi-line title must survive intact
         picked = _ordered_fragments(F.col("kind").isin(*kinds), F.col("val"))
-        return F.try_element_at(picked, F.lit(1))["v"].alias(alias)
+        joined = F.array_join(
+            F.transform(picked, lambda x: x["v"]), "\n"
+        )
+        return F.nullif(joined, F.lit("")).alias(alias)
 
     return (
         frags.groupBy(*ids, "item_ord")
@@ -804,15 +833,25 @@ def parse_feed_items(
             F.max("fmt").alias("fmt"),
             field(("title",), "title"),
             # RSS: the <link> element's TEXT; Atom: the href attribute
+            # (hrefs are atomic attribute values — first one wins; RSS
+            # link text rejoins fragments like every other field)
             F.coalesce(
                 F.try_element_at(
                     _ordered_fragments(F.col("kind") == "href", F.col("val")),
                     F.lit(1),
                 )["v"],
-                F.try_element_at(
-                    _ordered_fragments(F.col("kind") == "link", F.col("val")),
-                    F.lit(1),
-                )["v"],
+                F.nullif(
+                    F.array_join(
+                        F.transform(
+                            _ordered_fragments(
+                                F.col("kind") == "link", F.col("val")
+                            ),
+                            lambda x: x["v"],
+                        ),
+                        "\n",
+                    ),
+                    F.lit(""),
+                ),
             ).alias("link"),
             field(("pubDate", "updated"), "published"),
             field(("guid", "id"), "entry_id"),
@@ -851,7 +890,11 @@ def extract_xlsx_cells(
     def unzip(batches):
         import pandas as pd  # noqa: PLC0415
 
-        from ..kernel.zipread import ZipError, zip_find  # noqa: PLC0415
+        from ..kernel.zipread import (  # noqa: PLC0415
+            ZipError,
+            zip_entries,
+            zip_read,
+        )
 
         for pdf in batches:
             out = {c: [] for c in (*ids, "part", "xml")}
@@ -859,19 +902,28 @@ def extract_xlsx_cells(
                 data = pdf[xlsx_col].iloc[row]
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
-                try:
-                    sheet = zip_find(data or b"", "xl/worksheets/sheet1.xml")
-                except ZipError:
-                    continue
-                try:
-                    sst = zip_find(data, "xl/sharedStrings.xml")
-                except ZipError:
-                    sst = b"<sst/>"  # packages without shared strings
-                for part, xml in (("sheet", sheet), ("sst", sst)):
+
+                def emit(part, xml, _row=row):
                     for c in ids:
-                        out[c].append(pdf[c].iloc[row])
+                        out[c].append(pdf[c].iloc[_row])
                     out["part"].append(part)
                     out["xml"].append(xml)
+
+                try:  # ONE central-directory pass serves both members
+                    by_name = {e.name: e for e in zip_entries(data or b"")}
+                    sheet_e = by_name.get("xl/worksheets/sheet1.xml")
+                    if sheet_e is None:
+                        raise ZipError("no xl/worksheets/sheet1.xml")
+                    sheet = zip_read(data, sheet_e)
+                    sst_e = by_name.get("xl/sharedStrings.xml")
+                    sst = zip_read(data, sst_e) if sst_e else b"<sst/>"
+                except ZipError as e:
+                    # the key must not vanish: an error part-row flows
+                    # through to one kind='error:*' output row
+                    emit("error", str(e).encode("utf-8", "replace"))
+                    continue
+                emit("sheet", sheet)
+                emit("sst", sst)
             yield pd.DataFrame(out)
 
     id_schema = ", ".join(
@@ -881,8 +933,15 @@ def extract_xlsx_cells(
     parts = packages.select(*ids, xlsx_col).mapInPandas(
         unzip, schema=f"{id_schema}, part string, xml binary"
     )
+    err_rows = parts.where(F.col("part") == "error").select(
+        *ids,
+        F.lit(None).cast("int").alias("row_idx"),
+        F.lit(None).cast("int").alias("col_idx"),
+        F.concat(F.lit("error:"), F.col("xml").cast("string")).alias("kind"),
+        F.lit(None).cast("string").alias("value"),
+    )
     ev = tokenize_events(
-        parts,
+        parts.where(F.col("part") != "error"),
         html_col="xml",
         id_cols=(*ids, "part"),
         events=_MASK,
@@ -927,20 +986,11 @@ def extract_xlsx_cells(
         ).over(w_prev).alias("lt"),
     )
 
-    def attr_carry(key: str, alias: str):
-        return F.last(
-            F.when(
-                (F.col("event") == _EV_ATTRIBUTE)
-                & (F.col("attr_name") == key),
-                F.struct(F.col("grp").alias("g"), F.col("attr_value").alias("v")),
-            ),
-            ignorenulls=True,
-        ).over(w_run).alias(alias)
-
     carried = staged.select(
         *ids, "part", "event", "event_idx", "name", "text",
         "grp", "cell_ord", "lt",
-        attr_carry("r", "ref"), attr_carry("t", "typ"),
+        _attr_carry("r", w_run).alias("ref"),
+        _attr_carry("t", w_run).alias("typ"),
     )
     # per-cell contributions: the <c> OpenTag row carries ref/type;
     # <v> and <is><t> text rows carry the value fragments
@@ -973,7 +1023,7 @@ def extract_xlsx_cells(
                     _ordered_fragments(F.lit(True), F.col("text")),
                     lambda x: x["v"],
                 ),
-                "",
+                "\n",  # the kernel flushed these fragments AT newlines
             ).alias("raw_value")
         )
     )
@@ -984,8 +1034,18 @@ def extract_xlsx_cells(
         "cell_type",
         "raw_value",
         (
-            F.ascii(F.regexp_extract(F.col("cell_ref"), r"^([A-Z]+)", 1))
-            - 65
+            F.aggregate(
+                F.filter(
+                    F.split(
+                        F.regexp_extract(F.col("cell_ref"), r"^([A-Z]+)", 1),
+                        "",
+                    ),
+                    lambda ch: ch != "",
+                ),
+                F.lit(0),
+                lambda acc, ch: acc * 26 + (F.ascii(ch) - 64),
+            )
+            - 1
         ).alias("col_idx"),
         (
             F.regexp_extract(F.col("cell_ref"), r"(\d+)$", 1).cast("int") - 1
@@ -1006,7 +1066,7 @@ def extract_xlsx_cells(
                     _ordered_fragments(F.lit(True), F.col("text")),
                     lambda x: x["v"],
                 ),
-                "",
+                "\n",  # newline-flushed fragments rejoin losslessly
             ).alias("sst_value")
         )
         .select(*ids, F.col("cell_ord").alias("sst_idx"), "sst_value")
@@ -1032,7 +1092,7 @@ def extract_xlsx_cells(
         .alias("kind"),
         F.col("raw_value").alias("value"),
     )
-    return resolved_shared.unionByName(others)
+    return resolved_shared.unionByName(others).unionByName(err_rows)
 
 
 def extract_tar_members(
@@ -1089,6 +1149,15 @@ def extract_tar_members(
                     out["member_idx"].append(None)
                     out["name"].append(None)
                     out["kind"].append(f"error:{e}")
+                    out["size"].append(None)
+                    out["text"].append(None)
+                    continue
+                if not members:  # valid but empty: the key survives
+                    for c, v in zip(ids, vals):
+                        out[c].append(v)
+                    out["member_idx"].append(None)
+                    out["name"].append(None)
+                    out["kind"].append("empty")
                     out["size"].append(None)
                     out["text"].append(None)
                     continue

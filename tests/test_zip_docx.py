@@ -334,3 +334,95 @@ class TestTar:
         blob = tar_write([("a.txt", b"y" * 600)])
         with pytest.raises(TarError, match="truncated"):
             tar_members(blob[:700])
+
+
+class TestThirdReviewFixes:
+    """Third round-7 review findings (q89-q91 block), pinned."""
+
+    def test_tar_unknown_typeflag_data_skipped(self):
+        """POSIX: skip size-rounded data for typeflags we don't decode
+        — a type-7 member with data must not desync the walk."""
+        import io
+        import tarfile
+
+        from sax_wasm_spark.kernel.tarread import tar_members
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            info = tarfile.TarInfo("cont.dat")
+            info.type = tarfile.CONTTYPE
+            info.size = 600
+            tf.addfile(info, io.BytesIO(b"z" * 600))
+            info2 = tarfile.TarInfo("after.txt")
+            info2.size = 3
+            tf.addfile(info2, io.BytesIO(b"abc"))
+        got = tar_members(buf.getvalue())
+        assert got[0].typeflag == "7" and got[0].data == b"z" * 600
+        assert got[1].data == b"abc"
+
+    def test_tar_truncation_always_typed(self):
+        from sax_wasm_spark.kernel.tarread import (
+            TarError,
+            tar_members,
+            tar_write,
+        )
+
+        plain = tar_write([("a.txt", b"y")])
+        with pytest.raises(TarError, match="marker"):
+            tar_members(plain[:-1024])  # ends ON a member boundary
+        with pytest.raises(TarError):
+            tar_members(b"")
+
+    def test_truncated_gzip_typed(self):
+        import zlib
+
+        from sax_wasm_spark.kernel.tarread import (
+            TarError,
+            tar_members,
+            tar_write,
+        )
+
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        full = co.compress(tar_write([("a.txt", b"y" * 40000)])) + co.flush()
+        with pytest.raises(TarError):
+            tar_members(full[: len(full) // 2])
+
+    def test_tar_empty_archive_row_survives(self, spark):
+        from sax_wasm_spark.kernel.tarread import tar_write
+        from sax_wasm_spark.operators.metadata import extract_tar_members
+
+        df = spark.createDataFrame(
+            [(0, tar_write([]))], "doc_id long, tarball binary"
+        )
+        r = extract_tar_members(df).collect()[0]
+        assert r.kind == "empty" and r.member_idx is None
+
+    def test_xlsx_wide_columns_and_error_rows(self, spark):
+        from sax_wasm_spark.operators.metadata import extract_xlsx_cells
+
+        sheet = (
+            b'<worksheet><sheetData><row r="2">'
+            b'<c r="AA2" t="inlineStr"><is><t>two\nlines</t></is></c>'
+            b"</row></sheetData></worksheet>"
+        )
+        rows = [(0, zip_write([("xl/worksheets/sheet1.xml", sheet)])),
+                (1, b"not a zip")]
+        df = spark.createDataFrame(rows, "doc_id long, xlsx binary")
+        got = {r.doc_id: r for r in extract_xlsx_cells(df).collect()}
+        assert (got[0].row_idx, got[0].col_idx) == (1, 26)
+        assert got[0].value == "two\nlines"  # newline fragments rejoin
+        assert got[1].kind.startswith("error:")
+
+    def test_feed_trailing_decoy_and_multiline(self, spark):
+        from sax_wasm_spark.operators.metadata import parse_feed_items
+
+        xml = (
+            b'<rss version="2.0"><channel>'
+            b"<item><title>Line one\nLine two</title></item>"
+            b"<link>https://decoy/</link>"
+            b"</channel></rss>"
+        )
+        df = spark.createDataFrame([(0, xml)], "doc_id long, xml binary")
+        r = parse_feed_items(df).collect()[0]
+        assert r.title == "Line one\nLine two"
+        assert r.link is None  # the trailing channel link never attaches
