@@ -1177,3 +1177,85 @@ def extract_tar_members(
             yield pd.DataFrame(out)
 
     return packages.select(*ids, tar_col).mapInPandas(run, schema=out_schema)
+
+
+_FEED_MIME = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+
+
+def discover_feed_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """pages(id…, html:binary) → one row per ADVERTISED feed:
+    (id…, link_ord, feed_kind, feed_url) — feed AUTODISCOVERY, the
+    step that turns q61's head metadata into q89's frontier: a <link>
+    element counts iff rel="alternate" AND its type is a feed MIME —
+    all three attributes (rel/type/href) pair with their element via
+    the tag-count grp gate, so a stylesheet link's href or an
+    hreflang alternate can never leak in. link_ord is the per-page
+    discovery order. ONE id-partitioned window, no joins."""
+    ids = list(id_cols)
+    ev = tokenize_events(
+        pages.select(*ids, html_col),
+        id_cols=tuple(ids),
+        events=_MASK,
+        positions=False,
+    )
+    w_prev = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*ids)
+        .orderBy("event_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_tag = F.col("event").isin(_EV_OPEN, _EV_CLOSE).cast("int")
+    staged = ev.select(
+        *ids,
+        "event",
+        "event_idx",
+        "name",
+        F.col("attr_name").cast("string").alias("attr_name"),
+        F.col("attr_value").cast("string").alias("attr_value"),
+        F.coalesce(F.sum(is_tag).over(w_prev), F.lit(0)).alias("grp"),
+    )
+    carried = staged.select(
+        *ids,
+        "event",
+        "event_idx",
+        "name",
+        "grp",
+        _attr_carry("rel", w_run).alias("rel"),
+        _attr_carry("type", w_run).alias("typ"),
+        _attr_carry("href", w_run).alias("href"),
+    )
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _FEED_MIME.items() for x in kv]
+    )
+    hits = carried.where(
+        (F.col("event") == _EV_OPEN)
+        & (F.col("name") == "link")
+        & (F.col("rel")["g"] == F.col("grp"))
+        & (F.lower(F.col("rel")["v"]) == "alternate")
+        & (F.col("typ")["g"] == F.col("grp"))
+        & F.lower(F.col("typ")["v"]).isin(*_FEED_MIME)
+        & (F.col("href")["g"] == F.col("grp"))
+    ).select(
+        *ids,
+        "event_idx",
+        mime_map[F.lower(F.col("typ")["v"])].alias("feed_kind"),
+        F.col("href")["v"].alias("feed_url"),
+    )
+    w_ord = Window.partitionBy(*ids).orderBy("event_idx")
+    return hits.select(
+        *ids,
+        (F.row_number().over(w_ord) - 1).cast("int").alias("link_ord"),
+        "feed_kind",
+        "feed_url",
+    )

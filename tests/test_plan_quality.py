@@ -499,3 +499,14 @@ def test_q89_feed_discovery_plan(spark):
     assert "Join" not in plan, plan[:3000]
     keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert keys.count("doc_id") == 1, (keys, plan[:3000])
+
+
+def test_q92_feed_autodiscovery_plan(spark):
+    """Feed autodiscovery: ONE doc_id hash exchange (the window);
+    join-free."""
+    from sax_wasm_spark.plans.queries import q92_feed_autodiscovery
+
+    plan = plan_of(q92_feed_autodiscovery(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert all(k == "doc_id" for k in keys), (keys, plan[:2000])
