@@ -238,6 +238,45 @@ class _BitReader:
         return v
 
     def decode(self, tbl: _HuffDecoder) -> int:
+        # Fast path (optimization r8): with >=16 buffered bits the whole
+        # code resolves from the accumulator without per-bit fill calls.
+        # Top-up only while real bytes remain so the end-of-segment
+        # 1-bit-fill/truncation semantics stay byte-for-byte those of
+        # the bit-at-a-time path below.
+        nbits = self.nbits
+        if nbits < 16 and not self._at_marker:
+            data, n = self.data, len(self.data)
+            pos, acc = self.pos, self.acc
+            while nbits < 16 and pos < n:
+                b = data[pos]
+                if b == 0xFF:
+                    nxt = data[pos + 1] if pos + 1 < n else None
+                    if nxt == 0x00:
+                        pos += 2
+                    elif nxt == 0xFF:
+                        pos += 1
+                        continue
+                    else:
+                        self._at_marker = True
+                        break
+                else:
+                    pos += 1
+                acc = (acc << 8) | b
+                nbits += 8
+            self.pos, self.acc, self.nbits = pos, acc, nbits
+        if nbits >= 16:
+            acc = self.acc
+            maxcode = tbl.maxcode
+            length = 1
+            code = (acc >> (nbits - 1)) & 1
+            while code > maxcode[length]:
+                length += 1
+                if length > 16:
+                    raise JpegError("invalid Huffman code")
+                code = (acc >> (nbits - length)) & ((1 << length) - 1)
+            self.nbits = nbits - length
+            self.acc = acc & ((1 << self.nbits) - 1)
+            return tbl.values[tbl.valptr[length] + code - tbl.mincode[length]]
         code = self.bits(1)
         length = 1
         while code > tbl.maxcode[length]:
@@ -304,17 +343,25 @@ def _pad_to(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 
 def _encode_block(
-    zz: np.ndarray, pred: int, bw: _BitWriter
+    zz, pred: int, bw: _BitWriter, last: int | None = None
 ) -> int:
+    """Entropy-code one zig-zag block. ``zz`` is a plain int sequence
+    (optimization r8: per-element numpy access dominated the encoder);
+    ``last`` is the index of the final nonzero AC coefficient (0 when
+    all-zero), precomputed batched by the caller when available."""
     dc = int(zz[0])
     ssss, raw = _magnitude(dc - pred)
     code, ln = _ENC_DC_CODES[ssss]
     bw.put(code, ln)
     if ssss:
         bw.put(raw, ssss)
+    if last is None:
+        last = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last = k
+                break
     run = 0
-    nz = np.nonzero(zz[1:])[0]
-    last = nz[-1] + 1 if len(nz) else 0
     for k in range(1, last + 1):
         v = int(zz[k])
         if v == 0:
@@ -430,11 +477,38 @@ def encode_jpeg(
     sos += bytes((0, 63, 0))
     out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
 
-    # entropy-coded segment
+    # entropy-coded segment. The FDCT+quantize runs BATCHED over every
+    # block first (optimization r8, guide §4.2): per-component blocks
+    # extract via one reshape/transpose, the DCT is two broadcasted
+    # (8,8) matmuls over the whole stack — numerically identical to the
+    # per-block `_C @ block @ _CT` (same dgemm per item) — and the
+    # entropy loop then walks plain Python ints in the original MCU
+    # order. Output bytes are bit-identical to the per-block path.
+    comp_zz = []  # per component: (mcus_y, mcus_x, vs, hs, 64) int lists
+    comp_last = []
+    for c in range(ncomp):
+        hs, vs = samp[c]
+        p = padded[c]
+        # (my, by, 8, mx, bx, 8) -> (my, mx, by, bx, 8, 8)
+        blocks = (
+            p.reshape(mcus_y * vs, 8, mcus_x * hs, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(mcus_y, vs, mcus_x, hs, 8, 8)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(-1, 8, 8)
+        )
+        coeffs = np.matmul(np.matmul(_C, blocks - 128.0), _CT)
+        zzs = np.round(coeffs.reshape(-1, 64) / qspat).astype(np.int64)[:, _ZIGZAG]
+        nzmask = zzs[:, 1:] != 0
+        has_ac = nzmask.any(axis=1)
+        lasts = np.where(has_ac, 63 - np.argmax(nzmask[:, ::-1], axis=1), 0)
+        comp_zz.append(zzs.tolist())
+        comp_last.append(lasts.tolist())
     bw = _BitWriter()
     preds = [0] * ncomp
     mcu_count = 0
     rst = 0
+    blocks_per_mcu = [samp[c][0] * samp[c][1] for c in range(ncomp)]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -445,14 +519,13 @@ def encode_jpeg(
                 bw = _BitWriter()
                 preds = [0] * ncomp
             for c in range(ncomp):
-                hs, vs = samp[c]
-                for by in range(vs):
-                    for bx in range(hs):
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        block = padded[c][y0 : y0 + 8, x0 : x0 + 8]
-                        zz = _fdct_quant(block, qspat)
-                        preds[c] = _encode_block(zz, preds[c], bw)
+                base = (my * mcus_x + mx) * blocks_per_mcu[c]
+                zzc = comp_zz[c]
+                lastc = comp_last[c]
+                for b in range(blocks_per_mcu[c]):
+                    preds[c] = _encode_block(
+                        zzc[base + b], preds[c], bw, lastc[base + b]
+                    )
             mcu_count += 1
     bw.flush()
     out += bw.out
@@ -646,7 +719,6 @@ def _decode_scan(
     mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
 
-    planes = []
     quants = []
     dct_tabs = []
     act_tabs = []
@@ -655,18 +727,21 @@ def _decode_scan(
             raise JpegError(f"missing DQT table {tq}")
         if (0, td) not in htables or (1, ta) not in htables:
             raise JpegError("missing DHT table")
-        planes.append(
-            np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
-        )
         quants.append(qtables[tq])
         dct_tabs.append(htables[(0, td)])
         act_tabs.append(htables[(1, ta)])
 
+    # Entropy-decode every block into plain Python int lists first, then
+    # run the dequantize+IDCT BATCHED per component (optimization r8,
+    # guide §4.2): two broadcasted (8,8) matmuls over the block stack
+    # are numerically identical to the per-block `_CT @ coeffs @ _C`
+    # (same dgemm per item), and the stack scatters back to the plane
+    # with one transpose/reshape. Bit-exact vs the per-block path.
     br = _BitReader(data, pos)
     preds = [0] * ns
-    zz = np.zeros(64, dtype=np.int64)
     mcu_count = 0
     total = mcus_y * mcus_x
+    comp_rows: list[list[list[int]]] = [[] for _ in range(ns)]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -674,33 +749,31 @@ def _decode_scan(
                 preds = [0] * ns
             for c in range(ns):
                 _cid, hs, vs, _tq = order[c]
-                dtab, atab, q = dct_tabs[c], act_tabs[c], quants[c]
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz[:] = 0
-                        ssss = br.decode(dtab)
-                        if ssss > 11:
-                            raise JpegError("DC category out of range")
-                        diff = _extend(br.bits(ssss), ssss) if ssss else 0
-                        preds[c] += diff
-                        zz[0] = preds[c]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode(atab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[c][y0 : y0 + 8, x0 : x0 + 8] = _idct_dequant(zz, q)
+                dtab, atab = dct_tabs[c], act_tabs[c]
+                rows_c = comp_rows[c]
+                for _b in range(vs * hs):
+                    zz = [0] * 64
+                    ssss = br.decode(dtab)
+                    if ssss > 11:
+                        raise JpegError("DC category out of range")
+                    diff = _extend(br.bits(ssss), ssss) if ssss else 0
+                    preds[c] += diff
+                    zz[0] = preds[c]
+                    k = 1
+                    while k < 64:
+                        rs = br.decode(atab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise JpegError("AC run past block end")
+                        zz[k] = _extend(br.bits(s), s)
+                        k += 1
+                    rows_c.append(zz)
             mcu_count += 1
     if mcu_count != total:
         raise JpegError("scan ended early")
@@ -708,7 +781,16 @@ def _decode_scan(
     out = np.empty((fh, fw, ns), dtype=np.uint8)
     for c in range(ns):
         _cid, hs, vs, _tq = order[c]
-        plane = np.clip(np.round(planes[c]), 0, 255).astype(np.uint8)
+        zzs = np.array(comp_rows[c], dtype=np.int64)  # (n, 64) zig-zag
+        coeffs = (zzs * quants[c])[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        blocks = np.matmul(np.matmul(_CT, coeffs), _C) + 128.0
+        # (my, mx, by, bx, 8, 8) -> (my, by, 8, mx, bx, 8) -> plane
+        plane = (
+            blocks.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
+        )
+        plane = np.clip(np.round(plane), 0, 255).astype(np.uint8)
         if hs != hmax or vs != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         out[:, :, c] = plane[:fh, :fw]

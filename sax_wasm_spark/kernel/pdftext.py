@@ -486,22 +486,12 @@ _PWD_PAD = bytes(
 
 
 def _rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 stream cipher (symmetric — also used to decrypt). From the
-    published algorithm; ~40-bit/128-bit keys per §7.6.2."""
-    s = list(range(256))
-    j = 0
-    klen = len(key)
-    for i in range(256):
-        j = (j + s[i] + key[i % klen]) & 0xFF
-        s[i], s[j] = s[j], s[i]
-    out = bytearray(len(data))
-    i = j = 0
-    for k, b in enumerate(data):
-        i = (i + 1) & 0xFF
-        j = (j + s[i]) & 0xFF
-        s[i], s[j] = s[j], s[i]
-        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
-    return bytes(out)
+    """RC4 stream cipher (symmetric — also used to decrypt). ~40-bit/
+    128-bit keys per §7.6.2. Runs natively when the environment allows,
+    pure-Python otherwise (kernel/fastcrypto.py)."""
+    from .fastcrypto import rc4  # noqa: PLC0415
+
+    return rc4(key, data)
 
 
 def _std_file_key(
@@ -565,7 +555,7 @@ def _aes_object_decrypt(okey: bytes, data: bytes) -> bytes:
     """§7.6.2 AES payload layout: a 16-byte IV prepended to the
     CBC ciphertext, PKCS#7-padded. An empty string encrypts to at
     least IV + one padding block; anything shorter is malformed."""
-    from .aescipher import aes_cbc_decrypt  # noqa: PLC0415
+    from .fastcrypto import aes_cbc_decrypt  # noqa: PLC0415
 
     if len(data) < 32:
         # lenient: some writers emit empty strings UNencrypted
@@ -582,7 +572,7 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
     k = hashlib.sha256(password + salt + udata).digest()
     if r == 5:
         return k
-    from .aescipher import aes_cbc_encrypt  # noqa: PLC0415
+    from .fastcrypto import aes_cbc_encrypt  # noqa: PLC0415
 
     i = 0
     while True:
@@ -934,7 +924,7 @@ class PdfDocument:
         )
 
     def _build_v5(self, enc: dict, o, u):
-        from .aescipher import aes_cbc_decrypt  # noqa: PLC0415
+        from .fastcrypto import aes_cbc_decrypt  # noqa: PLC0415
 
         # The R6 Hash-2B KDF is deliberately slow by spec (~0.3 s/call
         # of pure-Python AES hardening rounds), so a crawl shard dense

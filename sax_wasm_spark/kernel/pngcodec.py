@@ -78,42 +78,56 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     """Scanline unfilter → (h, stride) uint8 of reconstructed bytes.
-    None/Up are fully vectorized; Sub uses a modulo-256 accumulate;
-    Average/Paeth walk the row in Python (sequential left-pixel
-    dependency — the reason for the ``max_pixels`` cap)."""
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    None/Up are fully vectorized; Sub/Average/Paeth carry a sequential
+    left-pixel dependency, so they walk the row as plain Python ints
+    over lists (several times faster than per-element numpy indexing;
+    ``max_pixels`` stays the straggler bound)."""
+    out = bytearray(h * stride)
+    prev: list[int] = [0] * stride
     pos = 0
+    rng_bpp = range(bpp)
+    rng_rest = range(bpp, stride)
     for y in range(h):
         ftype = raw[pos]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        row = raw[pos + 1 : pos + 1 + stride]
         pos += 1 + stride
         if ftype == 0:
-            rec = row
-        elif ftype == 1:  # Sub: accumulate along x per byte lane
-            pad = (-stride) % bpp
-            lanes = np.concatenate([row, np.zeros(pad, np.uint8)]).reshape(-1, bpp)
-            rec = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)[:stride]
+            rec = list(row)
+        elif ftype == 1:  # Sub
+            rec = list(row[:bpp])
+            ap = rec.append
+            for x in rng_rest:
+                ap((row[x] + rec[x - bpp]) & 0xFF)
         elif ftype == 2:  # Up
-            rec = row + prev
+            rec = [(a + b) & 0xFF for a, b in zip(row, prev)]
         elif ftype == 3:  # Average
-            rec = np.empty(stride, dtype=np.uint8)
-            p = prev
-            for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + ((left + int(p[x])) >> 1)) & 0xFF
+            rec = [(row[x] + (prev[x] >> 1)) & 0xFF for x in rng_bpp]
+            ap = rec.append
+            for x in rng_rest:
+                ap((row[x] + ((rec[x - bpp] + prev[x]) >> 1)) & 0xFF)
         elif ftype == 4:  # Paeth
-            rec = np.empty(stride, dtype=np.uint8)
-            p = prev
-            for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                ul = int(p[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + _paeth(left, int(p[x]), ul)) & 0xFF
+            rec = [(row[x] + prev[x]) & 0xFF for x in rng_bpp]
+            ap = rec.append
+            for x in rng_rest:
+                a = rec[x - bpp]
+                b = prev[x]
+                c = prev[x - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                ap((row[x] + pred) & 0xFF)
         else:
             raise PngError(f"unknown filter type {ftype}")
-        out[y] = rec
-        prev = out[y]
-    return out
+        out[y * stride : (y + 1) * stride] = bytes(rec)
+        prev = rec
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, stride)
 
 
 def decode_png(data: bytes, max_pixels: int = 1 << 22) -> PngImage:
@@ -237,33 +251,36 @@ def encode_png(
         raise PngError("zero dimension")
     flat = px.reshape(h, w * ch)
     stride = w * ch
-    lines = bytearray()
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        row = flat[y]
-        ftype = y % 5
-        if ftype == 0:
-            enc = row
-        elif ftype == 1:
-            left = np.zeros(stride, dtype=np.uint8)
-            left[ch:] = row[:-ch] if stride > ch else left[ch:]
-            enc = row - left
-        elif ftype == 2:
-            enc = row - prev
-        elif ftype == 3:
-            enc = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                enc[x] = (int(row[x]) - ((left + int(prev[x])) >> 1)) & 0xFF
-        else:
-            enc = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                ul = int(prev[x - ch]) if x >= ch else 0
-                enc[x] = (int(row[x]) - _paeth(left, int(prev[x]), ul)) & 0xFF
-        lines.append(ftype)
-        lines += enc.tobytes()
-        prev = row
+    # Every predictor reads only RAW pixels (unlike decode, where the
+    # left/up neighbors are reconstructed), so all five filters
+    # vectorize over the whole image at once. The per-row filter type
+    # still cycles y % 5; the interleaved type byte is column 0.
+    sh = np.zeros((h, stride), dtype=np.int16)  # left neighbor
+    sh[:, ch:] = flat[:, :-ch]
+    up = np.zeros((h, stride), dtype=np.int16)  # up neighbor
+    up[1:] = flat[:-1]
+    ul = np.zeros((h, stride), dtype=np.int16)  # upper-left neighbor
+    ul[1:, ch:] = flat[:-1, :-ch]
+    enc = np.empty((h, 1 + stride), dtype=np.uint8)
+    ftypes = (np.arange(h) % 5).astype(np.uint8)
+    enc[:, 0] = ftypes
+    body = enc[:, 1:]
+    f = ftypes == 0
+    body[f] = flat[f]
+    f = ftypes == 1
+    body[f] = (flat[f] - sh[f]).astype(np.uint8)
+    f = ftypes == 2
+    body[f] = (flat[f] - up[f]).astype(np.uint8)
+    f = ftypes == 3
+    body[f] = (flat[f] - ((sh[f] + up[f]) >> 1)).astype(np.uint8)
+    f = ftypes == 4
+    if f.any():
+        a, b, c = sh[f], up[f], ul[f]
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        body[f] = (flat[f] - pred).astype(np.uint8)
+    lines = enc.tobytes()
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (

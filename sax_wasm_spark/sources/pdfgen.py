@@ -541,19 +541,11 @@ _ENC_PAD = bytes(
 
 
 def _rc4_ks(key: bytes, data: bytes) -> bytes:
-    s = bytearray(range(256))
-    j = 0
-    for i in range(256):
-        j = (j + s[i] + key[i % len(key)]) % 256
-        s[i], s[j] = s[j], s[i]
-    i = j = 0
-    out = bytearray()
-    for b in data:
-        i = (i + 1) % 256
-        j = (j + s[i]) % 256
-        s[i], s[j] = s[j], s[i]
-        out.append(b ^ s[(s[i] + s[j]) % 256])
-    return bytes(out)
+    """RC4 (writer side) — native when available, pure fallback
+    (kernel/fastcrypto.py; the from-scratch loop lives there)."""
+    from ..kernel.fastcrypto import rc4  # noqa: PLC0415
+
+    return rc4(key, data)
 
 
 def _std_security(
@@ -608,7 +600,7 @@ def _hash_2b_w(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
     twin: kernel.pdftext._hash_2b)."""
     import hashlib  # noqa: PLC0415
 
-    from ..kernel.aescipher import aes_cbc_encrypt  # noqa: PLC0415
+    from ..kernel.fastcrypto import aes_cbc_encrypt  # noqa: PLC0415
 
     k = hashlib.sha256(password + salt + udata).digest()
     if r == 5:
@@ -1281,7 +1273,7 @@ def build_pdf(
     if variant == 10:
         import hashlib  # noqa: PLC0415
 
-        from ..kernel.aescipher import (  # noqa: PLC0415
+        from ..kernel.fastcrypto import (  # noqa: PLC0415
             aes_cbc_encrypt,
             aes_encrypt_block,
         )
