@@ -176,13 +176,26 @@ class _BitReader:
         self.pos = (self.pos + 7) & ~7
 
 
-def _changes(row: np.ndarray) -> list[int]:
+def _changes(row) -> list[int]:
     """Positions where the colour differs from the previous pixel (an
     imaginary white pixel precedes the row) — even indices are
-    white→black transitions."""
-    d = np.flatnonzero(np.diff(row.astype(np.int8)))
+    white→black transitions. ``row`` is any 0/1 int sequence; short
+    rows walk plain Python ints (numpy per-row overhead dominates tiny
+    scans — optimization r8), long rows go through numpy."""
+    if len(row) < 256:
+        if isinstance(row, np.ndarray):
+            row = row.tolist()
+        out = []
+        prev = 0
+        for x, v in enumerate(row):
+            if v != prev:
+                out.append(x)
+                prev = v
+        return out
+    arr = np.asarray(row, dtype=np.uint8)
+    d = np.flatnonzero(arr[1:] != arr[:-1])
     out = (d + 1).tolist()
-    if row[0]:
+    if arr[0]:
         out.insert(0, 0)
     return out
 
@@ -306,7 +319,7 @@ def decode_g4(
             break
         if (len(out) + 1) * columns > max_pixels:
             raise CcittError(f"image exceeds max_pixels={max_pixels}")
-        row = np.zeros(columns, dtype=np.uint8)
+        row = bytearray(columns)  # r8: C-level slice fills + cheap _changes
         a0, color = -1, 0
         while a0 < columns:
             b1 = _find_b1(ref_changes, a0, color, columns)
@@ -327,14 +340,15 @@ def decode_g4(
                         if start + r1 + r2 > columns:
                             raise CcittError("horizontal runs overrun row")
                         if color:  # black run, then white run
-                            row[start : start + r1] = 1
+                            row[start : start + r1] = b"\x01" * r1
                         else:  # white run, then black run
-                            row[start + r1 : start + r1 + r2] = 1
+                            row[start + r1 : start + r1 + r2] = b"\x01" * r2
                         a0 = start + r1 + r2
                         continue
                     if r.read1():  # 0001: pass
                         if color:
-                            row[max(a0, 0) : b2] = 1
+                            lo = max(a0, 0)
+                            row[lo:b2] = b"\x01" * (b2 - lo)
                         a0 = b2
                         continue
                     if r.read1():
@@ -348,7 +362,8 @@ def decode_g4(
             if a1 < 0 or a1 > columns:
                 raise CcittError("vertical mode outside row")
             if color:
-                row[max(a0, 0) : a1] = 1
+                lo = max(a0, 0)
+                row[lo:a1] = b"\x01" * (a1 - lo)
             a0, color = a1, color ^ 1
         out.append(row)
         ref_changes = _changes(row)
@@ -358,4 +373,4 @@ def decode_g4(
             break
     if not out:
         raise CcittError("no rows decoded")
-    return np.stack(out)
+    return np.frombuffer(bytes(b"".join(out)), dtype=np.uint8).reshape(len(out), columns)

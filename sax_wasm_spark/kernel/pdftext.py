@@ -129,6 +129,34 @@ _RE_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _RE_TRAILER = re.compile(rb"trailer\b")
 _RE_NUM = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
 
+# Master-regex lexer (optimization r8): one C-level match replaces the
+# per-byte skip_ws/_regular_run walk. Alternatives mirror next_token's
+# dispatch exactly; the number alternative carries a stop-set lookahead
+# so a run like ``3d`` or ``3.4.5`` still tokenizes as a keyword, same
+# as `_RE_NUM.fullmatch` on the full regular run.
+_RE_SKIP = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)*")
+_RE_MAIN = re.compile(
+    rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"  # 1: /Name body
+    rb"|(<<)"  # 2
+    rb"|(>>)"  # 3
+    rb"|(\[)"  # 4
+    rb"|(\])"  # 5
+    rb"|([+-]?(?:\d+\.?\d*|\.\d+))(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)"  # 6: number
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"  # 7: keyword / regular run
+)
+# ``N G R`` indirect-reference tail after an integer token: ws/comments,
+# a second non-negative integer, ws/comments, then a standalone ``R``
+# (followed by a stop char). The separator between the integer and R is
+# mandatory: ``0R`` is a single regular run, not a number + keyword.
+_RE_REF_TAIL = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)*"
+    rb"(\d+)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\n]*)+"
+    rb"R(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)"
+)
+_RE_NAME_HEX = re.compile(rb"#([0-9A-Fa-f]{2})")
+_RE_LIT_SPECIAL = re.compile(rb"[\\()]")
+
 
 # ---------------------------------------------------------------------------
 # lexer (shared by the object layer and the content-stream interpreter)
@@ -167,57 +195,68 @@ class _Lexer:
 
         kinds: 'num' float|int, 'name' str, 'str' bytes, 'kw' bytes,
         'arr_open','arr_close','dict_open','dict_close' (value None).
-        """
-        self.skip_ws()
-        d, n = self.data, len(self.data)
-        p = self.pos
-        if p >= n:
-            return None
-        c = d[p]
-        if c == 0x2F:  # /Name
+
+        Dispatches through one master regex (_RE_MAIN) so the common
+        tokens lex in a single C-level match; only strings, stray
+        delimiters and EOF fall back to byte dispatch. Token-for-token
+        identical to the per-byte walk it replaced."""
+        d = self.data
+        n = len(d)
+        while True:
+            p = _RE_SKIP.match(d, self.pos).end()
+            if p >= n:
+                self.pos = p
+                return None
+            m = _RE_MAIN.match(d, p)
+            if m is not None:
+                self.pos = m.end()
+                g = m.lastindex
+                if g == 7:
+                    return ("kw", m.group(7))
+                if g == 6:
+                    v = m.group(6)
+                    return ("num", float(v) if b"." in v else int(v))
+                if g == 1:
+                    raw = m.group(1)
+                    if b"#" in raw:
+                        raw = _RE_NAME_HEX.sub(
+                            lambda mm: bytes([int(mm.group(1), 16)]), raw
+                        )
+                    return ("name", raw.decode("latin-1"))
+                if g == 2:
+                    return ("dict_open", None)
+                if g == 3:
+                    return ("dict_close", None)
+                if g == 4:
+                    return ("arr_open", None)
+                return ("arr_close", None)
+            c = d[p]
+            if c == 0x28:  # ( literal string
+                self.pos = p
+                return ("str", self._literal_string())
+            if c == 0x3C:  # < hex string (<< is handled by the master)
+                self.pos = p
+                return ("str", self._hex_string())
+            # stray '>', '{', '}' or other lone delimiter — step over
             self.pos = p + 1
-            raw = self._regular_run()
-            if b"#" in raw:
-                raw = re.sub(
-                    rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw
-                )
-            return ("name", raw.decode("latin-1"))
-        if c == 0x28:  # ( literal string
-            return ("str", self._literal_string())
-        if c == 0x3C:  # < : hex string or <<
-            if p + 1 < n and d[p + 1] == 0x3C:
-                self.pos = p + 2
-                return ("dict_open", None)
-            return ("str", self._hex_string())
-        if c == 0x3E:  # >>
-            if p + 1 < n and d[p + 1] == 0x3E:
-                self.pos = p + 2
-                return ("dict_close", None)
-            self.pos = p + 1  # stray '>' — skip
-            return self.next_token()
-        if c == 0x5B:
-            self.pos = p + 1
-            return ("arr_open", None)
-        if c == 0x5D:
-            self.pos = p + 1
-            return ("arr_close", None)
-        if c in b"{}":  # PostScript procs (type-4 functions) — skip brace
-            self.pos = p + 1
-            return self.next_token()
-        run = self._regular_run()
-        if not run:  # lone delimiter we don't know — step over
-            self.pos = p + 1
-            return self.next_token()
-        if _RE_NUM.fullmatch(run):
-            return ("num", float(run) if b"." in run else int(run))
-        return ("kw", run)
 
     def _literal_string(self) -> bytes:
         d, n = self.data, len(self.data)
         p = self.pos + 1  # past '('
         out = bytearray()
         depth = 1
+        find_special = _RE_LIT_SPECIAL.search
         while p < n:
+            # bulk-copy up to the next backslash/paren (C-level scan)
+            m = find_special(d, p)
+            if m is None:
+                out += d[p:n]
+                p = n
+                break
+            q = m.start()
+            if q > p:
+                out += d[p:q]
+                p = q
             c = d[p]
             if c == 0x5C:  # backslash
                 p += 1
@@ -293,15 +332,13 @@ def _parse_value(lex: _Lexer, tok=None):
     if kind == "name":
         return "/" + val
     if kind == "num":
-        # lookahead for `G R` making this an indirect reference
+        # lookahead for `G R` making this an indirect reference — one
+        # anchored regex instead of two token reads + rewind (r8)
         if isinstance(val, int) and val >= 0:
-            save = lex.pos
-            t2 = lex.next_token()
-            if t2 and t2[0] == "num" and isinstance(t2[1], int) and t2[1] >= 0:
-                t3 = lex.next_token()
-                if t3 == ("kw", b"R"):
-                    return Ref(val, t2[1])
-            lex.pos = save
+            m = _RE_REF_TAIL.match(lex.data, lex.pos)
+            if m is not None:
+                lex.pos = m.end()
+                return Ref(val, int(m.group(1)))
         return val
     if kind == "arr_open":
         out = []

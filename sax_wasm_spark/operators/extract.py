@@ -124,49 +124,60 @@ EXTRACT_SCHEMA = StructType(
 
 def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]], bytes | None]:
     """Replay flat event rows (collect.FIELD_NAMES layout) through the
-    documented reduction. Identical semantics to _Replay over entities."""
+    documented reduction. Identical semantics to _Replay over entities.
+    (r8: per-block byte totals accumulate during the replay itself and
+    the membership tests run against cached locals — same reduction,
+    one pass fewer over the candidates.)"""
     stack: list[str] = []
     frame_ids: list[int] = []
     next_frame = 1
     drop_depth = 0
     link_depth = 0
     block_frames = [0]
-    tag_counts: dict[int, int] = {}
+    tag_counts: dict[int, int] = {0: 0}
+    totals: dict[int, int] = {0: 0}
+    links: dict[int, int] = {0: 0}
     candidates: list[tuple[int, bool, bytes, int, int]] = []
+    cand_append = candidates.append
     title: bytes | None = None
     title_depth = 0
+    void_tags = VOID_TAGS
+    drop_tags = DROP_TAGS
+    block_tags = BLOCK_TAGS
     for row in rows:
         code = row[0]
         if code == 7:  # OpenTag
-            blk = block_frames[-1]
-            tag_counts[blk] = tag_counts.get(blk, 0) + 1
+            tag_counts[block_frames[-1]] += 1
             if row[7]:  # self_closing
                 continue
             name = row[2].lower()
-            if name in VOID_TAGS:  # HTML void element: never pushes here
+            if name in void_tags:  # HTML void element: never pushes here
                 continue
             stack.append(name)
-            if name in DROP_TAGS:
+            if name in drop_tags:
                 drop_depth += 1
             if name == "a":
                 link_depth += 1
             if name == "title":
                 title_depth += 1
-            if name in BLOCK_TAGS:
+            if name in block_tags:
                 fid = next_frame
                 next_frame += 1
                 frame_ids.append(fid)
                 block_frames.append(fid)
+                tag_counts[fid] = 0
+                totals[fid] = 0
+                links[fid] = 0
             else:
                 frame_ids.append(-1)
         elif code == 8:  # CloseTag
             if row[7] or not stack:
                 continue
-            if row[2] and row[2].lower() in VOID_TAGS:
+            if row[2] and row[2].lower() in void_tags:
                 continue  # kernel-stack pop of an element we never pushed
             name = stack.pop()
             fid = frame_ids.pop()
-            if name in DROP_TAGS:
+            if name in drop_tags:
                 drop_depth -= 1
             if name == "a":
                 link_depth -= 1
@@ -182,22 +193,20 @@ def _extract_rows(rows) -> tuple[bytes, list[tuple[int, int]], bytes | None]:
             value = row[3]
             if not value:
                 continue
-            candidates.append((block_frames[-1], link_depth > 0, value, row[18], row[19]))
+            blk = block_frames[-1]
+            m = len(value)
+            totals[blk] += m
+            if link_depth:
+                links[blk] += m
+            cand_append((blk, False, value, row[18], row[19]))
 
-    totals: dict[int, int] = {}
-    links: dict[int, int] = {}
-    for blk, is_link, value, _, _ in candidates:
-        m = len(value)
-        totals[blk] = totals.get(blk, 0) + m
-        if is_link:
-            links[blk] = links.get(blk, 0) + m
     kept = {
         blk
         for blk, total in totals.items()
         if total >= MIN_BLOCK_BYTES
-        and links.get(blk, 0) / total <= MAX_LINK_DENSITY
+        and links[blk] / total <= MAX_LINK_DENSITY
         and (
-            total / (1 + tag_counts.get(blk, 0)) >= MIN_TEXT_DENSITY
+            total / (1 + tag_counts[blk]) >= MIN_TEXT_DENSITY
             or total >= DENSITY_EXEMPT_BYTES
         )
     }

@@ -767,6 +767,78 @@ def decode_video_stats(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def render_decode_video_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_col: str = "n_clips",
+    max_pixels: int = 1 << 22,
+    max_frames: int = 1 << 10,
+) -> DataFrame:
+    """Fused ``render_avi_column`` ∘ ``decode_video_stats`` (optimization
+    r8, guide §2.3/§8: don't round-trip heavy bytes through the JVM when
+    the decision needs only their stats). Row-for-row identical to the
+    two-stage composition — every clip is still fully ENCODED by the
+    writer twin and DECODED back through the real codec inside the same
+    Python worker — but the multi-KB AVI payloads never cross the
+    Arrow boundary: only (id, img_idx) in and the fixed-width stats
+    out. The un-fused operators remain the production pipeline surface
+    (real corpora arrive as stored bytes); this is the roundtrip-bench
+    shape."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..kernel.avicodec import AviError, decode_avi  # noqa: PLC0415
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [id_field, StructField("img_idx", IntegerType(), False)]
+        + VIDEO_STATS_SCHEMA_TAIL
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from ..sources.videogen import build_avi  # noqa: PLC0415
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for did, nclips in zip(pdf[id_col], pdf[n_col]):
+                did = int(did)
+                for k in range(int(nclips)):
+                    out[id_col].append(did)
+                    out["img_idx"].append(k)
+                    try:
+                        clip = decode_avi(
+                            build_avi(did, k),
+                            max_pixels=max_pixels,
+                            max_frames=max_frames,
+                        )
+                        s = mn = mx = None
+                        for fr in clip.frames:  # stats span ALL frames
+                            px = fr.astype(np.int64)
+                            s = (s or 0) + int(px.sum())
+                            fmn, fmx = int(px.min()), int(px.max())
+                            mn = fmn if mn is None else min(mn, fmn)
+                            mx = fmx if mx is None else max(mx, fmx)
+                        out["n_frames"].append(clip.n_frames)
+                        out["width"].append(clip.width)
+                        out["height"].append(clip.height)
+                        out["duration_ms"].append(clip.duration_ms)
+                        out["pixel_sum"].append(s)
+                        out["pixel_min"].append(mn)
+                        out["pixel_max"].append(mx)
+                        out["status"].append("ok")
+                    except AviError as e:
+                        for col in (
+                            "n_frames", "width", "height", "duration_ms",
+                            "pixel_sum", "pixel_min", "pixel_max",
+                        ):
+                            out[col].append(None)
+                        out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, n_col).mapInPandas(run, schema=out_schema)
+
+
 def demux_audio_stats(
     df: DataFrame,
     media_col: str = "avi",

@@ -160,16 +160,25 @@ def q02_sql():
 
 def q03_latest_order_per_customer(spark, sf_dir):
     """Window dedup — the same latest-capture-per-url pattern the pages
-    pipeline uses (Window.partitionBy(url).orderBy(warc_ts desc))."""
+    pipeline uses. r8 plan shape: the row_number window (full shuffle +
+    sort of every order) is replaced by ``max(struct(date, key, price))``
+    — lexicographic struct max picks the same latest row because
+    o_orderkey is unique within a customer, and the aggregation runs
+    partial/map-side so the exchange carries one row per customer
+    instead of every order (guide §2.3 'aggregate before you shuffle').
+    Result-identical to the window form; the oracle is unchanged."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+            ).alias("m")
+        )
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.round("o_totalprice", 2).alias("latest_totalprice"),
+            F.col("m.o_orderkey").alias("latest_orderkey"),
+            F.round("m.o_totalprice", 2).alias("latest_totalprice"),
         )
         .orderBy("o_custkey")
     )
@@ -337,7 +346,13 @@ def q09_sql():
 
 
 def q10_events_window(spark, sf_dir):
-    """Event-stream windowing: per-user ordered lag deltas."""
+    """Event-stream windowing: per-user ordered lag deltas.
+
+    (r8 note: a telescoped rewrite — avg of consecutive deltas as
+    (last - first)/(n - 1) over one hash aggregation — was tried and
+    REVERTED: floating-point summation order differs from the oracle's
+    lag-sum and ~0.01% of groups land on a round(4) boundary at
+    sf >= 0.1. The window IS the oracle-faithful computation.)"""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -4710,10 +4725,7 @@ def q77_video_decode_stats(spark, sf_dir):
     shuffle, per-row CPU inside Arrow batches — the 100-TB video
     feature-extraction shape (real frame SAMPLING over the same codec
     is sample_frames' avi_frame_sampler, pinned in tests)."""
-    from ..operators.multimodal import (  # noqa: PLC0415
-        decode_video_stats,
-        render_avi_column,
-    )
+    from ..operators.multimodal import render_decode_video_stats  # noqa: PLC0415
 
     d = load(spark, sf_dir, "documents").repartition(
         2 * spark.sparkContext.defaultParallelism
@@ -4721,8 +4733,10 @@ def q77_video_decode_stats(spark, sf_dir):
     src = d.select(
         "doc_id", (1 + F.col("doc_id") % 3).cast("int").alias("n_clips")
     )
-    clips = render_avi_column(src, id_col="doc_id", n_col="n_clips")
-    stats = decode_video_stats(clips, media_col="avi", id_cols=("doc_id", "img_idx"))
+    # r8: fused writer-twin ∘ decoder — the encode→decode roundtrip per
+    # clip is unchanged, but the AVI bytes stay inside one Python worker
+    # instead of round-tripping through the JVM between two map stages
+    stats = render_decode_video_stats(src, id_col="doc_id", n_col="n_clips")
     return stats.select(
         "doc_id",
         F.col("img_idx").cast("int").alias("clip_idx"),
