@@ -522,6 +522,10 @@ def decode_image_stats(
     from ..kernel.jpegcodec import decode_jpeg  # noqa: PLC0415
     from ..kernel.pngcodec import PNG_SIGNATURE, decode_png  # noqa: PLC0415
 
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pyspark.sql.pandas.types import to_arrow_type  # noqa: PLC0415
+
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = StructType(
         list(id_fields)
@@ -531,20 +535,25 @@ def decode_image_stats(
         ]
         + DECODE_STATS_SCHEMA_TAIL
     )
+    arrow_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType), f.nullable)
+        for f in out_schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+    src = df.select(*id_cols, media_col)
+    n_id = len(id_cols)
 
+    # r8: mapInArrow instead of mapInPandas — the pandas round trip
+    # (Series construction + per-cell access + DataFrame assembly) cost
+    # more than the small-image decodes themselves
     def run(batches):
-        import pandas as pd  # noqa: PLC0415
-
-        for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[row])
-                data = pdf[media_col].iloc[row]
+        for rb in batches:
+            id_vals = [rb.column(j).to_pylist() for j in range(n_id)]
+            media_list = rb.column(n_id).to_pylist()
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields[n_id:]}
+            for data in media_list:
                 if data is None:
                     data = b""
-                if isinstance(data, (bytearray, memoryview)):
-                    data = bytes(data)
                 fmt = None
                 try:
                     if data.startswith(PNG_SIGNATURE):
@@ -606,9 +615,15 @@ def decode_image_stats(
                     out["pixel_min"].append(None)
                     out["pixel_max"].append(None)
                     out["status"].append(f"error:{e}")
-            yield pd.DataFrame(out)
+            arrays = [
+                pa.array(id_vals[j], type=arrow_fields[j].type) for j in range(n_id)
+            ] + [
+                pa.array(out[f.name], type=arrow_fields[n_id + k].type)
+                for k, f in enumerate(out_schema.fields[n_id:])
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-    return df.mapInPandas(run, schema=out_schema)
+    return src.mapInArrow(run, schema=out_schema)
 
 
 AUDIO_STATS_SCHEMA_TAIL = [
@@ -1297,10 +1312,15 @@ def perceptual_hash_images(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[row])
-                data = pdf[media_col].iloc[row]
+            # r8: batch columns convert to lists ONCE — per-row
+            # Series.iloc access costs microseconds each and dominated
+            # small-image batches
+            id_lists = [(c, pdf[c].tolist()) for c in id_cols]
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                for c, vals in id_lists:
+                    out[c].append(vals[row])
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
