@@ -125,6 +125,13 @@ _BLACK_DEC.update({v: (k, False) for k, v in _BLACK_MAKEUP.items()})
 _BLACK_DEC.update({v: (k, False) for k, v in _EXT_MAKEUP.items()})
 _MAX_CODE_LEN = 13
 _EOL = "000000000001"
+# T.6 vertical-mode codes keyed by a1 - b1 (hoisted: this literal used
+# to be rebuilt on every coding-loop iteration)
+_VERTICAL_CODES = {
+    0: "1",
+    1: "011", 2: "000011", 3: "0000011",
+    -1: "010", -2: "000010", -3: "0000010",
+}
 
 
 class _BitWriter:
@@ -255,13 +262,7 @@ def encode_g4(
                 w.write("0001")  # pass
                 a0 = b2
             elif abs(a1 - b1) <= 3:
-                w.write(
-                    {
-                        0: "1",
-                        1: "011", 2: "000011", 3: "0000011",
-                        -1: "010", -2: "000010", -3: "0000010",
-                    }[a1 - b1]
-                )
+                w.write(_VERTICAL_CODES[a1 - b1])
                 a0, color = a1, color ^ 1
             else:
                 w.write("001")  # horizontal
