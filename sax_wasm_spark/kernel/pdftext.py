@@ -2946,10 +2946,10 @@ def pdf_decode_image_stats(data: bytes, max_pixels: int = 1 << 24) -> list[tuple
                              None, "error:%s" % e)
                         )
                         continue
-                    px = planes.astype(np.int64)
+                    px = planes  # r8: sum(dtype=int64) exact, no copy
                     out.append(
                         (page_idx, name, wpx, hpx,
-                         ncomp, int(px.sum()), int(px.min()),
+                         ncomp, int(px.sum(dtype=np.int64)), int(px.min()),
                          int(px.max()), "ok")
                     )
                 elif xo[0] == "form" and xo[4]:

@@ -476,11 +476,11 @@ def decode_jpeg_stats(
                     data = bytes(data)
                 try:
                     img = decode_jpeg(data, max_pixels=max_pixels)
-                    px = img.planes.astype(np.int64)
+                    px = img.planes  # r8: sum(dtype=int64) exact, no copy
                     out["width"].append(img.width)
                     out["height"].append(img.height)
                     out["n_channels"].append(img.n_components)
-                    out["pixel_sum"].append(int(px.sum()))
+                    out["pixel_sum"].append(int(px.sum(dtype=np.int64)))
                     out["pixel_min"].append(int(px.min()))
                     out["pixel_max"].append(int(px.max()))
                     out["status"].append("ok")
@@ -560,22 +560,22 @@ def decode_image_stats(
                         fmt = "png"
                         img = decode_png(data, max_pixels=max_pixels)
                         w, h, nc, nf = img.width, img.height, img.n_components, 1
-                        px = img.planes.astype(np.int64)
-                        stats = (int(px.sum()), int(px.min()), int(px.max()))
+                        px = img.planes  # r8: sum(dtype=int64) is exact; no int64 copy
+                        stats = (int(px.sum(dtype=np.int64)), int(px.min()), int(px.max()))
                     elif data[:2] == b"\xff\xd8":
                         fmt = "jpeg"
                         img = decode_jpeg(data, max_pixels=max_pixels)
                         w, h, nc, nf = img.width, img.height, img.n_components, 1
-                        px = img.planes.astype(np.int64)
-                        stats = (int(px.sum()), int(px.min()), int(px.max()))
+                        px = img.planes  # r8: sum(dtype=int64) is exact; no int64 copy
+                        stats = (int(px.sum(dtype=np.int64)), int(px.min()), int(px.max()))
                     elif data[:6] in GIF_MAGICS:
                         fmt = "gif"
                         gif = decode_gif(data, max_pixels=max_pixels)
                         w, h, nc, nf = gif.width, gif.height, 3, gif.n_frames
                         s = mn = mx = None
                         for fr in gif.frames:  # stats span ALL frames
-                            px = fr.planes.astype(np.int64)
-                            s = (s or 0) + int(px.sum())
+                            px = fr.planes  # r8: exact without the int64 copy
+                            s = (s or 0) + int(px.sum(dtype=np.int64))
                             fmn, fmx = int(px.min()), int(px.max())
                             mn = fmn if mn is None else min(mn, fmn)
                             mx = fmx if mx is None else max(mx, fmx)
@@ -584,16 +584,16 @@ def decode_image_stats(
                         fmt = "bmp"
                         img = decode_bmp(data, max_pixels=max_pixels)
                         w, h, nc, nf = img.width, img.height, img.n_components, 1
-                        px = img.planes.astype(np.int64)
-                        stats = (int(px.sum()), int(px.min()), int(px.max()))
+                        px = img.planes  # r8: sum(dtype=int64) is exact; no int64 copy
+                        stats = (int(px.sum(dtype=np.int64)), int(px.min()), int(px.max()))
                     elif data[:4] in (b"II*\x00", b"MM\x00*"):
                         from ..kernel.tiffcodec import decode_tiff  # noqa: PLC0415
 
                         fmt = "tiff"
                         img = decode_tiff(data, max_pixels=max_pixels)
                         w, h, nc, nf = img.width, img.height, img.n_components, 1
-                        px = img.planes.astype(np.int64)
-                        stats = (int(px.sum()), int(px.min()), int(px.max()))
+                        px = img.planes  # r8: sum(dtype=int64) is exact; no int64 copy
+                        stats = (int(px.sum(dtype=np.int64)), int(px.min()), int(px.max()))
                     else:
                         raise ValueError("unknown image format")
                     out["format"].append(fmt)
@@ -674,13 +674,13 @@ def decode_audio_stats(
                     data = bytes(data)
                 try:
                     clip = decode_wav(data, max_frames=max_frames)
-                    s = clip.samples.astype(np.int64)
+                    s = clip.samples  # r8: sum(dtype=int64) exact, no copy
                     out["n_channels"].append(clip.n_channels)
                     out["sample_rate"].append(clip.sample_rate)
                     out["bits"].append(clip.bits)
                     out["n_frames"].append(clip.n_frames)
                     out["duration_ms"].append(clip.duration_ms)
-                    out["sample_sum"].append(int(s.sum()))
+                    out["sample_sum"].append(int(s.sum(dtype=np.int64)))
                     out["sample_min"].append(int(s.min()))
                     out["sample_max"].append(int(s.max()))
                     out["status"].append("ok")
@@ -757,8 +757,8 @@ def decode_video_stats(
                     )
                     s = mn = mx = None
                     for fr in clip.frames:  # stats span ALL frames
-                        px = fr.astype(np.int64)
-                        s = (s or 0) + int(px.sum())
+                        px = fr  # r8: exact without the int64 copy
+                        s = (s or 0) + int(px.sum(dtype=np.int64))
                         fmn, fmx = int(px.min()), int(px.max())
                         mn = fmn if mn is None else min(mn, fmn)
                         mx = fmx if mx is None else max(mx, fmx)
@@ -829,8 +829,8 @@ def render_decode_video_stats(
                         )
                         s = mn = mx = None
                         for fr in clip.frames:  # stats span ALL frames
-                            px = fr.astype(np.int64)
-                            s = (s or 0) + int(px.sum())
+                            px = fr  # r8: exact without the int64 copy
+                            s = (s or 0) + int(px.sum(dtype=np.int64))
                             fmn, fmx = int(px.min()), int(px.max())
                             mn = fmn if mn is None else min(mn, fmn)
                             mx = fmx if mx is None else max(mx, fmx)
@@ -915,11 +915,11 @@ def demux_audio_stats(
                             out[col].append(None)
                         out["status"].append("no_audio")
                         continue
-                    px = clip.audio_samples.astype(np.int64)
+                    px = clip.audio_samples  # r8: sum(dtype=int64) exact
                     out["audio_rate"].append(clip.audio_rate)
                     out["n_channels"].append(clip.audio_channels)
                     out["n_samples"].append(len(clip.audio_samples))
-                    out["sample_sum"].append(int(px.sum()))
+                    out["sample_sum"].append(int(px.sum(dtype=np.int64)))
                     out["sample_min"].append(int(px.min()))
                     out["sample_max"].append(int(px.max()))
                     out["status"].append("ok")
