@@ -502,13 +502,19 @@ def encode_jpeg(
         nzmask = zzs[:, 1:] != 0
         has_ac = nzmask.any(axis=1)
         lasts = np.where(has_ac, 63 - np.argmax(nzmask[:, ::-1], axis=1), 0)
-        comp_zz.append(zzs.tolist())
+        # DC-only blocks (the overwhelming majority on flat content)
+        # take an inline DC+EOB path below; only blocks WITH AC
+        # coefficients materialize a python list
+        comp_zz.append(
+            (zzs[:, 0].tolist(), {int(i): zzs[i].tolist() for i in np.nonzero(lasts)[0]})
+        )
         comp_last.append(lasts.tolist())
     bw = _BitWriter()
     preds = [0] * ncomp
     mcu_count = 0
     rst = 0
     blocks_per_mcu = [samp[c][0] * samp[c][1] for c in range(ncomp)]
+    eob_code, eob_len = _ENC_AC_CODES[0x00]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -520,12 +526,26 @@ def encode_jpeg(
                 preds = [0] * ncomp
             for c in range(ncomp):
                 base = (my * mcus_x + mx) * blocks_per_mcu[c]
-                zzc = comp_zz[c]
+                dcs_c, ac_rows = comp_zz[c]
                 lastc = comp_last[c]
                 for b in range(blocks_per_mcu[c]):
-                    preds[c] = _encode_block(
-                        zzc[base + b], preds[c], bw, lastc[base + b]
-                    )
+                    idx = base + b
+                    last = lastc[idx]
+                    if last:
+                        preds[c] = _encode_block(
+                            ac_rows[idx], preds[c], bw, last
+                        )
+                    else:
+                        # inline _encode_block for the DC-only case —
+                        # identical bit output (DC code + raw + EOB)
+                        dc = dcs_c[idx]
+                        ssss, raw = _magnitude(dc - preds[c])
+                        code, ln = _ENC_DC_CODES[ssss]
+                        bw.put(code, ln)
+                        if ssss:
+                            bw.put(raw, ssss)
+                        bw.put(eob_code, eob_len)
+                        preds[c] = dc
             mcu_count += 1
     bw.flush()
     out += bw.out
@@ -741,7 +761,12 @@ def _decode_scan(
     preds = [0] * ns
     mcu_count = 0
     total = mcus_y * mcus_x
-    comp_rows: list[list[list[int]]] = [[] for _ in range(ns)]
+    # sparse per-block capture: the DC coefficient always, AC (k, v)
+    # pairs only when present — most blocks of real-and-corpus scans
+    # end at EOB immediately, so the dense [0]*64 list per block was
+    # allocation overhead
+    comp_dc: list[list[int]] = [[] for _ in range(ns)]
+    comp_ac: list[list] = [[] for _ in range(ns)]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -750,15 +775,16 @@ def _decode_scan(
             for c in range(ns):
                 _cid, hs, vs, _tq = order[c]
                 dtab, atab = dct_tabs[c], act_tabs[c]
-                rows_c = comp_rows[c]
+                dcs_c = comp_dc[c]
+                acs_c = comp_ac[c]
                 for _b in range(vs * hs):
-                    zz = [0] * 64
                     ssss = br.decode(dtab)
                     if ssss > 11:
                         raise JpegError("DC category out of range")
                     diff = _extend(br.bits(ssss), ssss) if ssss else 0
                     preds[c] += diff
-                    zz[0] = preds[c]
+                    dcs_c.append(preds[c])
+                    ac = None
                     k = 1
                     while k < 64:
                         rs = br.decode(atab)
@@ -771,9 +797,11 @@ def _decode_scan(
                         k += r
                         if k > 63:
                             raise JpegError("AC run past block end")
-                        zz[k] = _extend(br.bits(s), s)
+                        if ac is None:
+                            ac = []
+                        ac.append((k, _extend(br.bits(s), s)))
                         k += 1
-                    rows_c.append(zz)
+                    acs_c.append(ac)
             mcu_count += 1
     if mcu_count != total:
         raise JpegError("scan ended early")
@@ -781,7 +809,12 @@ def _decode_scan(
     out = np.empty((fh, fw, ns), dtype=np.uint8)
     for c in range(ns):
         _cid, hs, vs, _tq = order[c]
-        zzs = np.array(comp_rows[c], dtype=np.int64)  # (n, 64) zig-zag
+        zzs = np.zeros((len(comp_dc[c]), 64), dtype=np.int64)  # (n, 64) zig-zag
+        zzs[:, 0] = comp_dc[c]
+        for i, ac in enumerate(comp_ac[c]):
+            if ac:
+                for k, v in ac:
+                    zzs[i, k] = v
         coeffs = (zzs * quants[c])[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
         blocks = np.matmul(np.matmul(_CT, coeffs), _C) + 128.0
         # (my, mx, by, bx, 8, 8) -> (my, by, 8, mx, bx, 8) -> plane
