@@ -2209,3 +2209,31 @@ class TestXmpMetadata:
 
         data = build_pdf_xmp(2).replace(b"/Metadata 6 0 R", b"/Metadata 9 0 R")
         assert PdfDocument(data).xmp_metadata() is None
+
+
+def test_obj_header_scan_equivalence():
+    """r8: the literal-'obj' header scan must yield exactly the spans
+    and groups of the original ``(\\d+)\\s+(\\d+)\\s+obj\\b`` finditer
+    on corpus PDFs, byte fuzz, and hand-built edge constructions."""
+    import random
+
+    from sax_wasm_spark.kernel.pdftext import _RE_OBJ, _iter_obj_headers
+    from sax_wasm_spark.sources.pdfgen import build_pdf, build_pdf_ccitt
+
+    def ref(data):
+        return [(m.start(), m.end(), m.group(1), m.group(2)) for m in _RE_OBJ.finditer(data)]
+
+    for d in range(0, 60):
+        p = build_pdf(f"text {d} " * 8, variant=d % 15)
+        assert ref(p) == list(_iter_obj_headers(p))
+        c = build_pdf_ccitt(d)
+        assert ref(c) == list(_iter_obj_headers(c))
+    rng = random.Random(31)
+    alphabet = b"0123456789 obj\n\r\t\x0b\x0c objXobj_1 2 obj<<>>stream"
+    for _ in range(3000):
+        s = bytes(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        assert ref(s) == list(_iter_obj_headers(s)), s
+    for s in [b"1 2 obj", b"obj", b"12obj", b"1 2 obj5 7 obj", b"12 obj obj",
+              b"1\t\n2\r obj\x00", b"007 000 obj ", b"9 obj", b" 1 2 objx 3 4 obj",
+              b"\x001 2 obj", b"1 2  obj", b"99999999999 0 obj"]:
+        assert ref(s) == list(_iter_obj_headers(s)), s
