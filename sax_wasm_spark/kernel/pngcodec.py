@@ -262,24 +262,20 @@ def encode_png(
     ul = np.zeros((h, stride), dtype=np.int16)  # upper-left neighbor
     ul[1:, ch:] = flat[:-1, :-ch]
     enc = np.empty((h, 1 + stride), dtype=np.uint8)
-    ftypes = (np.arange(h) % 5).astype(np.uint8)
-    enc[:, 0] = ftypes
+    enc[:, 0] = (np.arange(h) % 5).astype(np.uint8)
     body = enc[:, 1:]
-    f = ftypes == 0
-    body[f] = flat[f]
-    f = ftypes == 1
-    body[f] = (flat[f] - sh[f]).astype(np.uint8)
-    f = ftypes == 2
-    body[f] = (flat[f] - up[f]).astype(np.uint8)
-    f = ftypes == 3
-    body[f] = (flat[f] - ((sh[f] + up[f]) >> 1)).astype(np.uint8)
-    f = ftypes == 4
-    if f.any():
-        a, b, c = sh[f], up[f], ul[f]
+    # the y % 5 filter cycle means each filter's rows form a stride-5
+    # slice — views, not boolean-mask copies (r8: ~2x on small images)
+    body[0::5] = flat[0::5]
+    body[1::5] = (flat[1::5] - sh[1::5]).astype(np.uint8)
+    body[2::5] = (flat[2::5] - up[2::5]).astype(np.uint8)
+    body[3::5] = (flat[3::5] - ((sh[3::5] + up[3::5]) >> 1)).astype(np.uint8)
+    a, b, c = sh[4::5], up[4::5], ul[4::5]
+    if a.size:
         p = a + b - c
         pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
         pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-        body[f] = (flat[f] - pred).astype(np.uint8)
+        body[4::5] = (flat[4::5] - pred).astype(np.uint8)
     lines = enc.tobytes()
 
     def chunk(ctype: bytes, body: bytes) -> bytes:

@@ -131,13 +131,21 @@ def q02_revenue_by_nation(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     n = load(spark, sf_dir, "nation")
+    # r8 (guide §2.3, shuffle fewer bytes): the per-row revenue product
+    # is computed BEFORE the fact-table exchange, so the shuffle carries
+    # one double instead of price+discount. The per-row value and the
+    # downstream summation order are unchanged — identical result.
+    li = li.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("l_rev"),
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum("l_rev"), 2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), "n_name")
