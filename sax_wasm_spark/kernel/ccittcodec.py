@@ -125,6 +125,50 @@ _BLACK_DEC.update({v: (k, False) for k, v in _BLACK_MAKEUP.items()})
 _BLACK_DEC.update({v: (k, False) for k, v in _EXT_MAKEUP.items()})
 _MAX_CODE_LEN = 13
 _EOL = "000000000001"
+
+
+# r8 decode fast path: prefix-free run codes resolve from an 8-bit
+# window table (codes ≤ 8 bits — the common case) with an int-keyed
+# dict for the 9-13-bit tail; the mode coder resolves from a 7-bit
+# window table. The bit-at-a-time paths remain for the segment tail so
+# exhaustion/bad-code raises stay byte-for-byte identical.
+def _build_run_luts(dec: dict):
+    lut8 = [None] * 256
+    by_len: dict[tuple[int, int], tuple[int, bool]] = {}
+    for code, rv in dec.items():
+        ln = len(code)
+        v = int(code, 2)
+        by_len[(ln, v)] = rv
+        if ln <= 8:
+            base = v << (8 - ln)
+            for x in range(1 << (8 - ln)):
+                lut8[base | x] = (rv[0], rv[1], ln)
+    return lut8, by_len
+
+
+_WHITE_LUT8, _WHITE_BYLEN = _build_run_luts(_WHITE_DEC)
+_BLACK_LUT8, _BLACK_BYLEN = _build_run_luts(_BLACK_DEC)
+
+
+def _mode_entry(v: int):
+    b = format(v, "07b")
+    if b[0] == "1":
+        return ("v", 0, 1)
+    if b[1] == "1":
+        return ("v", 1 if b[2] == "1" else -1, 3)
+    if b[2] == "1":
+        return ("h", 0, 3)
+    if b[3] == "1":
+        return ("p", 0, 4)
+    if b[4] == "1":
+        return ("v", 2 if b[5] == "1" else -2, 6)
+    if b[5] == "1":
+        return ("v", 3 if b[6] == "1" else -3, 7)
+    return ("eol", 0, 6)
+
+
+_MODE7 = [_mode_entry(v) for v in range(128)]
+_EOL2_INT = int(_EOL + _EOL, 2)
 # T.6 vertical-mode codes keyed by a1 - b1 (hoisted: this literal used
 # to be rebuilt on every coding-loop iteration)
 _VERTICAL_CODES = {
@@ -181,6 +225,22 @@ class _BitReader:
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
+
+    def peek_bits(self, k: int) -> tuple[int, int]:
+        """Up to ``k`` bits MSB-first WITHOUT consuming → (value, got).
+        ``got`` < k at the segment tail (r8 fast-path support; callers
+        fall back to the bit-at-a-time path when short, so exhaustion
+        raises stay byte-for-byte identical)."""
+        pos = self.pos
+        avail = self.n - pos
+        if avail <= 0:
+            return 0, 0
+        got = k if avail >= k else avail
+        byte_i = pos >> 3
+        end = (pos + got + 7) >> 3
+        chunk = int.from_bytes(self.data[byte_i:end], "big")
+        width = (end - byte_i) << 3
+        return (chunk >> (width - (pos & 7) - got)) & ((1 << got) - 1), got
 
 
 def _changes(row) -> list[int]:
@@ -278,21 +338,43 @@ def encode_g4(
 
 
 def _read_run(r: _BitReader, color: int) -> int:
-    table = _BLACK_DEC if color else _WHITE_DEC
+    """T.4 modified-Huffman run (makeup chain + terminating code).
+    r8: 8-bit-window LUT for the short codes, int-keyed dict for the
+    9-13-bit tail, length-scan fallback at the segment tail — same
+    decode set and same raises as the bit-at-a-time loop."""
+    lut8, by_len = (_BLACK_LUT8, _BLACK_BYLEN) if color else (_WHITE_LUT8, _WHITE_BYLEN)
     total = 0
     while True:
-        code = ""
-        run = None
-        for _ in range(_MAX_CODE_LEN):
-            code += "1" if r.read1() else "0"
-            hit = table.get(code)
-            if hit is not None:
-                run = hit
-                break
-        if run is None:
-            raise CcittError(f"bad {'black' if color else 'white'} run code")
-        total += run[0]
-        if run[1]:  # terminating code
+        val, got = r.peek_bits(8)
+        hit = lut8[val] if got == 8 else None
+        if hit is None:
+            if got == 8:
+                val13, got13 = r.peek_bits(_MAX_CODE_LEN)
+                for ln in range(9, got13 + 1):
+                    h = by_len.get((ln, val13 >> (got13 - ln)))
+                    if h is not None:
+                        hit = (h[0], h[1], ln)
+                        break
+                if hit is None:
+                    if got13 == _MAX_CODE_LEN:
+                        raise CcittError(
+                            f"bad {'black' if color else 'white'} run code"
+                        )
+                    # tail shorter than a full long code and nothing
+                    # resolved — identical to the old loop running out
+                    raise CcittError("bitstream exhausted")
+            else:
+                # segment tail: try every length the remaining bits allow
+                for ln in range(1, got + 1):
+                    h = by_len.get((ln, val >> (got - ln)))
+                    if h is not None:
+                        hit = (h[0], h[1], ln)
+                        break
+                if hit is None:
+                    raise CcittError("bitstream exhausted")
+        r.pos += hit[2]
+        total += hit[0]
+        if hit[1]:  # terminating code
             return total
         # makeup code: a terminating code must follow
 
@@ -316,8 +398,9 @@ def decode_g4(
     out: list[np.ndarray] = []
     ref_changes: list[int] = []
     while rows is None or len(out) < rows:
-        if r.peek_is(_EOL + _EOL) or r.pos >= r.n:
-            break
+        v24, g24 = r.peek_bits(24)
+        if (g24 == 24 and v24 == _EOL2_INT) or r.pos >= r.n:
+            break  # EOFB (same test as peek_is(_EOL*2): short tail = no)
         if (len(out) + 1) * columns > max_pixels:
             raise CcittError(f"image exceeds max_pixels={max_pixels}")
         row = bytearray(columns)  # r8: C-level slice fills + cheap _changes
@@ -327,8 +410,38 @@ def decode_g4(
             j = bisect_right(ref_changes, b1)
             b2 = ref_changes[j] if j < len(ref_changes) else columns
             # mode decode (prefix-free): 1, 011, 010, 001, 0001,
-            # 000011, 000010, 0000011, 0000010, 000000000001 (EOL)
-            if r.read1():
+            # 000011, 000010, 0000011, 0000010, 000000000001 (EOL).
+            # r8: one 7-bit window lookup resolves every mode; the
+            # bit-at-a-time tree remains for the <7-bit segment tail so
+            # exhaustion raises land on the same bit.
+            val, got = r.peek_bits(7)
+            if got == 7:
+                kind, delta, ln = _MODE7[val]
+                r.pos += ln
+                if kind == "v":
+                    a1 = b1 + delta
+                elif kind == "h":
+                    start = a0 if a0 > 0 else 0
+                    r1 = _read_run(r, color)
+                    r2 = _read_run(r, color ^ 1)
+                    if start + r1 + r2 > columns:
+                        raise CcittError("horizontal runs overrun row")
+                    if color:  # black run, then white run
+                        row[start : start + r1] = b"\x01" * r1
+                    else:  # white run, then black run
+                        row[start + r1 : start + r1 + r2] = b"\x01" * r2
+                    a0 = start + r1 + r2
+                    continue
+                elif kind == "p":
+                    if color:
+                        lo = max(a0, 0)
+                        row[lo:b2] = b"\x01" * (b2 - lo)
+                    a0 = b2
+                    continue
+                else:
+                    # 0000000…: EOL / EOFB territory
+                    raise CcittError("unexpected EOL inside row")
+            elif r.read1():
                 a1 = b1  # V0
             else:
                 if r.read1():
