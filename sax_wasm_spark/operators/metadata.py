@@ -475,16 +475,18 @@ def extract_docx_paragraphs(
 
         for pdf in batches:
             out = {c: [] for c in (*ids, "xml")}
-            for row in range(len(pdf)):
-                data = pdf[docx_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in ids]  # r8: no per-row iloc
+            data_list = pdf[docx_col].tolist()
+            for row in range(len(data_list)):
+                data = data_list[row]
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
                 try:
                     xml = zip_find(data or b"", "word/document.xml")
                 except ZipError:
                     continue
-                for c in ids:
-                    out[c].append(pdf[c].iloc[row])
+                for c, _vals in id_lists:
+                    out[c].append(_vals[row])
                 out["xml"].append(xml)
             yield pd.DataFrame(out)
 
@@ -651,8 +653,10 @@ def extract_epub_chapters(
 
         for pdf in batches:
             out = {c: [] for c in (*ids, "spine_idx", "path", "url", "html")}
-            for row in range(len(pdf)):
-                data = pdf[epub_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in ids]  # r8: no per-row iloc
+            data_list = pdf[epub_col].tolist()
+            for row in range(len(data_list)):
+                data = data_list[row]
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
                 try:
@@ -660,8 +664,8 @@ def extract_epub_chapters(
                 except (ZipError, ValueError):
                     continue
                 for s, path, xhtml in chapters:
-                    for c in ids:
-                        out[c].append(pdf[c].iloc[row])
+                    for c, _vals in id_lists:
+                        out[c].append(_vals[row])
                     out["spine_idx"].append(s)
                     out["path"].append(path)
                     out["url"].append(f"epub:{row}:{s}")
@@ -898,14 +902,16 @@ def extract_xlsx_cells(
 
         for pdf in batches:
             out = {c: [] for c in (*ids, "part", "xml")}
-            for row in range(len(pdf)):
-                data = pdf[xlsx_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in ids]  # r8: no per-row iloc
+            data_list = pdf[xlsx_col].tolist()
+            for row in range(len(data_list)):
+                data = data_list[row]
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
 
                 def emit(part, xml, _row=row):
-                    for c in ids:
-                        out[c].append(pdf[c].iloc[_row])
+                    for c, _vals in id_lists:
+                        out[c].append(_vals[_row])
                     out["part"].append(part)
                     out["xml"].append(xml)
 
@@ -1136,9 +1142,11 @@ def extract_tar_members(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                vals = [pdf[c].iloc[row] for c in ids]
-                data = pdf[tar_col].iloc[row]
+            id_lists = [pdf[c].tolist() for c in ids]  # r8: no per-row iloc
+            data_list = pdf[tar_col].tolist()
+            for row in range(len(data_list)):
+                vals = [v[row] for v in id_lists]
+                data = data_list[row]
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
                 try:

@@ -466,10 +466,12 @@ def decode_jpeg_stats(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[row])
-                data = pdf[media_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in id_cols]  # r8: no per-row iloc
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                for c, _vals in id_lists:
+                    out[c].append(_vals[row])
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
@@ -664,10 +666,12 @@ def decode_audio_stats(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[row])
-                data = pdf[media_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in id_cols]  # r8: no per-row iloc
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                for c, _vals in id_lists:
+                    out[c].append(_vals[row])
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
@@ -743,10 +747,12 @@ def decode_video_stats(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[row])
-                data = pdf[media_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in id_cols]  # r8: no per-row iloc
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                for c, _vals in id_lists:
+                    out[c].append(_vals[row])
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
@@ -897,10 +903,12 @@ def demux_audio_stats(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[row])
-                data = pdf[media_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in id_cols]  # r8: no per-row iloc
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                for c, _vals in id_lists:
+                    out[c].append(_vals[row])
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
@@ -966,10 +974,12 @@ def perceptual_hash_videos(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[row])
-                data = pdf[media_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in id_cols]  # r8: no per-row iloc
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                for c, _vals in id_lists:
+                    out[c].append(_vals[row])
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
@@ -1024,9 +1034,11 @@ def dhash_video_frames(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                ids = [pdf[c].iloc[row] for c in id_cols]
-                data = pdf[media_col].iloc[row]
+            id_lists = [pdf[c].tolist() for c in id_cols]  # r8: no per-row iloc
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                ids = [v[row] for v in id_lists]
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
@@ -1099,10 +1111,12 @@ def extract_exif(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[row])
-                data = pdf[media_col].iloc[row]
+            id_lists = [(c, pdf[c].tolist()) for c in id_cols]  # r8: no per-row iloc
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                for c, _vals in id_lists:
+                    out[c].append(_vals[row])
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):
@@ -1178,9 +1192,11 @@ def parse_caption_cues(
 
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in range(len(pdf)):
-                ids = [pdf[c].iloc[row] for c in id_cols]
-                data = pdf[media_col].iloc[row]
+            id_lists = [pdf[c].tolist() for c in id_cols]  # r8: no per-row iloc
+            media_list = pdf[media_col].tolist()
+            for row in range(len(media_list)):
+                ids = [v[row] for v in id_lists]
+                data = media_list[row]
                 if data is None:
                     data = b""
                 if isinstance(data, (bytearray, memoryview)):

@@ -174,15 +174,17 @@ def tokenize_nested(
         for pdf in batches:
             out = {c: [] for c in id_cols}
             out["events"] = []
-            for i in range(len(pdf)):
-                data = pdf[html_col].iloc[i]
+            id_lists = [(c, pdf[c].tolist()) for c in id_cols]  # r8: no per-row iloc
+            html_list = pdf[html_col].tolist()
+            for i in range(len(html_list)):
+                data = html_list[i]
                 if data is None:
                     continue
                 if isinstance(data, (bytearray, memoryview)):
                     data = bytes(data)
                 rows = parse_doc_flat(data, events)
-                for c in id_cols:
-                    out[c].append(pdf[c].iloc[i])
+                for c, _vals in id_lists:
+                    out[c].append(_vals[i])
                 out["events"].append([dict(zip(_COLS, r)) for r in rows])
             yield pd.DataFrame(out)
 
